@@ -1,0 +1,201 @@
+"""Vectorized posting-list codec: delta + varbyte, skip blocks, block-max.
+
+The reference stores absolute docIDs in a byte-aligned prefix varint
+(/root/reference/pysearchlite/gamma_codecs.py:47-100) inside fixed 44-byte
+skip blocks (block_skip_list.py:29-116). The north rule mandates delta+varbyte
+for our storage; query results are unaffected (docIDs round-trip exactly).
+We use LEB128 varbyte (low 7 bits per byte, high bit = continuation),
+delta-coded within each posting list, packed/unpacked by vectorized numpy —
+no per-element Python in the hot path.
+
+Each packed posting row additionally carries, per fixed-size block of
+BLOCK_DOCS postings (the analogue of the reference's skip levels,
+block_skip_list.py:39-116, replacing pointer-chasing with O(log) searchsorted
+over a flat skip array):
+  * first_docs[b]  — first absolute docID of block b (skip pointer; each
+                     block's first delta is stored absolute so any block
+                     decodes independently)
+  * *_offs[b]      — byte offset of block b in each stream (O(1) block seek)
+  * max_partial[b] — max over the block of the BM25 partial score
+                     tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) (idf excluded), the
+                     exact per-block upper bound for block-max WAND.
+
+Three streams are packed per row: doc deltas, term frequencies, and document
+lengths — inlining dl makes query-time scoring self-contained (no docmap join
+on the scoring hot path).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+BLOCK_DOCS = 128  # postings per skip block
+K1 = 1.2
+B = 0.75
+
+
+# ---------------------------------------------------------------- varbyte --
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array. Fully vectorized: per-value
+    byte length, then scatter 7-bit groups into a preallocated buffer."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    lengths = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lengths += (tmp > 0)
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(lengths)
+    total = int(ends[-1])
+    starts = ends - lengths
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    shifted = np.repeat(v, lengths) >> (pos.astype(np.uint64) * np.uint64(7))
+    out = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    is_last = np.zeros(total, dtype=bool)
+    is_last[ends - 1] = True
+    out[~is_last] |= 0x80
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes to uint64. Vectorized via reduceat over group
+    boundaries; `count` limits to the first N values."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    if count is not None and count < ends.size:
+        ends = ends[:count]
+        b = b[: int(ends[-1]) + 1] if ends.size else b[:0]
+    if ends.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.empty(ends.shape, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    contrib = (b & 0x7F).astype(np.uint64) << (pos.astype(np.uint64) * np.uint64(7))
+    return np.add.reduceat(contrib, starts)
+
+
+# ----------------------------------------------------------- posting pack --
+
+class PackedPostings(NamedTuple):
+    df: int
+    docs: bytes              # delta+varbyte docIDs (block-local absolute first)
+    tfs: bytes               # varbyte term frequencies
+    dls: bytes               # varbyte doc lengths
+    first_docs: np.ndarray   # int64 per block (skip pointers)
+    doc_offs: np.ndarray     # int32 byte offset of each block in `docs`
+    tf_offs: np.ndarray
+    dl_offs: np.ndarray
+    max_partial: np.ndarray  # float64 per block (block-max WAND bound)
+
+
+def bm25_partial(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+                 k1: float = K1, b: float = B) -> np.ndarray:
+    """Per-posting BM25 contribution without the idf factor."""
+    tf = np.asarray(tfs, dtype=np.float64)
+    dl = np.asarray(dls, dtype=np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _block_starts(n: int) -> np.ndarray:
+    nblocks = (n + BLOCK_DOCS - 1) // BLOCK_DOCS
+    return np.arange(nblocks, dtype=np.int64) * BLOCK_DOCS
+
+
+def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                  avgdl: float) -> PackedPostings:
+    """doc_ids must be sorted ascending (build invariant — reference A1:
+    postings are docID-sorted by construction, inverted_index_skip_list.py:48-57).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    n = doc_ids.size
+    starts = _block_starts(n)
+    nblocks = starts.size
+
+    deltas = np.empty(n, dtype=np.int64)
+    if n:
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+        deltas[starts] = doc_ids[starts]  # block-local absolute first
+
+    partial = bm25_partial(tfs, dls, avgdl)
+    docs_parts, tf_parts, dl_parts = [], [], []
+    doc_offs = np.zeros(nblocks, dtype=np.int32)
+    tf_offs = np.zeros(nblocks, dtype=np.int32)
+    dl_offs = np.zeros(nblocks, dtype=np.int32)
+    max_partial = np.zeros(nblocks, dtype=np.float64)
+    dpos = tpos = lpos = 0
+    for bidx in range(nblocks):
+        s, e = int(starts[bidx]), min(n, int(starts[bidx]) + BLOCK_DOCS)
+        doc_offs[bidx], tf_offs[bidx], dl_offs[bidx] = dpos, tpos, lpos
+        db = varbyte_encode(deltas[s:e])
+        tb = varbyte_encode(tfs[s:e])
+        lb = varbyte_encode(dls[s:e])
+        docs_parts.append(db)
+        tf_parts.append(tb)
+        dl_parts.append(lb)
+        dpos += len(db)
+        tpos += len(tb)
+        lpos += len(lb)
+        max_partial[bidx] = partial[s:e].max()
+    return PackedPostings(
+        df=n,
+        docs=b"".join(docs_parts),
+        tfs=b"".join(tf_parts),
+        dls=b"".join(dl_parts),
+        first_docs=doc_ids[starts] if n else np.empty(0, np.int64),
+        doc_offs=doc_offs, tf_offs=tf_offs, dl_offs=dl_offs,
+        max_partial=max_partial,
+    )
+
+
+def unpack_docs(docs: bytes, df: int) -> np.ndarray:
+    """Decode the full docID stream (all blocks) back to absolute int64."""
+    deltas = varbyte_decode(docs, count=df).astype(np.int64)
+    n = deltas.size
+    if n == 0:
+        return deltas
+    out = np.cumsum(deltas)
+    starts = _block_starts(n)
+    if starts.size > 1:
+        # each block's first delta is absolute → remove the prefix sum
+        # accumulated before the block (snapshot BEFORE modification).
+        corrections = out[starts[1:] - 1].copy()
+        sizes = np.diff(np.append(starts, n))
+        per_idx = np.repeat(np.concatenate(([0], corrections)), sizes)
+        out -= per_idx
+    return out
+
+
+def _block_slice(buf: bytes, offs: np.ndarray, bidx: int) -> bytes:
+    start = int(offs[bidx])
+    end = int(offs[bidx + 1]) if bidx + 1 < offs.shape[0] else len(buf)
+    return buf[start:end]
+
+
+def unpack_block_docs(packed: PackedPostings, bidx: int) -> np.ndarray:
+    """Decode one block of absolute docIDs (selective decode for WAND)."""
+    cnt = min(BLOCK_DOCS, packed.df - bidx * BLOCK_DOCS)
+    deltas = varbyte_decode(_block_slice(packed.docs, packed.doc_offs, bidx),
+                            count=cnt).astype(np.int64)
+    return np.cumsum(deltas)
+
+
+def unpack_block_stream(buf: bytes, offs: np.ndarray, df: int, bidx: int
+                        ) -> np.ndarray:
+    cnt = min(BLOCK_DOCS, df - bidx * BLOCK_DOCS)
+    return varbyte_decode(_block_slice(buf, offs, bidx), count=cnt)
+
+
+def unpack_stream(buf: bytes, df: int) -> np.ndarray:
+    """Decode a full tf/dl stream (plain varbyte, no deltas)."""
+    return varbyte_decode(buf, count=df)

@@ -1,0 +1,67 @@
+"""Deterministic HTML → text extraction.
+
+The reference consumes pre-extracted ``text`` (commands/build_index.py:11);
+the north-rule input table carries ``html binary`` and demands per-url
+byte-identical extracted text. So extraction is OUR spec, defined once here
+as a pure function, and the Spark side calls the SAME function inside a
+vectorized pandas UDF batch loop (extract_series) — parity by construction.
+
+Spec (documented, deterministic, stdlib-only):
+  1. decode bytes as UTF-8 (errors="replace");
+  2. drop <script>/<style>/<!-- --> blocks entirely (non-greedy, case-insens);
+  3. replace every remaining tag with a single space;
+  4. unescape HTML entities (html.unescape);
+  5. collapse all whitespace runs to one space; strip ends.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Iterator, Optional, Union
+
+import pandas as pd
+
+_SCRIPT_STYLE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG = re.compile(r"<[^>]*>")
+_WS = re.compile(r"\s+")
+
+
+def extract_text(html: Union[bytes, str, None]) -> str:
+    """Pure deterministic extraction — the single source of truth."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        s = bytes(html).decode("utf-8", errors="replace")
+    else:
+        s = html
+    s = _SCRIPT_STYLE.sub(" ", s)
+    s = _TAG.sub(" ", s)
+    s = _html.unescape(s)
+    return _WS.sub(" ", s).strip()
+
+
+def extract_series(html: pd.Series) -> pd.Series:
+    """Batch extraction for the Arrow UDF path.
+
+    Regex-dominated work has no better-than-C vectorization in pandas for
+    bytes→str pipelines; the loop below is per-ROW-of-an-Arrow-batch (not
+    per-row-of-the-DataFrame through Python serialization), which is the
+    sanctioned pandas-UDF shape.
+    """
+    return html.map(extract_text)
+
+
+def make_extract_udf():
+    """F.pandas_udf(string) over the html binary column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for b in batches:
+            yield extract_series(b)
+
+    return extract_udf

@@ -1,0 +1,61 @@
+"""Codec roundtrip + block-structure tests (property style, mirrors the
+reference's randomized skip-list tests, test_block_skip_list.py:89-106)."""
+
+import numpy as np
+import pytest
+
+from pysearchlite_spark import codec
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("n", [0, 1, 2, 127, 128, 129, 1000, 5000])
+def test_varbyte_roundtrip(seed, n):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 2**40, size=n).astype(np.uint64)
+    enc = codec.varbyte_encode(vals)
+    dec = codec.varbyte_decode(enc)
+    assert np.array_equal(dec, vals)
+
+
+def test_varbyte_boundaries():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**63 - 1],
+                    dtype=np.uint64)
+    assert np.array_equal(codec.varbyte_decode(codec.varbyte_encode(vals)), vals)
+    # single-byte values encode to one byte each
+    assert len(codec.varbyte_encode(np.array([0, 1, 127], dtype=np.uint64))) == 3
+
+
+def test_varbyte_decode_count_limit():
+    vals = np.arange(100, dtype=np.uint64) * 1000
+    enc = codec.varbyte_encode(vals)
+    assert np.array_equal(codec.varbyte_decode(enc, count=10), vals[:10])
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 300, 4096, 10000])
+def test_pack_roundtrip(seed, n):
+    rng = np.random.default_rng(seed + 100)
+    doc_ids = np.sort(rng.choice(np.arange(4 * n, dtype=np.int64), size=n,
+                                 replace=False))
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    dls = rng.integers(1, 500, size=n).astype(np.int64)
+    avgdl = float(dls.mean())
+    p = codec.pack_postings(doc_ids, tfs, dls, avgdl)
+    assert p.df == n
+    assert np.array_equal(codec.unpack_docs(p.docs, p.df), doc_ids)
+    assert np.array_equal(codec.unpack_stream(p.tfs, p.df).astype(np.int64), tfs)
+    assert np.array_equal(codec.unpack_stream(p.dls, p.df).astype(np.int64), dls)
+    nblocks = (n + codec.BLOCK_DOCS - 1) // codec.BLOCK_DOCS
+    assert p.first_docs.shape == (nblocks,)
+    assert np.array_equal(p.first_docs,
+                          doc_ids[::codec.BLOCK_DOCS][:nblocks])
+    # block-max is the exact max of per-posting partials within each block
+    partial = codec.bm25_partial(tfs, dls, avgdl)
+    for b in range(nblocks):
+        s, e = b * codec.BLOCK_DOCS, min(n, (b + 1) * codec.BLOCK_DOCS)
+        assert p.max_partial[b] == pytest.approx(partial[s:e].max())
+        got = codec.unpack_block_docs(p, b)
+        assert np.array_equal(got, doc_ids[s:e])
+        assert np.array_equal(
+            codec.unpack_block_stream(p.tfs, p.tf_offs, p.df, b).astype(np.int64),
+            tfs[s:e])
