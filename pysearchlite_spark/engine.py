@@ -1,0 +1,259 @@
+"""SearchIndex — query-side facade (the rebuild of the reference API surface
+psl.init/index/save_index/restore_index/search/count,
+/root/reference/pysearchlite/search_engine.py:19-60, plus the north-rule BM25
+top-k extension).
+
+Planner (reference parity, SURVEY.md §4.1):
+  * missing-term short-circuit: any query term with global df == 0 → []
+    before any posting I/O (inverted_index_skip_list.py:198-201);
+  * df-ascending intersection order (:204);
+  * single-term fast path (search_engine.py:51-52);
+  * COUNT without materializing names (:252-298).
+
+Two execution paths:
+  * driver kernels (default): the pruned postings scan (term-bucket partition
+    pruning + `term IN` parquet predicate pushdown) collects k·segments rows
+    to the driver, numpy kernels do the rest — right for interactive queries
+    where postings for the k query terms fit driver memory;
+  * distributed=True: the same kernels run per-segment inside
+    applyInPandas, only per-segment partial results (top-k / counts /
+    matching ids) are collected — the 10^12-doc path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysearchlite_spark import codec
+from pysearchlite_spark.operators import intersect as I
+from pysearchlite_spark.operators import wand as W
+from pysearchlite_spark.plans.builder import term_bucket
+from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA,
+                                                POSTINGS_SCHEMA, IndexCatalog)
+from pysearchlite_spark.tokenizer import query_terms
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
+                       n_query_terms: int, k: int, mode: str,
+                       use_blockmax: bool, avgdl: float
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Score one segment's packed posting rows. Module-level (no engine
+    state) so the distributed applyInPandas path serializes only plain
+    values, never the SparkSession."""
+    if mode == "and":
+        if len(rows) < n_query_terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = I.intersect_packed(rows)
+        if ids.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        scores = np.zeros(ids.size, dtype=np.float64)
+        for r in rows:
+            docs = codec.unpack_docs(r["docs"], int(r["df"]))
+            tfs = codec.unpack_stream(r["tfs"], int(r["df"]))
+            dls = codec.unpack_stream(r["dls"], int(r["df"]))
+            pos = np.searchsorted(docs, ids)
+            scores += idfs[r["term"]] * codec.bm25_partial(
+                tfs[pos], dls[pos], avgdl)
+        return ids, scores
+    if use_blockmax:
+        top = W.blockmax_topk(rows, idfs, avgdl, k)
+        if not top:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        d, s = zip(*top)
+        return np.asarray(d, np.int64), np.asarray(s, np.float64)
+    doc_l, tf_l, dl_l, idf_l = [], [], [], []
+    for r in rows:
+        df = int(r["df"])
+        doc_l.append(codec.unpack_docs(r["docs"], df))
+        tf_l.append(codec.unpack_stream(r["tfs"], df).astype(np.int64))
+        dl_l.append(codec.unpack_stream(r["dls"], df).astype(np.int64))
+        idf_l.append(idfs[r["term"]])
+    docs, scores = W.score_disjunctive(doc_l, tf_l, dl_l, idf_l, avgdl)
+    if docs.size > k:
+        # per-segment truncation to top-k is safe: the global merge only
+        # needs each segment's best k
+        kth = np.partition(scores, docs.size - k)[docs.size - k]
+        m = scores >= kth
+        docs, scores = docs[m], scores[m]
+    return docs, scores
+
+
+class SearchIndex:
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        snap = self.cat.current_snapshot()
+        if snap is None:
+            raise ValueError(f"no committed snapshot in {index_dir}")
+        self.snapshot = snap
+        self.stats = snap["stats"]
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.n_buckets = int(self.stats["n_buckets"])
+        self._postings = (spark.read.schema(POSTINGS_SCHEMA)
+                          .parquet(self.cat.postings_dir()))
+        self._docmap = (spark.read.schema(DOCMAP_SCHEMA)
+                        .parquet(self.cat.docmap_dir()))
+
+    # ------------------------------------------------------------ scan ----
+    def postings_df(self, terms: List[str]) -> DataFrame:
+        """Pruned scan: partition pruning on tb + predicate pushdown on term."""
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return (self._postings
+                .filter(F.col("tb").isin(buckets))
+                .filter(F.col("term").isin(terms)))
+
+    def _fetch(self, terms: List[str]) -> pd.DataFrame:
+        if not terms:
+            return pd.DataFrame(columns=["term", "seg", "df"])
+        return (self.postings_df(terms)
+                .select("term", "seg", "df", "docs", "tfs", "dls",
+                        "first_docs", "doc_offs", "tf_offs", "dl_offs",
+                        "max_partial")
+                .toPandas())
+
+    @staticmethod
+    def _rows_by_seg(pdf: pd.DataFrame) -> Dict[int, List[dict]]:
+        out: Dict[int, List[dict]] = {}
+        for r in pdf.to_dict("records"):
+            out.setdefault(int(r["seg"]), []).append(r)
+        return out
+
+    def global_dfs(self, pdf: pd.DataFrame, terms: List[str]) -> Dict[str, int]:
+        g = pdf.groupby("term")["df"].sum().to_dict() if len(pdf) else {}
+        return {t: int(g.get(t, 0)) for t in terms}
+
+    # ------------------------------------------------------- boolean AND --
+    def search_and_ids(self, query: str, distributed: bool = False
+                       ) -> np.ndarray:
+        terms = query_terms(query)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if distributed:
+            return self._search_and_ids_dist(terms)
+        pdf = self._fetch(terms)
+        dfs = self.global_dfs(pdf, terms)
+        if any(dfs[t] == 0 for t in terms):  # P4 short-circuit
+            return np.empty(0, dtype=np.int64)
+        parts = []
+        for seg, rows in sorted(self._rows_by_seg(pdf).items()):
+            if len(rows) < len(terms):
+                continue  # a term missing in this segment → no seg matches
+            parts.append(I.intersect_packed(rows))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)  # segments are disjoint ascending ranges
+
+    def search_or_ids(self, query: str) -> np.ndarray:
+        terms = query_terms(query)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        pdf = self._fetch(terms)
+        parts = []
+        for seg, rows in sorted(self._rows_by_seg(pdf).items()):
+            parts.append(I.union_sorted(
+                [codec.unpack_docs(r["docs"], int(r["df"])) for r in rows]))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)
+
+    def count(self, query: str, distributed: bool = False) -> int:
+        return int(self.search_and_ids(query, distributed=distributed).size)
+
+    def search(self, query: str, distributed: bool = False) -> List[str]:
+        """AND query → doc names (urls), ascending docID order
+        (search_engine.py:49-55 semantics)."""
+        ids = self.search_and_ids(query, distributed=distributed)
+        if ids.size == 0:
+            return []
+        rows = (self._docmap.filter(F.col("doc_id").isin(ids.tolist()))
+                .select("doc_id", "url").collect())
+        name = {r["doc_id"]: r["url"] for r in rows}
+        return [name[int(i)] for i in ids]
+
+    # ------------------------------------------------------------- BM25 --
+    def _idfs(self, dfs: Dict[str, int]) -> Dict[str, float]:
+        return {t: bm25_idf(self.n_docs, d) for t, d in dfs.items() if d > 0}
+
+    def topk(self, query: str, k: int = 10, mode: str = "or",
+             use_blockmax: bool = True, distributed: bool = False
+             ) -> List[Tuple[int, float]]:
+        """BM25 top-k: (doc_id, score) by score desc, doc_id asc.
+        mode='or' (disjunctive, default) or 'and' (all terms required)."""
+        terms = query_terms(query)
+        if not terms or k <= 0:
+            return []
+        if distributed:
+            return self._topk_dist(terms, k, mode, use_blockmax)
+        pdf = self._fetch(terms)
+        dfs = self.global_dfs(pdf, terms)
+        if mode == "and" and any(dfs[t] == 0 for t in terms):
+            return []
+        idfs = self._idfs(dfs)
+        parts: List[Tuple[np.ndarray, np.ndarray]] = []
+        for seg, rows in sorted(self._rows_by_seg(pdf).items()):
+            parts.append(score_segment_rows(rows, idfs, len(terms), k, mode,
+                                            use_blockmax, self.avgdl))
+        return W.topk_merge(parts, k)
+
+    # ------------------------------------------------- distributed paths --
+    def _search_and_ids_dist(self, terms: List[str]) -> np.ndarray:
+        dfs_rows = (self.postings_df(terms).groupBy("term")
+                    .agg(F.sum("df").alias("df")).collect())
+        dfs = {r["term"]: int(r["df"]) for r in dfs_rows}
+        if any(dfs.get(t, 0) == 0 for t in terms):
+            return np.empty(0, dtype=np.int64)
+        n_terms = len(set(terms))
+
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            if len(rows) < n_terms:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            ids = I.intersect_packed(rows)
+            return pd.DataFrame({"doc_id": ids})
+
+        out = (self.postings_df(terms)
+               .groupBy("seg").applyInPandas(run, "doc_id long")
+               .orderBy("doc_id").collect())
+        return np.array([r["doc_id"] for r in out], dtype=np.int64)
+
+    def _topk_dist(self, terms: List[str], k: int, mode: str,
+                   use_blockmax: bool) -> List[Tuple[int, float]]:
+        dfs_rows = (self.postings_df(terms).groupBy("term")
+                    .agg(F.sum("df").alias("df")).collect())
+        dfs = {t: 0 for t in terms}
+        dfs.update({r["term"]: int(r["df"]) for r in dfs_rows})
+        if mode == "and" and any(dfs[t] == 0 for t in terms):
+            return []
+        idfs = self._idfs(dfs)
+        avgdl, uniq_terms = self.avgdl, len(set(terms))
+
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            d, s = score_segment_rows(rows, idfs, uniq_terms, k, mode,
+                                      use_blockmax, avgdl)
+            if d.size > k:
+                kth = np.partition(s, d.size - k)[d.size - k]
+                m = s >= kth
+                d, s = d[m], s[m]
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        out = (self.postings_df(terms)
+               .groupBy("seg")
+               .applyInPandas(run, "doc_id long, score double")
+               .toPandas())
+        if out.empty:
+            return []
+        return W.topk_merge(
+            [(out["doc_id"].to_numpy(np.int64),
+              out["score"].to_numpy(np.float64))], k)

@@ -1,0 +1,164 @@
+"""BM25 scoring kernels: exhaustive vectorized scoring + block-max pruned
+top-k (the block-max WAND analogue, SURVEY.md §2.9 — an extension the
+reference lacks entirely; its TOP_10 runs the unranked boolean search,
+/root/reference/pysearchlite/commands/do_query.py:15-17).
+
+Two kernels, proven equal by tests:
+  * score_disjunctive — exact scores for every doc matching ≥1 term
+    (searchsorted scatter-add, O(total postings)).
+  * blockmax_topk — zone-at-a-time pruning: docID space is cut into zones
+    (the finest term's skip blocks); each zone's upper bound is
+    Σ_t idf_t · max(max_partial of t's blocks overlapping the zone) — exact
+    per-block bounds packed at build time. Zones are visited in descending
+    upper-bound order and scoring stops when the bound cannot beat the
+    current k-th (score, doc_id) — rank-identical to exhaustive by
+    construction (ties: continue while ub >= threshold score).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from pysearchlite_spark import codec
+from pysearchlite_spark.codec import bm25_partial
+
+
+def score_disjunctive(doc_arrays: Sequence[np.ndarray],
+                      tf_arrays: Sequence[np.ndarray],
+                      dl_arrays: Sequence[np.ndarray],
+                      idfs: Sequence[float], avgdl: float
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact BM25 scores for the union of matching docs (one segment)."""
+    nonempty = [d for d in doc_arrays if d.size]
+    if not nonempty:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    all_docs = np.unique(np.concatenate(nonempty))
+    scores = np.zeros(all_docs.size, dtype=np.float64)
+    for docs, tfs, dls, idf in zip(doc_arrays, tf_arrays, dl_arrays, idfs):
+        if docs.size == 0:
+            continue
+        idx = np.searchsorted(all_docs, docs)
+        scores[idx] += idf * bm25_partial(tfs, dls, avgdl)
+    return all_docs, scores
+
+
+def topk_merge(parts: Sequence[Tuple[np.ndarray, np.ndarray]], k: int
+               ) -> List[Tuple[int, float]]:
+    """Merge per-segment (doc_ids, scores) into global top-k:
+    score desc, doc_id asc."""
+    if not parts:
+        return []
+    docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0)
+    scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
+    if docs.size == 0:
+        return []
+    if docs.size > k:
+        # exact boundary: keep every doc scoring >= the k-th largest score so
+        # ties at the cut resolve by doc_id in the lexsort below
+        kth_score = np.partition(scores, docs.size - k)[docs.size - k]
+        mask = scores >= kth_score
+        docs, scores = docs[mask], scores[mask]
+    order = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in order]
+
+
+def _zone_bounds_for_term(zone_edges: np.ndarray, first_docs: np.ndarray,
+                          max_partial: np.ndarray) -> np.ndarray:
+    """Per-zone upper bound of a term's partial score. zone_edges has Z+1
+    edges; block b of the term covers [first_docs[b], first_docs[b+1])."""
+    Z = zone_edges.size - 1
+    out = np.zeros(Z, dtype=np.float64)
+    if first_docs.size == 0:
+        return out
+    # block range overlapping each zone
+    lo = np.searchsorted(first_docs, zone_edges[:-1], side="right") - 1
+    hi = np.searchsorted(first_docs, zone_edges[1:], side="left")
+    lo = np.maximum(lo, 0)
+    for z in range(Z):
+        if hi[z] > lo[z]:
+            out[z] = max_partial[lo[z]:hi[z]].max()
+    return out
+
+
+def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
+                  k: int) -> List[Tuple[int, float]]:
+    """Block-max pruned top-k over one segment's packed posting rows
+    (each row: term/df/docs/tfs/dls/first_docs/*_offs/max_partial)."""
+    if not rows or k <= 0:
+        return []
+    # zones = skip blocks of the largest-df term (finest doc-density grid)
+    big = max(rows, key=lambda r: r["df"])
+    edges = np.asarray(big["first_docs"], dtype=np.int64)
+    zone_edges = np.concatenate([edges, [np.iinfo(np.int64).max]])
+    if zone_edges.size < 2:
+        zone_edges = np.array([0, np.iinfo(np.int64).max], dtype=np.int64)
+    Z = zone_edges.size - 1
+
+    ub = np.zeros(Z, dtype=np.float64)
+    per_term = []
+    for r in rows:
+        fd = np.asarray(r["first_docs"], dtype=np.int64)
+        mp = np.asarray(r["max_partial"], dtype=np.float64)
+        tb = _zone_bounds_for_term(zone_edges, fd, mp)
+        ub += idfs[r["term"]] * tb
+        per_term.append((r, fd))
+
+    zorder = np.argsort(-ub, kind="stable")
+    heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    results: List[Tuple[int, float]] = []
+    for z in zorder:
+        if len(heap) >= k and ub[z] < heap[0][0]:
+            break
+        z_lo, z_hi = int(zone_edges[z]), int(zone_edges[z + 1])
+        # decode each term's blocks overlapping this zone, score the zone
+        docs_l, tfs_l, dls_l, idf_l = [], [], [], []
+        for r, fd in per_term:
+            if fd.size == 0:
+                continue
+            lo = max(0, int(np.searchsorted(fd, z_lo, side="right")) - 1)
+            hi = int(np.searchsorted(fd, z_hi, side="left"))
+            if hi <= lo:
+                continue
+            d, t, l = _decode_blocks(r, lo, hi)
+            m = (d >= z_lo) & (d < z_hi)
+            if not m.any():
+                continue
+            docs_l.append(d[m])
+            tfs_l.append(t[m])
+            dls_l.append(l[m])
+            idf_l.append(idfs[r["term"]])
+        if not docs_l:
+            continue
+        zdocs, zscores = score_disjunctive(docs_l, tfs_l, dls_l, idf_l, avgdl)
+        for d, s in zip(zdocs.tolist(), zscores.tolist()):
+            item = (s, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    results = [( -nd, s) for s, nd in heap]
+    results.sort(key=lambda x: (-x[1], x[0]))
+    return [(int(d), float(s)) for d, s in results]
+
+
+def _decode_blocks(r: dict, lo: int, hi: int
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode blocks [lo, hi) of a packed row's three streams."""
+    df = int(r["df"])
+    doc_offs = np.asarray(r["doc_offs"], dtype=np.int32)
+    tf_offs = np.asarray(r["tf_offs"], dtype=np.int32)
+    dl_offs = np.asarray(r["dl_offs"], dtype=np.int32)
+    fd = np.asarray(r["first_docs"], dtype=np.int64)
+    packed = codec.PackedPostings(df, r["docs"], r["tfs"], r["dls"], fd,
+                                  doc_offs, tf_offs, dl_offs, None)
+    docs, tfs, dls = [], [], []
+    for b in range(lo, hi):
+        docs.append(codec.unpack_block_docs(packed, b))
+        tfs.append(codec.unpack_block_stream(r["tfs"], tf_offs, df, b))
+        dls.append(codec.unpack_block_stream(r["dls"], dl_offs, df, b))
+    return (np.concatenate(docs),
+            np.concatenate(tfs).astype(np.int64),
+            np.concatenate(dls).astype(np.int64))

@@ -1,0 +1,132 @@
+"""Iceberg-shaped index catalog over partitioned Parquet.
+
+The sandbox has no Iceberg runtime jar (SURVEY.md §7.1), so this implements
+the Iceberg shape we rely on — snapshot ids, atomic commit, partitioned
+append, segment manifests, time-travelable metadata — as partitioned Parquet
+plus a JSON manifest committed by atomic rename. The API is narrow enough
+that a real-Iceberg backend (`df.writeTo(...).append()` + snapshot API) can
+replace it behind the same calls when the jar is present.
+
+Layout under <root>/:
+  manifest.json                      — atomic-rename committed catalog state
+  docmap/seg=<s>/*.parquet           — (doc_id, url, doc_len)
+  postings/seg=<s>/tb=<b>/*.parquet  — packed posting rows (codec.py schema)
+  build_log/*.parquet                — per-partition build metrics + lineage
+Staging (resumability): segments are built into the same directories but only
+become visible when their ids are committed into manifest.json; a re-run
+lists staged-but-uncommitted segment dirs and skips rebuilding them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+MANIFEST = "manifest.json"
+
+POSTINGS_SCHEMA = (
+    "term string, seg long, tb int, df long, "
+    "docs binary, tfs binary, dls binary, "
+    "first_docs array<long>, doc_offs array<int>, tf_offs array<int>, "
+    "dl_offs array<int>, max_partial array<double>"
+)
+
+DOCMAP_SCHEMA = "doc_id long, url string, doc_len long, seg long"
+
+BUILD_LOG_SCHEMA = (
+    "partition_id int, seg long, n_terms long, n_postings long, "
+    "bytes_packed long, elapsed_sec double, terms_per_sec double, "
+    "postings_per_sec double"
+)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: Optional[int]
+    segments: List[int]
+    stats: dict
+    lineage: dict
+    ts: float = field(default_factory=time.time)
+
+
+class IndexCatalog:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------------------------------------------------------- manifest --
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"snapshots": [], "current": None}
+        with open(p) as f:
+            return json.load(f)
+
+    def current_snapshot(self) -> Optional[dict]:
+        m = self.load_manifest()
+        if m["current"] is None:
+            return None
+        return next(s for s in m["snapshots"] if s["snapshot_id"] == m["current"])
+
+    def commit_snapshot(self, segments: List[int], stats: dict,
+                        lineage: dict) -> int:
+        """Atomic commit: write manifest to a temp file, rename over."""
+        m = self.load_manifest()
+        sid = (m["current"] or 0) + 1
+        snap = Snapshot(sid, m["current"], sorted(segments), stats, lineage)
+        m["snapshots"].append(snap.__dict__)
+        m["current"] = sid
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+        return sid
+
+    # ------------------------------------------------------------- paths --
+    def docmap_dir(self) -> str:
+        return os.path.join(self.root, "docmap")
+
+    def postings_dir(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    def build_log_dir(self) -> str:
+        return os.path.join(self.root, "build_log")
+
+    # -------------------------------------------------------- resumability --
+    def staged_segments(self, table: str) -> List[int]:
+        """Segment ids already written (staged) for `table`, committed or not.
+        A staged segment dir counts only if it contains a _STAGED marker
+        (written after the segment's files are fully flushed)."""
+        d = os.path.join(self.root, table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("seg=") and os.path.exists(
+                    os.path.join(d, name, "_STAGED")):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def mark_staged(self, table: str, seg: int) -> None:
+        d = os.path.join(self.root, table, f"seg={seg}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_STAGED"), "w") as f:
+            f.write(str(time.time()))
+
+    def drop_segment(self, table: str, seg: int) -> None:
+        d = os.path.join(self.root, table, f"seg={seg}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    def destroy(self) -> None:
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)

@@ -1,0 +1,155 @@
+"""End-to-end: Spark build → SearchIndex queries == oracle / reference
+goldens (mirrors /root/reference/pysearchlite/test_search_engine.py:4-27 and
+the random-corpus property layer, SURVEY.md §5)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pysearchlite_spark.datagen import micro_corpus
+from pysearchlite_spark.engine import SearchIndex
+from pysearchlite_spark.oracle import OracleEngine
+from pysearchlite_spark.plans.builder import build_index
+
+
+def _build(spark, docs, tmpdir, **kw):
+    """docs: list[(name, text)]; name order == docID order (ids passed
+    explicitly so Spark and oracle agree by construction)."""
+    df = spark.createDataFrame(
+        [(i, name, text) for i, (name, text) in enumerate(docs)],
+        "doc_id long, url string, text string")
+    res = build_index(spark, df, str(tmpdir), id_col="doc_id",
+                      url_col="url", segment_docs=kw.pop("segment_docs", 100),
+                      **kw)
+    assert res.snapshot_id >= 1
+    return SearchIndex(spark, str(tmpdir))
+
+
+@pytest.fixture(scope="module")
+def micro_idx(spark, tmp_path_factory):
+    return _build(spark, micro_corpus(),
+                  tmp_path_factory.mktemp("micro_idx"), segment_docs=2)
+
+
+def test_reference_goldens(micro_idx):
+    # exact outputs from test_search_engine.py:12-14,25-27
+    assert micro_idx.search("hello") == ["id1"]
+    assert micro_idx.search("this test") == ["id2", "id3"]
+    assert micro_idx.search("that") == []
+    assert micro_idx.count("this test") == 2
+    assert micro_idx.count("that") == 0
+    assert micro_idx.count("hello") == 1
+
+
+def test_or_and_topk_vs_oracle_micro(micro_idx):
+    oracle = OracleEngine()
+    oracle.index_corpus(micro_corpus())
+    for q in ["hello", "this test", "that", "hello another", "world test"]:
+        assert micro_idx.search_or_ids(q).tolist() == oracle.search_or_ids(q)
+        assert micro_idx.search_and_ids(q).tolist() == oracle.search_and_ids(q)
+        got = micro_idx.topk(q, k=10)
+        want = oracle.topk(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in want], rtol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def random_corpus():
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(50)] + ["the", "of", "hello", "test"]
+    docs = [(f"doc{i:04d}",
+             " ".join(rng.choices(vocab, k=rng.randint(1, 60))))
+            for i in range(300)]
+    return docs
+
+
+@pytest.fixture(scope="module")
+def random_idx(spark, tmp_path_factory, random_corpus):
+    # segment_docs=64 → multiple segments; exercises cross-segment merge
+    return _build(spark, random_corpus,
+                  tmp_path_factory.mktemp("rand_idx"), segment_docs=64)
+
+
+def _oracle_for(corpus):
+    e = OracleEngine()
+    e.index_corpus(corpus)
+    return e
+
+
+QUERIES = ["the", "the of", "hello test", "t0 t1 t2", "t49 the",
+           "missing term", "t10", "the the the", "t3 t1 of the"]
+
+
+def test_random_corpus_and_or_count(random_idx, random_corpus):
+    oracle = _oracle_for(random_corpus)
+    for q in QUERIES:
+        assert random_idx.search_and_ids(q).tolist() == \
+            oracle.search_and_ids(q), q
+        assert random_idx.search_or_ids(q).tolist() == \
+            oracle.search_or_ids(q), q
+        assert random_idx.count(q) == oracle.count(q), q
+
+
+def test_random_corpus_bm25_rank_identity(random_idx, random_corpus):
+    oracle = _oracle_for(random_corpus)
+    for q in QUERIES:
+        for mode in ("or", "and"):
+            got = random_idx.topk(q, k=10, mode=mode)
+            want = oracle.topk(q, 10) if mode == "or" else oracle.topk_and(q, 10)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, mode)
+            np.testing.assert_allclose([s for _, s in got],
+                                       [s for _, s in want], rtol=1e-9)
+
+
+def test_blockmax_equals_exhaustive(random_idx):
+    for q in QUERIES:
+        a = random_idx.topk(q, k=10, use_blockmax=True)
+        b = random_idx.topk(q, k=10, use_blockmax=False)
+        assert a == b or (
+            [d for d, _ in a] == [d for d, _ in b]
+            and np.allclose([s for _, s in a], [s for _, s in b])), q
+
+
+def test_distributed_paths_match_driver(random_idx):
+    for q in ["the of", "hello test", "t10", "missing term"]:
+        assert random_idx.search_and_ids(q, distributed=True).tolist() == \
+            random_idx.search_and_ids(q).tolist(), q
+        got = random_idx.topk(q, k=10, distributed=True)
+        want = random_idx.topk(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+
+
+def test_reference_query_set_on_zipf_pages(spark, tmp_path_factory):
+    """Rank-identity on the 8 reference queries (commands/main.py:17-24)
+    over a Zipfian pages corpus with url-sorted docID assignment, html
+    extraction path included."""
+    from pysearchlite_spark.datagen import generate_pages
+    from pysearchlite_spark.extract import extract_text
+
+    pages = generate_pages(spark, 400, seed=7)
+    out = tmp_path_factory.mktemp("pages_idx")
+    res = build_index(spark, pages, str(out), html_col="html",
+                      lang_filter="en", segment_docs=128)
+    idx = SearchIndex(spark, str(out))
+
+    # oracle over the SAME docs in url order with extracted text
+    rows = (pages.filter("lang = 'en'").select("url", "html").collect())
+    rows.sort(key=lambda r: r["url"])
+    oracle = OracleEngine()
+    for r in rows:
+        oracle.index(r["url"], extract_text(bytes(r["html"])))
+    assert res.n_docs == oracle.n_docs
+
+    ref_queries = ["st petersburg high school", "united states constitution",
+                   "search", "los angeles", "the national football league",
+                   "the book of life", "care a lot", "usb hub"]
+    for q in ref_queries:
+        assert idx.search(q) == oracle.search(q), q
+        assert idx.count(q) == oracle.count(q), q
+        got = idx.topk(q, k=10)
+        want = oracle.topk(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in want], rtol=1e-9)
