@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2 scope
+extension): token counting, quality stats, language-ID heuristic, document
+fingerprinting. All plans are native pyspark.sql.functions where possible;
+Python appears only inside vectorized pandas UDFs (tokenize, langid,
+fingerprint), per the input_hint "no per-row Python".
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pysearchlite_spark.plans.builder import make_tokens_udf
+from pysearchlite_spark.tokenizer import tokens_series
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", make_tokens_udf()(F.col(text_col)))
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, n_tokens) — exact tokenizer semantics."""
+    return (with_tokens(df, text_col)
+            .select(F.col(id_col), F.size("tokens").alias("n_tokens")))
+
+
+def quality_stats(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: n_chars, n_tokens, distinct-token ratio,
+    mean token length. Everything after tokenization is JVM-side
+    (whole-stage codegen): size/array_distinct/aggregate."""
+    t = with_tokens(df, text_col)
+    n = F.size("tokens")
+    total_len = F.aggregate("tokens", F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+    return t.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n.cast("long").alias("n_tokens"),
+        F.round(F.when(n > 0, F.size(F.array_distinct("tokens"))
+                       .cast("double") / n).otherwise(0.0), 6)
+         .alias("distinct_ratio"),
+        F.round(F.when(n > 0, total_len.cast("double") / n).otherwise(0.0), 6)
+         .alias("avg_token_len"),
+    )
+
+
+# Minimal per-language stopword lists for the langid heuristic (public
+# common-word lists; deterministic, dependency-free).
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "with", "on", "as", "are", "this", "be", "at", "have"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "von", "zu", "den", "im", "für", "auf", "des"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "dans",
+           "pour", "que", "qui", "sur", "pas", "au"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "en",
+           "que", "por", "para", "con", "no", "se"},
+}
+
+
+def _langid_series(texts: pd.Series) -> pd.Series:
+    """Stopword-ratio heuristic: the language whose stopword set covers the
+    largest fraction of tokens; 'und' (undetermined) when no hits."""
+    toks = tokens_series(texts)
+    out = []
+    for ts in toks:
+        if not ts:
+            out.append("und")
+            continue
+        best_lang, best = "und", 0
+        for lang, sw in _STOPWORDS.items():
+            hits = sum(1 for t in ts if t in sw)
+            if hits > best:
+                best_lang, best = lang, hits
+        out.append(best_lang)
+    return pd.Series(out, index=texts.index)
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def langid_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for b in batches:
+            yield _langid_series(b)
+
+    return df.select(F.col(id_col), langid_udf(F.col(text_col)).alias("lang_pred"))
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def fingerprint_tokens(tokens: list) -> int:
+    """Rolling polynomial hash of the token stream over a Mersenne prime —
+    OUR deterministic fingerprint spec (stable across processes; no reliance
+    on PYTHONHASHSEED)."""
+    h = 0
+    for t in tokens:
+        th = int.from_bytes(
+            __import__("hashlib").blake2b(t.encode(), digest_size=8).digest(),
+            "big")
+        h = (h * _FP_BASE + th) % _FP_MOD
+    return h
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fp_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for b in batches:
+            toks = tokens_series(b)
+            yield pd.Series([fingerprint_tokens(t) for t in toks],
+                            index=b.index, dtype="int64")
+
+    return df.select(F.col(id_col), fp_udf(F.col(text_col)).alias("fingerprint"))

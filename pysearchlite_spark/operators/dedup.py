@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines.
+
+All four families, each as a DataFrame plan designed for 100-TB inputs:
+  * exact_dedup        — hash-groupBy on sha2(text); one shuffle on a 32-byte
+                         key (never shuffles full text).
+  * token_jaccard_pairs— exact Jaccard over distinct-token sets; candidate
+                         pairs via an inverted-index self-join on shared
+                         rare tokens (no crossJoin anywhere).
+  * minhash_lsh_pairs  — shingle → 64-perm MinHash → banded LSH bucket join →
+                         exact-Jaccard verification of candidates.
+  * simhash_pairs      — 64-bit SimHash, pigeonhole banding (4×16-bit chunks)
+                         → hamming-distance verification.
+
+Hashing is blake2b/crc32-based (deterministic across processes — never
+Python's salted hash()). Heavy per-doc work is vectorized numpy inside
+mapInPandas; joins/groupBys stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pysearchlite_spark.tokenizer import tokens_series
+
+MERSENNE = (1 << 61) - 1
+
+
+# ------------------------------------------------------------ exact dedup --
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, keep_id, is_dup): keep_id = min doc_id among docs with
+    byte-identical text. Shuffles only (hash, id) pairs."""
+    h = df.select(F.col(id_col).alias("doc_id"),
+                  F.sha2(F.col(text_col), 256).alias("h"))
+    keep = h.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (h.join(keep, "h")
+            .select("doc_id", "keep_id",
+                    (F.col("doc_id") != F.col("keep_id")).alias("is_dup")))
+
+
+# ------------------------------------------------------- shingles/minhash --
+
+def _hash_shingles(tokens: List[str], k: int = 3) -> np.ndarray:
+    """Distinct word-k-gram shingles → 64-bit hashes (blake2b, stable)."""
+    if len(tokens) < k:
+        shingles = {" ".join(tokens)} if tokens else set()
+    else:
+        shingles = {" ".join(tokens[i:i + k])
+                    for i in range(len(tokens) - k + 1)}
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(sorted(shingles)):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def _minhash_params(n_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_perm: int = 64,
+                       shingle_k: int = 3, seed: int = 7) -> DataFrame:
+    """(doc_id, sig array<long>) — 64-permutation MinHash over word shingles,
+    computed batch-vectorized (numpy (a*h+b) mod p, min over shingles)."""
+    a, b = _minhash_params(n_perm, seed)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = tokens_series(pdf[text_col])
+            sigs = []
+            for ts in toks:
+                h = _hash_shingles(ts, shingle_k)
+                if h.size == 0:
+                    sigs.append(np.full(n_perm, MERSENNE, dtype=np.int64).tolist())
+                    continue
+                # (n_perm, n_shingles) via outer product, mod Mersenne prime
+                vals = (np.multiply.outer(a, h) + b[:, None]) % np.uint64(MERSENNE)
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "sig": sigs})
+
+    return df.mapInPandas(run, "doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.5, seed: int = 7) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard) with estimated Jaccard >= threshold.
+
+    Plan: signatures → explode per band → groupBy(band, band_hash) bucket
+    join (self-join on bucket key, a<b) → dedupe candidates → verify with
+    exact shingle Jaccard (second pass joins shingle sets only for
+    candidates). The bucket join is the only all-pairs-risk step and is
+    bounded by bucket size; Zipf-hot buckets are rare because band hashes
+    are 64-bit."""
+    rows = n_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k, seed)
+    sigs = sigs.persist()
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.hash(F.slice("sig", i * rows + 1, rows)).alias("bh"))
+        for i in range(bands)
+    ]
+    buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+               .select("doc_id", "b.band", "b.bh"))
+    cand = (buckets.alias("x").join(
+                buckets.alias("y"),
+                (F.col("x.band") == F.col("y.band")) &
+                (F.col("x.bh") == F.col("y.bh")) &
+                (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("a"),
+                    F.col("y.doc_id").alias("b"))
+            .distinct())
+
+    # exact verification on shingle sets of candidate docs only
+    toks_needed = (cand.select(F.col("a").alias("doc_id"))
+                   .union(cand.select("b")).distinct())
+    docs = df.join(toks_needed, df[id_col] == toks_needed["doc_id"]) \
+             .select(df[id_col].alias("doc_id"), F.col(text_col).alias("text"))
+
+    def shingle_sets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = tokens_series(pdf["text"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sh": [np.sort(_hash_shingles(t, shingle_k)).astype(np.int64)
+                       .tolist() for t in toks]})
+
+    sh = docs.mapInPandas(shingle_sets, "doc_id long, sh array<long>")
+    joined = (cand
+              .join(sh.withColumnRenamed("doc_id", "a")
+                      .withColumnRenamed("sh", "sha_"), "a")
+              .join(sh.withColumnRenamed("doc_id", "b")
+                      .withColumnRenamed("sh", "shb_"), "b"))
+    inter = F.size(F.array_intersect("sha_", "shb_"))
+    union = F.size(F.array_union("sha_", "shb_"))
+    out = (joined
+           .withColumn("jaccard", F.when(union > 0,
+                                         inter.cast("double") / union)
+                       .otherwise(0.0))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# ------------------------------------------------------ exact jaccard pairs --
+
+def token_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        max_df: int = 1000) -> DataFrame:
+    """Exact Jaccard similarity over DISTINCT-token sets for all pairs
+    sharing >= 1 token with df <= max_df (rare-token candidate generation —
+    the inverted-index join; stop-word-frequency tokens are excluded from
+    candidate generation, which is exact for thresholds > 0 only when pairs
+    share at least one sub-max_df token; used with the SQL oracle at small
+    scale with max_df = +inf)."""
+    from pysearchlite_spark.plans.builder import make_tokens_udf
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.array_distinct(make_tokens_udf()(F.col(text_col)))
+                      .alias("ts"))
+            .withColumn("n", F.size("ts")))
+    toks = toks.persist()
+    inv = toks.select("doc_id", F.explode("ts").alias("t"))
+    tdf = inv.groupBy("t").agg(F.count("*").alias("df"))
+    inv = inv.join(tdf.filter(F.col("df") <= max_df), "t")
+    cand = (inv.alias("x").join(inv.alias("y"),
+                                (F.col("x.t") == F.col("y.t")) &
+                                (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("a"),
+                    F.col("y.doc_id").alias("b"))
+            .distinct())
+    j = (cand.join(toks.select(F.col("doc_id").alias("a"),
+                               F.col("ts").alias("tsa"),
+                               F.col("n").alias("na")), "a")
+         .join(toks.select(F.col("doc_id").alias("b"),
+                           F.col("ts").alias("tsb"),
+                           F.col("n").alias("nb")), "b"))
+    inter = F.size(F.array_intersect("tsa", "tsb"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (j.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+# ---------------------------------------------------------------- simhash --
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash — per-token blake2b bits
+    weighted by tf, vectorized with numpy bit unpacking."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = tokens_series(pdf[text_col])
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, ts in enumerate(toks):
+                if not ts:
+                    continue
+                uniq, counts = np.unique(ts, return_counts=True)
+                hs = np.array([int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                    "big") for t in uniq], dtype=np.uint64)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                sim = np.uint64(0)
+                for bpos in np.flatnonzero(acc > 0):
+                    sim |= np.uint64(1) << np.uint64(bpos)
+                out[i] = np.int64(sim.astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
+
+    return df.mapInPandas(run, "doc_id long, simhash long")
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
+    banding: 4 x 16-bit chunks — any pair within distance 3 agrees on >= 1
+    chunk, so the bucket join over chunks is a complete candidate set."""
+    sigs = simhash_signatures(df, id_col, text_col).persist()
+    chunks = [F.struct(F.lit(i).alias("c"),
+                       F.shiftrightunsigned("simhash", 16 * i)
+                       .bitwiseAND(F.lit(0xFFFF)).alias("v"))
+              for i in range(4)]
+    b = (sigs.select("doc_id", "simhash",
+                     F.explode(F.array(*chunks)).alias("ch"))
+         .select("doc_id", "simhash", "ch.c", "ch.v"))
+    cand = (b.alias("x").join(
+                b.alias("y"),
+                (F.col("x.c") == F.col("y.c")) & (F.col("x.v") == F.col("y.v"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("a"),
+                    F.col("x.simhash").alias("sa"),
+                    F.col("y.doc_id").alias("b"),
+                    F.col("y.simhash").alias("sb"))
+            .distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

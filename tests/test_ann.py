@@ -1,0 +1,62 @@
+"""Similarity-search operators vs numpy brute force."""
+
+import numpy as np
+import pytest
+
+from pysearchlite_spark.operators.ann import (brute_cosine_topk,
+                                              lsh_cosine_topk,
+                                              pairwise_cosine_dups)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    # 5 clusters so LSH has structure to find
+    centers = rng.standard_normal((5, 32)) * 3
+    rows = []
+    for i in range(200):
+        c = centers[i % 5]
+        rows.append((i, (c + rng.standard_normal(32) * 0.5)
+                     .astype(np.float32).tolist()))
+    # planted near-duplicate of vec 7
+    v7 = np.asarray(rows[7][1], dtype=np.float32)
+    rows.append((200, (v7 + 1e-4).astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, rows
+
+
+def _brute(rows, q, k):
+    ids = np.array([r[0] for r in rows])
+    m = np.vstack([np.asarray(r[1], np.float64) for r in rows])
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:k]
+    return [(int(ids[i]), float(cos[i])) for i in order]
+
+
+def test_brute_topk_matches_numpy(emb):
+    df, rows = emb
+    q = np.asarray(rows[0][1], dtype=np.float64)
+    got = [(r["vec_id"], r["cos"]) for r in
+           brute_cosine_topk(df, q.tolist(), k=10).collect()]
+    want = _brute(rows, q, 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose([g[1] for g in got],
+                               [round(w[1], 6) for w in want], atol=1e-9)
+
+
+def test_lsh_topk_recall(emb):
+    df, rows = emb
+    q = np.asarray(rows[0][1], dtype=np.float64)
+    got = {r["vec_id"] for r in
+           lsh_cosine_topk(df, q.tolist(), k=10, n_planes=10,
+                           probe_bits=2).collect()}
+    want = {w[0] for w in _brute(rows, q, 10)}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_pairwise_dups_finds_planted(emb):
+    df, _ = emb
+    got = {(r["a"], r["b"]) for r in
+           pairwise_cosine_dups(df, tau=0.999).collect()}
+    assert (7, 200) in got

@@ -1,0 +1,75 @@
+"""Text-analysis operators vs pure-Python oracles."""
+
+import pytest
+
+from pysearchlite_spark.functions.text import (_langid_series,
+                                               doc_fingerprint,
+                                               fingerprint_tokens, lang_id,
+                                               quality_stats, token_counts)
+from pysearchlite_spark.tokenizer import normalized_tokens
+
+DOCS = [
+    (0, "the cat and the dog are in the house"),
+    (1, "der Hund und die Katze sind nicht hier"),
+    (2, "le chat et le chien sont dans la maison"),
+    (3, "el perro y el gato no es una casa"),
+    (4, "xyzzy plugh"),
+    (5, ""),
+    (6, "Hello HELLO hello world 123"),
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_counts(df):
+    got = {r["doc_id"]: r["n_tokens"] for r in token_counts(df).collect()}
+    for i, t in DOCS:
+        assert got[i] == len(normalized_tokens(t)), i
+
+
+def test_quality_stats(df):
+    got = {r["doc_id"]: r for r in quality_stats(df).collect()}
+    for i, t in DOCS:
+        toks = normalized_tokens(t)
+        r = got[i]
+        assert r["n_chars"] == len(t)
+        assert r["n_tokens"] == len(toks)
+        if toks:
+            assert r["distinct_ratio"] == pytest.approx(
+                round(len(set(toks)) / len(toks), 6))
+            assert r["avg_token_len"] == pytest.approx(
+                round(sum(map(len, toks)) / len(toks), 6))
+        else:
+            assert r["distinct_ratio"] == 0.0
+
+
+def test_lang_id(df):
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[4] == "und"
+    assert got[5] == "und"
+
+
+def test_langid_series_matches_udf(df):
+    import pandas as pd
+    ser = pd.Series([t for _, t in DOCS])
+    local = _langid_series(ser).tolist()
+    got = [r["lang_pred"] for r in lang_id(df).orderBy("doc_id").collect()]
+    assert got == local
+
+
+def test_fingerprint(df):
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in doc_fingerprint(df).collect()}
+    for i, t in DOCS:
+        assert got[i] == fingerprint_tokens(normalized_tokens(t)), i
+    # case-insensitivity via tokenizer; order sensitivity of the hash
+    assert fingerprint_tokens(["a", "b"]) != fingerprint_tokens(["b", "a"])
+    assert got[6] == fingerprint_tokens(
+        ["hello", "hello", "hello", "world", "123"])
