@@ -1,0 +1,62 @@
+"""spark-submit entrypoint: query a built index.
+
+Speaks the reference's search-benchmark-game protocol
+(/root/reference/pysearchlite/commands/do_query.py:6-24) — tab-separated
+``COMMAND\tquery`` lines on stdin:
+    COUNT        → number of documents matching ALL terms
+    TOP_10       → BM25 top-10 (doc_id:score pairs) — the north-rule upgrade
+                   of the reference's unranked TOP_10 (:15-17)
+    TOP_10_COUNT → count, like the reference (:18-19)
+Plus extensions: AND / OR (matching doc ids), SEARCH (doc names).
+
+    spark-submit --py-files pysearchlite_spark.zip jobs/query.py \
+        --index-dir /path/to/idx [--distributed]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--distributed", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pysearchlite_spark.engine import SearchIndex
+
+    spark = SparkSession.builder.appName("psl-query").getOrCreate()
+    idx = SearchIndex(spark, args.index_dir)
+    dist = args.distributed
+
+    for line in sys.stdin:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        cmd, _, q = line.partition("\t")
+        if cmd == "COUNT" or cmd == "TOP_10_COUNT":
+            print(idx.count(q, distributed=dist))
+        elif cmd == "TOP_10":
+            top = idx.topk(q, k=10, distributed=dist)
+            print(" ".join(f"{d}:{s:.6f}" for d, s in top))
+        elif cmd == "AND":
+            print(" ".join(map(str, idx.search_and_ids(q, distributed=dist)
+                               .tolist())))
+        elif cmd == "OR":
+            print(" ".join(map(str, idx.search_or_ids(q).tolist())))
+        elif cmd == "SEARCH":
+            print(" ".join(idx.search(q, distributed=dist)))
+        else:
+            print(f"ERR unknown command {cmd}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

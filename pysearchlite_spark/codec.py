@@ -38,12 +38,14 @@ B = 0.75
 
 # ---------------------------------------------------------------- varbyte --
 
-def varbyte_encode(values: np.ndarray) -> bytes:
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple:
     """LEB128-encode a non-negative int array. Fully vectorized: per-value
-    byte length, then scatter 7-bit groups into a preallocated buffer."""
+    byte length, then scatter 7-bit groups into a preallocated buffer.
+    Returns (bytes, per-value byte lengths) — the lengths let batch callers
+    compute row/block byte offsets without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     lengths = np.ones(v.shape, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -58,7 +60,11 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     is_last = np.zeros(total, dtype=bool)
     is_last[ends - 1] = True
     out[~is_last] |= 0x80
-    return out.tobytes()
+    return out.tobytes(), lengths
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -156,6 +162,79 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         doc_offs=doc_offs, tf_offs=tf_offs, dl_offs=dl_offs,
         max_partial=max_partial,
     )
+
+
+def pack_rows(doc_lists, tf_lists, dl_lists, avgdl: float):
+    """Batch pack: encode MANY posting lists with three vectorized varbyte
+    passes over the concatenated streams (instead of 3 numpy calls per term,
+    which dominates build time at millions of terms). Returns a list of
+    PackedPostings, identical to per-row pack_postings (tested).
+    """
+    R = len(doc_lists)
+    if R == 0:
+        return []
+    row_lens = np.fromiter((len(d) for d in doc_lists), dtype=np.int64,
+                           count=R)
+    offs = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=offs[1:])
+    n = int(offs[-1])
+    docs = np.empty(n, dtype=np.int64)
+    tfs = np.empty(n, dtype=np.int64)
+    dls = np.empty(n, dtype=np.int64)
+    for r in range(R):
+        s, e = offs[r], offs[r + 1]
+        docs[s:e] = doc_lists[r]
+        tfs[s:e] = tf_lists[r]
+        dls[s:e] = dl_lists[r]
+
+    # block starts per row (every BLOCK_DOCS postings, reset per row)
+    nblocks_row = (row_lens + BLOCK_DOCS - 1) // BLOCK_DOCS
+    total_blocks = int(nblocks_row.sum())
+    blk_row_off = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(nblocks_row, out=blk_row_off[1:])
+    rows_rep = np.repeat(np.arange(R, dtype=np.int64), nblocks_row)
+    blk_in_row = (np.arange(total_blocks, dtype=np.int64)
+                  - np.repeat(blk_row_off[:-1], nblocks_row))
+    block_starts = offs[rows_rep] + blk_in_row * BLOCK_DOCS
+
+    deltas = np.empty(n, dtype=np.int64)
+    if n:
+        deltas[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+        deltas[block_starts] = docs[block_starts]  # absolute at block starts
+
+    enc_d, len_d = varbyte_encode_with_lengths(deltas)
+    enc_t, len_t = varbyte_encode_with_lengths(tfs)
+    enc_l, len_l = varbyte_encode_with_lengths(dls)
+    bpos_d = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(len_d, out=bpos_d[1:])
+    bpos_t = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(len_t, out=bpos_t[1:])
+    bpos_l = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(len_l, out=bpos_l[1:])
+
+    partial = bm25_partial(tfs, dls, avgdl)
+    blk_max = (np.maximum.reduceat(partial, block_starts)
+               if total_blocks else np.empty(0, np.float64))
+    first_docs_all = docs[block_starts] if total_blocks else np.empty(0, np.int64)
+
+    out = []
+    for r in range(R):
+        s, e = int(offs[r]), int(offs[r + 1])
+        bs, be = int(blk_row_off[r]), int(blk_row_off[r + 1])
+        row_blocks = block_starts[bs:be]
+        out.append(PackedPostings(
+            df=int(row_lens[r]),
+            docs=enc_d[bpos_d[s]:bpos_d[e]],
+            tfs=enc_t[bpos_t[s]:bpos_t[e]],
+            dls=enc_l[bpos_l[s]:bpos_l[e]],
+            first_docs=first_docs_all[bs:be],
+            doc_offs=(bpos_d[row_blocks] - bpos_d[s]).astype(np.int32),
+            tf_offs=(bpos_t[row_blocks] - bpos_t[s]).astype(np.int32),
+            dl_offs=(bpos_l[row_blocks] - bpos_l[s]).astype(np.int32),
+            max_partial=blk_max[bs:be],
+        ))
+    return out
 
 
 def unpack_docs(docs: bytes, df: int) -> np.ndarray:

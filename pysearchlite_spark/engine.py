@@ -100,10 +100,17 @@ class SearchIndex:
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.n_buckets = int(self.stats["n_buckets"])
+        # snapshot-scoped reads: only segments committed in the current
+        # manifest are visible (staged/orphaned/pre-compaction segment dirs
+        # on disk are ignored — Iceberg-style snapshot isolation)
+        post_segs = snap.get("posting_segments", snap["segments"])
+        doc_segs = snap.get("doc_segments", snap["segments"])
         self._postings = (spark.read.schema(POSTINGS_SCHEMA)
-                          .parquet(self.cat.postings_dir()))
+                          .parquet(self.cat.postings_dir())
+                          .filter(F.col("seg").isin([int(s) for s in post_segs])))
         self._docmap = (spark.read.schema(DOCMAP_SCHEMA)
-                        .parquet(self.cat.docmap_dir()))
+                        .parquet(self.cat.docmap_dir())
+                        .filter(F.col("seg").isin([int(s) for s in doc_segs])))
 
     # ------------------------------------------------------------ scan ----
     def postings_df(self, terms: List[str]) -> DataFrame:

@@ -41,8 +41,6 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
-from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,75 +81,91 @@ def make_tokens_udf():
     return tokens_udf
 
 
+DOC_BUCKETS = 256  # FIXED url-hash buckets for docID assignment — must not
+# depend on parallelism or data statistics, so ids are reproducible anywhere
+
+
+def doc_sort_key(url: str, n_buckets: int = DOC_BUCKETS):
+    """The deterministic total order docIDs follow: (crc32(url) % B, url).
+    Exposed so oracles can replicate it exactly."""
+    return (zlib.crc32(url.encode("utf-8")) % n_buckets, url)
+
+
 def assign_doc_ids(df: DataFrame, order_col: str = "url",
                    num_partitions: Optional[int] = None) -> DataFrame:
-    """Deterministic dense docIDs: row_number over a global sort of
-    `order_col`, computed scalably — repartitionByRange + sortWithinPartitions
-    + per-partition base offsets (two light jobs over a persisted
-    partitioning), never a single-task global window. At cluster scale the
-    persist becomes a staging-table write; the plan shape is identical.
-
+    """Deterministic dense docIDs: rank over the total order
+    (crc32(url) % DOC_BUCKETS, url) — computed scalably with NO sampling and
+    NO caching:
+      1. per-bucket counts from a url-only projection (column-pruned scan —
+         upstream UDF columns are never computed);
+      2. repartition by the hash bucket (deterministic, unlike
+         repartitionByRange whose sampled boundaries differ per execution)
+         + sortWithinPartitions + broadcast per-bucket offsets.
     Replaces the reference's arrival-order docID (doc_list.py:42-45) with an
-    order that is reproducible under any parallelism.
+    order reproducible under any parallelism/cluster size.
     """
     spark = df.sparkSession
-    num_partitions = num_partitions or spark.conf.get(
-        "spark.sql.shuffle.partitions", "32")
-    num_partitions = int(num_partitions)
-    parted = (df.repartitionByRange(num_partitions, F.col(order_col))
-                .sortWithinPartitions(order_col)
-                .withColumn("_pid", F.spark_partition_id()))
-    parted.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {r["_pid"]: r["cnt"] for r in
-              parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    P = num_partitions or min(DOC_BUCKETS, max(
+        32, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))))
+    bucket = (F.crc32(F.encode(F.col(order_col), "UTF-8"))
+              % F.lit(DOC_BUCKETS)).cast("int")
+    counts = {r["_b"]: r["cnt"] for r in
+              df.select(bucket.alias("_b"))
+                .groupBy("_b").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     boff = spark.sparkContext.broadcast(offsets)
     fields = df.schema.fieldNames()
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in df.schema.fields) + ", doc_id long"
+    parted = (df.withColumn("_b", bucket)
+                .repartition(P, F.col("_b"))
+                .sortWithinPartitions("_b", order_col))
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
+        seen: dict = {}
         for b in batches:
             if len(b) == 0:
                 continue
-            base = boff.value[int(b["_pid"].iloc[0])]
-            b = b[fields].copy()
-            b["doc_id"] = np.arange(seen + base, seen + base + len(b),
-                                    dtype=np.int64)
-            seen += len(b)
-            yield b
+            off = boff.value
+            bs = b["_b"].to_numpy()
+            ids = np.empty(len(b), dtype=np.int64)
+            # rows arrive sorted by (_b, url); several buckets may share a
+            # partition — track a running rank per bucket
+            for bb in np.unique(bs):
+                m = bs == bb
+                s = seen.get(int(bb), 0)
+                n = int(m.sum())
+                ids[m] = off[int(bb)] + s + np.arange(n, dtype=np.int64)
+                seen[int(bb)] = s + n
+            out = b[fields].copy()
+            out["doc_id"] = ids
+            yield out
 
-    return parted.mapInPandas(add_ids, out_schema), parted
+    return parted.mapInPandas(add_ids, out_schema)
 
 
 def _prepare_docs(spark: SparkSession, df: DataFrame, *, text_col: str,
                   id_col: Optional[str], url_col: Optional[str],
                   html_col: Optional[str], lang_filter: Optional[str]
-                  ) -> tuple[DataFrame, Optional[DataFrame]]:
+                  ) -> DataFrame:
     """Normalize any input into (doc_id long, url string, text string)."""
     if lang_filter and "lang" in df.columns:
         df = df.filter(F.col("lang") == lang_filter)
     if html_col is not None:
         df = df.withColumn(text_col, make_extract_udf()(F.col(html_col)))
-    persisted = None
     if id_col is not None:
         # caller supplies dense monotone ids (e.g. documents.doc_id)
-        docs = df.select(
+        return df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             (F.col(url_col).cast("string") if url_col else
              F.col(id_col).cast("string")).alias("url"),
             F.col(text_col).alias("text"))
-    else:
-        base = df.select(F.col(url_col or "url").alias("url"),
-                         F.col(text_col).alias("text"))
-        with_ids, persisted = assign_doc_ids(base, "url")
-        docs = with_ids.select("doc_id", "url", "text")
-    return docs, persisted
+    base = df.select(F.col(url_col or "url").alias("url"),
+                     F.col(text_col).alias("text"))
+    return assign_doc_ids(base, "url").select("doc_id", "url", "text")
 
 
 def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
@@ -167,22 +181,51 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
     max_segments limits how many missing segments are built this run (used by
     the kill/rerun resumability test)."""
     t0 = time.time()
-    cat = IndexCatalog(index_dir)
-    docs, persisted = _prepare_docs(
-        spark, df, text_col=text_col, id_col=id_col, url_col=url_col,
-        html_col=html_col, lang_filter=lang_filter)
+    timing = os.environ.get("PSL_BUILD_TIMING")
+    t_last = [time.time()]
 
-    tokens_udf = make_tokens_udf()
-    toks = (docs
-            .withColumn("tokens", tokens_udf(F.col("text")))
-            .withColumn("doc_len", F.size("tokens"))
-            .withColumn("seg", (F.col("doc_id") / F.lit(segment_docs))
-                        .cast("long")))
-    toks.persist(StorageLevel.MEMORY_AND_DISK)
+    def _mark(phase: str) -> None:
+        if timing:
+            now = time.time()
+            print(f"[build] {phase}: {now - t_last[0]:.2f}s", flush=True)
+            t_last[0] = now
+
+    cat = IndexCatalog(index_dir)
+
+    # ---- stage 0: extract + docIDs + tokenize → staging parquet ------------
+    # Materialized as PARQUET, not .persist(): Spark's in-memory columnar
+    # cache build contends badly at high thread counts (measured 2.6x slower
+    # at local[32] than local[8] on this corpus), while a parquet write
+    # scales. The staged table is also the stage-0 resumability checkpoint:
+    # a re-run with the marker present skips extract/ids/tokenize entirely.
+    stage_dir = os.path.join(index_dir, "_stage", "toks")
+    stage_marker = os.path.join(stage_dir, "_STAGED")
+    if not os.path.exists(stage_marker):
+        if os.path.isdir(stage_dir):
+            import shutil
+            shutil.rmtree(stage_dir)  # partial stage from a killed run
+        docs = _prepare_docs(
+            spark, df, text_col=text_col, id_col=id_col, url_col=url_col,
+            html_col=html_col, lang_filter=lang_filter)
+        tokens_udf = make_tokens_udf()
+        (docs
+         .withColumn("tokens", tokens_udf(F.col("text")))
+         .withColumn("doc_len", F.size("tokens"))
+         .withColumn("seg", (F.col("doc_id") / F.lit(segment_docs))
+                     .cast("long"))
+         .select("doc_id", "url", "doc_len", "seg", "tokens")
+         .write.mode("overwrite").parquet(stage_dir))
+        with open(stage_marker, "w") as fh:
+            fh.write(str(time.time()))
+    toks = spark.read.schema(
+        "doc_id long, url string, doc_len long, seg long, "
+        "tokens array<string>").parquet(stage_dir)
+    _mark("stage0(extract+doc_ids+tokenize->parquet)")
 
     # ---- which segments still need building? (resumability) --------------
     all_segs = sorted(r["seg"] for r in
                       toks.select("seg").distinct().collect())
+    _mark("segs_scan")
     for table in ("docmap", "postings"):
         staged = set(cat.staged_segments(table))
         d = os.path.join(index_dir, table)
@@ -204,11 +247,15 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
     # ---- docmap ------------------------------------------------------------
     doc_todo = [s for s in todo if s not in done_doc]
     if doc_todo:
+        # repartition to align tasks with output partitions: one writer task
+        # per segment → one file per dir instead of tasks×segments files
         (build_toks.filter(F.col("seg").isin(doc_todo))
          .select("doc_id", "url", "doc_len", "seg")
+         .repartition(max(len(doc_todo), 1), F.col("seg"))
          .write.partitionBy("seg").mode("append").parquet(cat.docmap_dir()))
         for s in doc_todo:
             cat.mark_staged("docmap", s)
+    _mark("docmap_write")
 
     # ---- global stats (over ALL staged docmap segments) --------------------
     docmap = spark.read.schema(DOCMAP_SCHEMA).parquet(cat.docmap_dir())
@@ -216,24 +263,23 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
                       F.sum("doc_len").alias("sdl")).collect()[0]
     n_docs, sum_dl = int(stat["n"]), int(stat["sdl"] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    _mark("stats")
 
     # ---- postings ----------------------------------------------------------
     post_todo = [s for s in todo if s not in done_post]
     if post_todo:
-        metrics_acc = spark.sparkContext.accumulator(
-            {}, _DictAccumulator())
+        t_pack = time.time()
         packed = _build_postings(
             build_toks.filter(F.col("seg").isin(post_todo)),
-            avgdl=avgdl, n_buckets=n_buckets, metrics_acc=metrics_acc)
+            avgdl=avgdl, n_buckets=n_buckets,
+            n_out_parts=len(post_todo) * n_buckets)
         (packed.write.partitionBy("seg", "tb").mode("append")
          .parquet(cat.postings_dir()))
         for s in post_todo:
             cat.mark_staged("postings", s)
-        _write_build_log(spark, cat, metrics_acc.value)
-
-    if persisted is not None:
-        persisted.unpersist()
-    toks.unpersist()
+        _write_build_log(spark, cat, post_todo, time.time() - t_pack,
+                         lineage or {})
+    _mark("postings_pack_write")
 
     # ---- commit (only when every segment is staged) -------------------------
     staged_all = (set(cat.staged_segments("postings"))
@@ -245,14 +291,24 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
         snapshot_id = cat.commit_snapshot(
             sorted(staged_all), stats,
             lineage or {"source": "unknown", "built_at": time.time()})
+        # stage-0 checkpoint no longer needed once the snapshot is live
+        import shutil
+        shutil.rmtree(os.path.join(index_dir, "_stage"), ignore_errors=True)
     return BuildResult(snapshot_id, n_docs, avgdl, sorted(staged_all),
                        time.time() - t0)
 
 
 def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
-                    metrics_acc) -> DataFrame:
-    """tokens → packed posting rows. One shuffle tree:
-       explode → partial-agg tf → groupBy(seg, term) sorted collect → pack."""
+                    n_out_parts: int = 64) -> DataFrame:
+    """tokens → packed posting rows.
+
+    Plan: explode → partial-agg tf (map-side combine, shuffle 1) →
+    groupBy(seg, term) sorted collect (shuffle 2) → repartition(seg, tb)
+    (shuffle 3, aligns pack tasks with the (seg, tb) output dirs so each dir
+    gets exactly one file — shuffling the still-unpacked arrays is cheaper
+    than letting every writer task spray slivers into every partition dir)
+    → numpy pack → write. tb is computed JVM-side with crc32 (bit-identical
+    to the query planner's zlib.crc32, verified by test)."""
     tf = (toks.select("seg", "doc_id", "doc_len",
                       F.explode("tokens").alias("term"))
           .groupBy("seg", "term", "doc_id", "doc_len")
@@ -263,74 +319,56 @@ def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
                .select("seg", "term",
                        F.col("pl.doc_id").alias("doc_ids"),
                        F.col("pl.tf").alias("tfs"),
-                       F.col("pl.doc_len").alias("dls")))
+                       F.col("pl.doc_len").alias("dls"))
+               .withColumn("tb", (F.crc32(F.encode("term", "UTF-8"))
+                                  % F.lit(n_buckets)).cast("int"))
+               .repartition(n_out_parts, F.col("seg"), F.col("tb")))
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        t_start = time.time()
-        n_terms = n_postings = n_bytes = 0
-        segs_seen = set()
         for b in batches:
-            out = {k: [] for k in ("term", "seg", "tb", "df", "docs", "tfs",
-                                   "dls", "first_docs", "doc_offs", "tf_offs",
-                                   "dl_offs", "max_partial")}
-            for term, seg, dids, tfs_, dls_ in zip(
-                    b["term"], b["seg"], b["doc_ids"], b["tfs"], b["dls"]):
-                p = codec.pack_postings(
-                    np.asarray(dids, dtype=np.int64),
-                    np.asarray(tfs_, dtype=np.int64),
-                    np.asarray(dls_, dtype=np.int64), avgdl)
-                out["term"].append(term)
-                out["seg"].append(seg)
-                out["tb"].append(term_bucket(term, n_buckets))
-                out["df"].append(p.df)
-                out["docs"].append(p.docs)
-                out["tfs"].append(p.tfs)
-                out["dls"].append(p.dls)
-                out["first_docs"].append(p.first_docs.tolist())
-                out["doc_offs"].append(p.doc_offs.tolist())
-                out["tf_offs"].append(p.tf_offs.tolist())
-                out["dl_offs"].append(p.dl_offs.tolist())
-                out["max_partial"].append(p.max_partial.tolist())
-                n_terms += 1
-                n_postings += p.df
-                n_bytes += len(p.docs) + len(p.tfs) + len(p.dls)
-                segs_seen.add(int(seg))
-            yield pd.DataFrame(out)
-        elapsed = time.time() - t_start
-        if n_terms and metrics_acc is not None:
-            metrics_acc.add({pid: {
-                "seg": min(segs_seen) if segs_seen else -1,
-                "n_terms": n_terms, "n_postings": n_postings,
-                "bytes_packed": n_bytes, "elapsed_sec": elapsed}})
+            packed = codec.pack_rows(list(b["doc_ids"]), list(b["tfs"]),
+                                     list(b["dls"]), avgdl)
+            out = pd.DataFrame({
+                "term": b["term"].values,
+                "seg": b["seg"].values,
+                "tb": b["tb"].values,
+                "df": [p.df for p in packed],
+                "docs": [p.docs for p in packed],
+                "tfs": [p.tfs for p in packed],
+                "dls": [p.dls for p in packed],
+                "first_docs": [p.first_docs for p in packed],
+                "doc_offs": [p.doc_offs for p in packed],
+                "tf_offs": [p.tf_offs for p in packed],
+                "dl_offs": [p.dl_offs for p in packed],
+                "max_partial": [p.max_partial for p in packed],
+            })
+            yield out
 
     return grouped.mapInPandas(pack, POSTINGS_SCHEMA)
 
 
 def _write_build_log(spark: SparkSession, cat: IndexCatalog,
-                     metrics: dict) -> None:
-    if not metrics:
-        return
-    rows = []
-    for pid, m in sorted(metrics.items()):
-        el = max(m["elapsed_sec"], 1e-9)
-        rows.append((int(pid), int(m["seg"]), int(m["n_terms"]),
-                     int(m["n_postings"]), int(m["bytes_packed"]),
-                     float(m["elapsed_sec"]),
-                     m["n_terms"] / el, m["n_postings"] / el))
-    (spark.createDataFrame(rows, BUILD_LOG_SCHEMA)
-     .coalesce(1).write.mode("append").parquet(cat.build_log_dir()))
-
-
-class _DictAccumulator(AccumulatorParam):
-    """AccumulatorParam merging {partition_id: metrics} dicts. Task retries
-    can overwrite a partition's entry — last writer wins, which is the
-    correct semantics for per-partition metrics."""
-
-    def zero(self, value):
-        return {}
-
-    def addInPlace(self, v1, v2):
-        v1.update(v2)
-        return v1
+                     segs: List[int], phase_elapsed_sec: float,
+                     lineage: dict) -> None:
+    """Per-(seg, tb)-partition build metrics + lineage, computed by
+    aggregating the just-written postings table (metrics AS DATA — a Python
+    accumulator here serializes task updates through the driver's
+    single-threaded accumulator channel and measurably stalls the build at
+    high parallelism; an aggregate scan of the small packed table does not).
+    terms/sec and postings/sec attribute the phase wall-clock across
+    partitions proportionally."""
+    from pysearchlite_spark.sources.catalog import POSTINGS_SCHEMA as PS
+    el = max(phase_elapsed_sec, 1e-9)
+    agg = (spark.read.schema(PS).parquet(cat.postings_dir())
+           .filter(F.col("seg").isin(segs))
+           .groupBy("seg", "tb")
+           .agg(F.count("*").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                F.sum(F.length("docs") + F.length("tfs")
+                      + F.length("dls")).alias("bytes_packed")))
+    (agg.withColumn("elapsed_sec", F.lit(float(el)))
+        .withColumn("terms_per_sec", F.col("n_terms") / F.lit(el))
+        .withColumn("postings_per_sec", F.col("n_postings") / F.lit(el))
+        .withColumn("source", F.lit(str(lineage.get("source", ""))))
+        .withColumn("built_at", F.lit(time.time()))
+        .coalesce(1).write.mode("append").parquet(cat.build_log_dir()))

@@ -39,9 +39,9 @@ POSTINGS_SCHEMA = (
 DOCMAP_SCHEMA = "doc_id long, url string, doc_len long, seg long"
 
 BUILD_LOG_SCHEMA = (
-    "partition_id int, seg long, n_terms long, n_postings long, "
-    "bytes_packed long, elapsed_sec double, terms_per_sec double, "
-    "postings_per_sec double"
+    "seg long, tb int, n_terms long, n_postings long, bytes_packed long, "
+    "elapsed_sec double, terms_per_sec double, postings_per_sec double, "
+    "source string, built_at double"
 )
 
 
@@ -78,12 +78,22 @@ class IndexCatalog:
         return next(s for s in m["snapshots"] if s["snapshot_id"] == m["current"])
 
     def commit_snapshot(self, segments: List[int], stats: dict,
-                        lineage: dict) -> int:
-        """Atomic commit: write manifest to a temp file, rename over."""
+                        lineage: dict,
+                        posting_segments: Optional[List[int]] = None,
+                        doc_segments: Optional[List[int]] = None) -> int:
+        """Atomic commit: write manifest to a temp file, rename over.
+        posting_segments / doc_segments may diverge from `segments` after
+        compaction (postings rewritten, docmap untouched)."""
         m = self.load_manifest()
         sid = (m["current"] or 0) + 1
         snap = Snapshot(sid, m["current"], sorted(segments), stats, lineage)
-        m["snapshots"].append(snap.__dict__)
+        d = snap.__dict__
+        d["posting_segments"] = sorted(posting_segments
+                                       if posting_segments is not None
+                                       else segments)
+        d["doc_segments"] = sorted(doc_segments if doc_segments is not None
+                                   else segments)
+        m["snapshots"].append(d)
         m["current"] = sid
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
         with os.fdopen(fd, "w") as f:

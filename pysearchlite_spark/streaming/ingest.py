@@ -1,0 +1,152 @@
+"""Incremental / streaming index ingest.
+
+The reference is batch-only with an incremental add() finalized by save()
+(SURVEY.md §2.12); the distributed analogue is APPEND-ONLY SEGMENT INGEST:
+each incoming micro-batch of pages becomes one (or more) new docID-range
+segments appended to the catalog, made visible by an atomic snapshot commit,
+and folded together later by compact_segments. This is exactly how
+Lucene-style engines absorb streams, and it maps 1:1 onto Structured
+Streaming's foreachBatch sink.
+
+Two entrypoints:
+  * append_batch(...)   — the core primitive: index a DataFrame of new pages
+    as fresh segments on top of an existing index (new docIDs continue after
+    the current max).
+  * stream_ingest(...)  — wires append_batch into a readStream via
+    foreachBatch; checkpointing is Spark's (exactly-once per micro-batch)
+    plus the catalog's atomic snapshot commit (idempotent re-append guarded
+    by batch-id lineage).
+
+BM25 caveat (documented semantics): global stats (N, avgdl) and therefore
+idf/score change as documents arrive; per this module's contract, scores are
+always computed against the CURRENT snapshot's stats, while block-max
+metadata baked at pack time uses the avgdl of the segment's ingest moment —
+an upper-bound drift that compact_segments() repairs by repacking with the
+latest stats. Queries stay exact because the engine rescales: partial scores
+are recomputed from tf/dl streams at query time (only the PRUNING bound uses
+the stale avgdl — see engine.score_segment_rows, which decodes tf/dl, never
+the baked partials).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysearchlite_spark.plans.builder import (DEFAULT_TERM_BUCKETS,
+                                              _build_postings,
+                                              make_tokens_udf)
+from pysearchlite_spark.extract import make_extract_udf
+from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA, IndexCatalog)
+
+
+def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
+                 text_col: str = "text", html_col: Optional[str] = None,
+                 url_col: str = "url", lang_filter: Optional[str] = None,
+                 segment_docs: int = 1 << 20, batch_id: Optional[int] = None
+                 ) -> int:
+    """Index `batch` as new segments appended to an existing (or empty)
+    index. Returns the new snapshot id. Idempotent per batch_id: if the
+    current snapshot already records this batch_id, the append is skipped
+    (foreachBatch replays after failure)."""
+    from pysearchlite_spark.plans.builder import build_index
+
+    cat = IndexCatalog(index_dir)
+    snap = cat.current_snapshot()
+    if snap is not None and batch_id is not None:
+        done = snap.get("lineage", {}).get("ingested_batches", [])
+        if batch_id in done:
+            return int(snap["snapshot_id"])
+
+    if snap is None:
+        next_doc = 0
+        old_doc_segs: list = []
+        old_post_segs: list = []
+        old_stats = {"n_docs": 0, "sum_dl": 0}
+        done_batches: list = []
+    else:
+        next_doc = (max(snap["doc_segments"]) + 1) * segment_docs
+        old_doc_segs = list(snap["doc_segments"])
+        old_post_segs = list(snap.get("posting_segments", snap["segments"]))
+        old_stats = snap["stats"]
+        done_batches = list(snap.get("lineage", {})
+                            .get("ingested_batches", []))
+
+    if lang_filter and "lang" in batch.columns:
+        batch = batch.filter(F.col("lang") == lang_filter)
+    if html_col is not None:
+        batch = batch.withColumn(text_col,
+                                 make_extract_udf()(F.col(html_col)))
+
+    # new docIDs continue after the last allocated segment boundary —
+    # deterministic within the batch (order by url)
+    from pysearchlite_spark.plans.builder import assign_doc_ids
+    base = batch.select(F.col(url_col).alias("url"),
+                        F.col(text_col).alias("text"))
+    docs = assign_doc_ids(base, "url").select(
+        (F.col("doc_id") + F.lit(next_doc)).alias("doc_id"), "url", "text")
+
+    toks = (docs.withColumn("tokens", make_tokens_udf()(F.col("text")))
+            .withColumn("doc_len", F.size("tokens"))
+            .withColumn("seg", (F.col("doc_id") / F.lit(segment_docs))
+                        .cast("long")))
+    toks = toks.persist()
+    new_segs = sorted(r["seg"] for r in
+                      toks.select("seg").distinct().collect())
+
+    (toks.select("doc_id", "url", "doc_len", "seg")
+     .repartition(max(len(new_segs), 1), F.col("seg"))
+     .write.partitionBy("seg").mode("append").parquet(cat.docmap_dir()))
+    for s in new_segs:
+        cat.mark_staged("docmap", s)
+
+    add = toks.agg(F.count("*").alias("n"),
+                   F.sum("doc_len").alias("sdl")).collect()[0]
+    n_docs = int(old_stats["n_docs"]) + int(add["n"])
+    sum_dl = int(old_stats.get("sum_dl", 0)) + int(add["sdl"] or 0)
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    n_buckets = int(old_stats.get("n_buckets", DEFAULT_TERM_BUCKETS))
+    packed = _build_postings(toks, avgdl=avgdl, n_buckets=n_buckets,
+                             n_out_parts=max(len(new_segs), 1) * n_buckets)
+    (packed.write.partitionBy("seg", "tb").mode("append")
+     .parquet(cat.postings_dir()))
+    for s in new_segs:
+        cat.mark_staged("postings", s)
+
+    toks.unpersist()
+
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+             "segment_docs": segment_docs, "n_buckets": n_buckets}
+    lineage = {"job": "streaming.append_batch",
+               "ingested_batches": done_batches + (
+                   [batch_id] if batch_id is not None else []),
+               "appended_at": time.time()}
+    return cat.commit_snapshot(
+        sorted(old_doc_segs + new_segs), stats, lineage,
+        posting_segments=sorted(old_post_segs + new_segs),
+        doc_segments=sorted(old_doc_segs + new_segs))
+
+
+def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,
+                  checkpoint_dir: str, *, html_col: Optional[str] = None,
+                  lang_filter: Optional[str] = None,
+                  segment_docs: int = 1 << 20, trigger_seconds: int = 30):
+    """Attach append_batch to a streaming DataFrame via foreachBatch.
+    Returns the StreamingQuery (caller awaits/stops it)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_batch(spark, batch_df, index_dir, html_col=html_col,
+                     lang_filter=lang_filter, segment_docs=segment_docs,
+                     batch_id=int(batch_id))
+
+    return (stream_df.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())

@@ -59,3 +59,39 @@ def test_pack_roundtrip(seed, n):
         assert np.array_equal(
             codec.unpack_block_stream(p.tfs, p.tf_offs, p.df, b).astype(np.int64),
             tfs[s:e])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pack_rows_equals_pack_postings(seed):
+    rng = np.random.default_rng(seed + 500)
+    rows = []
+    for _ in range(40):
+        n = int(rng.integers(1, 400))
+        ids = np.sort(rng.choice(np.arange(5000, dtype=np.int64), size=n,
+                                 replace=False))
+        rows.append((ids, rng.integers(1, 30, n).astype(np.int64),
+                     rng.integers(1, 300, n).astype(np.int64)))
+    avgdl = 100.0
+    batch = codec.pack_rows([r[0] for r in rows], [r[1] for r in rows],
+                            [r[2] for r in rows], avgdl)
+    for (ids, tfs, dls), got in zip(rows, batch):
+        want = codec.pack_postings(ids, tfs, dls, avgdl)
+        assert got.df == want.df
+        assert got.docs == want.docs
+        assert got.tfs == want.tfs
+        assert got.dls == want.dls
+        assert np.array_equal(got.first_docs, want.first_docs)
+        assert np.array_equal(got.doc_offs, want.doc_offs)
+        assert np.array_equal(got.tf_offs, want.tf_offs)
+        assert np.array_equal(got.dl_offs, want.dl_offs)
+        assert np.allclose(got.max_partial, want.max_partial)
+
+
+def test_term_bucket_matches_spark_crc32():
+    # build side computes tb with JVM crc32; query side with zlib.crc32 —
+    # parity asserted here on the raw zlib values (JVM parity verified in
+    # test_engine_e2e via end-to-end query results)
+    import zlib
+    from pysearchlite_spark.plans.builder import term_bucket
+    for t in ["the", "key", "a" * 300, "ünïcode", "漢字", ""]:
+        assert term_bucket(t, 16) == zlib.crc32(t.encode("utf-8")) % 16

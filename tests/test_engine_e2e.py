@@ -136,7 +136,8 @@ def test_reference_query_set_on_zipf_pages(spark, tmp_path_factory):
 
     # oracle over the SAME docs in url order with extracted text
     rows = (pages.filter("lang = 'en'").select("url", "html").collect())
-    rows.sort(key=lambda r: r["url"])
+    from pysearchlite_spark.plans.builder import doc_sort_key
+    rows.sort(key=lambda r: doc_sort_key(r["url"]))
     oracle = OracleEngine()
     for r in rows:
         oracle.index(r["url"], extract_text(bytes(r["html"])))

@@ -1,0 +1,116 @@
+"""Resumable build (kill/rerun) + segment compaction correctness."""
+
+import numpy as np
+import pytest
+
+from pysearchlite_spark.engine import SearchIndex
+from pysearchlite_spark.plans.builder import build_index
+from pysearchlite_spark.plans.compaction import compact_segments
+from pysearchlite_spark.sources.catalog import IndexCatalog
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+    rng = random.Random(77)
+    vocab = [f"v{i}" for i in range(80)] + ["the", "hot"]
+    rows = [(i, f"d{i:04d}", " ".join(
+        rng.choices(vocab, k=rng.randint(5, 50)) + ["the"]))
+        for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+QUERIES = ["the", "hot the", "v1 v2", "v10", "missing"]
+
+
+def test_partial_build_then_resume(spark, corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    # simulate a killed run: build only 2 of the segments, no commit
+    r1 = build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                     segment_docs=100, max_segments=2)
+    assert r1.snapshot_id == -1  # incomplete → NOT committed
+    cat = IndexCatalog(d)
+    assert cat.current_snapshot() is None
+    staged = cat.staged_segments("postings")
+    assert len(staged) == 2
+
+    # resume: builds ONLY the remaining segments, then commits
+    r2 = build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                     segment_docs=100)
+    assert r2.snapshot_id == 1
+    assert r2.segments == [0, 1, 2, 3]
+    assert r2.n_docs == 400
+
+    # result identical to a from-scratch build
+    d2 = str(tmp_path / "idx2")
+    build_index(spark, corpus, d2, id_col="doc_id", url_col="url",
+                segment_docs=100)
+    a, b = SearchIndex(spark, d), SearchIndex(spark, d2)
+    for q in QUERIES:
+        assert a.search_and_ids(q).tolist() == b.search_and_ids(q).tolist()
+        assert a.topk(q, k=10) == b.topk(q, k=10)
+
+
+def test_partial_segment_dir_is_dropped_and_rebuilt(spark, corpus, tmp_path):
+    import os
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                segment_docs=100, max_segments=2)
+    # corrupt: fake a partially-written (unstaged) segment dir
+    bad = os.path.join(d, "postings", "seg=3")
+    os.makedirs(bad, exist_ok=True)
+    with open(os.path.join(bad, "part-corrupt.parquet"), "w") as f:
+        f.write("not parquet")
+    r = build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                    segment_docs=100)
+    assert r.snapshot_id == 1
+    idx = SearchIndex(spark, d)
+    assert idx.count("the") == 400
+
+
+def test_compaction_preserves_results(spark, corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                segment_docs=50)  # 8 segments
+    before = SearchIndex(spark, d)
+    results_before = {q: (before.search_and_ids(q).tolist(),
+                          before.search_or_ids(q).tolist(),
+                          before.topk(q, k=10)) for q in QUERIES}
+    n_segs_before = len(before.snapshot["posting_segments"])
+    assert n_segs_before == 8
+
+    sid = compact_segments(spark, d, group_size=4)  # 8 → 2
+    assert sid == 2
+    mid = SearchIndex(spark, d)
+    assert len(mid.snapshot["posting_segments"]) == 2
+    for q in QUERIES:
+        assert (mid.search_and_ids(q).tolist(),
+                mid.search_or_ids(q).tolist(),
+                mid.topk(q, k=10)) == results_before[q], q
+
+    sid = compact_segments(spark, d)  # 2 → 1
+    assert sid == 3
+    after = SearchIndex(spark, d)
+    assert len(after.snapshot["posting_segments"]) == 1
+    for q in QUERIES:
+        got = (after.search_and_ids(q).tolist(),
+               after.search_or_ids(q).tolist(), after.topk(q, k=10))
+        assert got == results_before[q], q
+    # scores identical bit-for-bit? block boundaries changed, so partials
+    # regroup — assert rank + 1e-9 closeness is covered above by equality;
+    # spot-check distributed path on the compacted index too
+    assert after.topk("hot the", k=10, distributed=True) == \
+        results_before["hot the"][2]
+
+
+def test_time_travel_snapshots(spark, corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                segment_docs=100)
+    compact_segments(spark, d)
+    cat = IndexCatalog(d)
+    m = cat.load_manifest()
+    assert [s["snapshot_id"] for s in m["snapshots"]] == [1, 2]
+    assert m["snapshots"][1]["parent_id"] == 1
+    # old segment files still on disk (snapshot 1 remains readable)
+    assert set(m["snapshots"][0]["posting_segments"]) == {0, 1, 2, 3}
