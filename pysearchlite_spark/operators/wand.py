@@ -89,12 +89,21 @@ def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
     (each row: term/df/docs/tfs/dls/first_docs/*_offs/max_partial)."""
     if not rows or k <= 0:
         return []
-    # zones = skip blocks of the largest-df term (finest doc-density grid)
+    # zones = skip blocks of the largest-df term (finest doc-density grid);
+    # the first zone is widened down to the GLOBAL minimum first_doc across
+    # all terms — otherwise docs of other terms below the big term's first
+    # block would fall outside every zone and never be scored
     big = max(rows, key=lambda r: r["df"])
     edges = np.asarray(big["first_docs"], dtype=np.int64)
+    mins = [np.asarray(r["first_docs"], dtype=np.int64)[0]
+            for r in rows if len(r["first_docs"])]
+    global_min = min(mins) if mins else 0
+    if edges.size == 0:
+        edges = np.array([global_min], dtype=np.int64)
+    else:
+        edges = edges.copy()
+        edges[0] = min(int(edges[0]), int(global_min))
     zone_edges = np.concatenate([edges, [np.iinfo(np.int64).max]])
-    if zone_edges.size < 2:
-        zone_edges = np.array([0, np.iinfo(np.int64).max], dtype=np.int64)
     Z = zone_edges.size - 1
 
     ub = np.zeros(Z, dtype=np.float64)

@@ -81,6 +81,23 @@ def make_tokens_udf():
     return tokens_udf
 
 
+STAGE_SCHEMA = ("doc_id long, url string, doc_len long, "
+                "terms array<string>, tfs array<int>, seg long")
+
+
+def _tf_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, url, text) → (doc_id, url, doc_len, terms, tfs): tokenize +
+    per-doc tf counting in one vectorized pass (tokenizer.tf_series), so the
+    posting build needs only ONE shuffle (groupBy(seg, term)) instead of an
+    occurrence-level pre-aggregation shuffle."""
+    from pysearchlite_spark.tokenizer import tf_series
+    for b in batches:
+        terms, tfs, lens = tf_series(b["text"])
+        yield pd.DataFrame({"doc_id": b["doc_id"], "url": b["url"],
+                            "doc_len": lens.astype("int64"),
+                            "terms": terms, "tfs": tfs})
+
+
 DOC_BUCKETS = 256  # FIXED url-hash buckets for docID assignment — must not
 # depend on parallelism or data statistics, so ids are reproducible anywhere
 
@@ -207,20 +224,16 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
         docs = _prepare_docs(
             spark, df, text_col=text_col, id_col=id_col, url_col=url_col,
             html_col=html_col, lang_filter=lang_filter)
-        tokens_udf = make_tokens_udf()
         (docs
-         .withColumn("tokens", tokens_udf(F.col("text")))
-         .withColumn("doc_len", F.size("tokens"))
+         .mapInPandas(_tf_stage, "doc_id long, url string, doc_len long, "
+                                 "terms array<string>, tfs array<int>")
          .withColumn("seg", (F.col("doc_id") / F.lit(segment_docs))
                      .cast("long"))
-         .select("doc_id", "url", "doc_len", "seg", "tokens")
          .write.mode("overwrite").parquet(stage_dir))
         with open(stage_marker, "w") as fh:
             fh.write(str(time.time()))
-    toks = spark.read.schema(
-        "doc_id long, url string, doc_len long, seg long, "
-        "tokens array<string>").parquet(stage_dir)
-    _mark("stage0(extract+doc_ids+tokenize->parquet)")
+    toks = spark.read.schema(STAGE_SCHEMA).parquet(stage_dir)
+    _mark("stage0(extract+doc_ids+tf->parquet)")
 
     # ---- which segments still need building? (resumability) --------------
     all_segs = sorted(r["seg"] for r in
@@ -302,17 +315,19 @@ def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
                     n_out_parts: int = 64) -> DataFrame:
     """tokens → packed posting rows.
 
-    Plan: explode → partial-agg tf (map-side combine, shuffle 1) →
-    groupBy(seg, term) sorted collect (shuffle 2) → repartition(seg, tb)
-    (shuffle 3, aligns pack tasks with the (seg, tb) output dirs so each dir
-    gets exactly one file — shuffling the still-unpacked arrays is cheaper
-    than letting every writer task spray slivers into every partition dir)
-    → numpy pack → write. tb is computed JVM-side with crc32 (bit-identical
-    to the query planner's zlib.crc32, verified by test)."""
+    Plan: explode pre-counted (term, tf) pairs (tf computed inside the
+    stage-0 UDF — the map-side combine happened before any exchange) →
+    groupBy(seg, term) sorted collect (THE one data shuffle) →
+    repartition(seg, tb) (aligns pack tasks with the (seg, tb) output dirs
+    so each dir gets exactly one file — shuffling the still-unpacked arrays
+    is cheaper than letting every writer task spray slivers into every
+    partition dir) → numpy pack → write. tb is computed JVM-side with crc32
+    (bit-identical to the query planner's zlib.crc32, verified by test)."""
     tf = (toks.select("seg", "doc_id", "doc_len",
-                      F.explode("tokens").alias("term"))
-          .groupBy("seg", "term", "doc_id", "doc_len")
-          .agg(F.count("*").alias("tf")))
+                      F.explode(F.arrays_zip("terms", "tfs")).alias("p"))
+          .select("seg", "doc_id", "doc_len",
+                  F.col("p.terms").alias("term"),
+                  F.col("p.tfs").cast("long").alias("tf")))
     grouped = (tf.groupBy("seg", "term")
                .agg(F.sort_array(F.collect_list(
                    F.struct("doc_id", "tf", "doc_len"))).alias("pl"))

@@ -37,8 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pysearchlite_spark.plans.builder import (DEFAULT_TERM_BUCKETS,
-                                              _build_postings,
-                                              make_tokens_udf)
+                                              _build_postings, _tf_stage)
 from pysearchlite_spark.extract import make_extract_udf
 from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA, IndexCatalog)
 
@@ -89,11 +88,12 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
     docs = assign_doc_ids(base, "url").select(
         (F.col("doc_id") + F.lit(next_doc)).alias("doc_id"), "url", "text")
 
-    toks = (docs.withColumn("tokens", make_tokens_udf()(F.col("text")))
-            .withColumn("doc_len", F.size("tokens"))
+    toks = (docs.mapInPandas(
+                _tf_stage, "doc_id long, url string, doc_len long, "
+                           "terms array<string>, tfs array<int>")
             .withColumn("seg", (F.col("doc_id") / F.lit(segment_docs))
                         .cast("long")))
-    toks = toks.persist()
+    toks = toks.persist()  # micro-batches are small; cache build is cheap
     new_segs = sorted(r["seg"] for r in
                       toks.select("seg").distinct().collect())
 

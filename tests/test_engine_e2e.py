@@ -154,3 +154,25 @@ def test_reference_query_set_on_zipf_pages(spark, tmp_path_factory):
         assert [d for d, _ in got] == [d for d, _ in want], q
         np.testing.assert_allclose([s for _, s in got],
                                    [s for _, s in want], rtol=1e-9)
+
+
+def test_blockmax_disjoint_term_ranges(spark, tmp_path):
+    """Regression: when query terms occupy disjoint docID ranges (e.g. after
+    compacting segments that each contained only some terms), the block-max
+    zone grid must cover the union of ranges — docs below the largest term's
+    first block start were silently skipped."""
+    docs = ([(i, f"a{i}", "alpha common") for i in range(50)]
+            + [(i + 50, f"b{i}", "beta common") for i in range(50)])
+    df = spark.createDataFrame(docs, "doc_id long, url string, text string")
+    out = str(tmp_path / "idx")
+    build_index(spark, df, out, id_col="doc_id", url_col="url",
+                segment_docs=1000)
+    idx = SearchIndex(spark, out)
+    # 'alpha beta': alpha docs 0-49, beta docs 50-99, all scores tie →
+    # tie-break must pick the LOWEST doc ids
+    for q in ["alpha beta", "common", "beta alpha common"]:
+        got = idx.topk(q, k=5, use_blockmax=True)
+        want = idx.topk(q, k=5, use_blockmax=False)
+        assert got == want, q
+        assert [d for d, _ in got] == sorted(d for d, _ in got), q
+    assert [d for d, _ in idx.topk("alpha beta", k=5)] == [0, 1, 2, 3, 4]
