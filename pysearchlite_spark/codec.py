@@ -169,6 +169,10 @@ def pack_rows(doc_lists, tf_lists, dl_lists, avgdl: float):
     passes over the concatenated streams (instead of 3 numpy calls per term,
     which dominates build time at millions of terms). Returns a list of
     PackedPostings, identical to per-row pack_postings (tested).
+
+    Rows need NOT be pre-sorted: a single numpy lexsort orders every list by
+    docID here — far cheaper than JVM-side sort_array over generic structs,
+    which profiled as the single most CPU-expensive stage of the build.
     """
     R = len(doc_lists)
     if R == 0:
@@ -186,6 +190,14 @@ def pack_rows(doc_lists, tf_lists, dl_lists, avgdl: float):
         docs[s:e] = doc_lists[r]
         tfs[s:e] = tf_lists[r]
         dls[s:e] = dl_lists[r]
+
+    # per-row docID sort in one global pass (stable; docIDs unique per row)
+    rows_rep_all = np.repeat(np.arange(R, dtype=np.int64), row_lens)
+    if n and not np.all(docs[1:] >= docs[:-1]):
+        order = np.lexsort((docs, rows_rep_all))
+        docs = docs[order]
+        tfs = tfs[order]
+        dls = dls[order]
 
     # block starts per row (every BLOCK_DOCS postings, reset per row)
     nblocks_row = (row_lens + BLOCK_DOCS - 1) // BLOCK_DOCS

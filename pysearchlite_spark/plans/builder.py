@@ -317,49 +317,95 @@ def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
 
     Plan: explode pre-counted (term, tf) pairs (tf computed inside the
     stage-0 UDF — the map-side combine happened before any exchange) →
-    groupBy(seg, term) sorted collect (THE one data shuffle) →
-    repartition(seg, tb) (aligns pack tasks with the (seg, tb) output dirs
-    so each dir gets exactly one file — shuffling the still-unpacked arrays
-    is cheaper than letting every writer task spray slivers into every
-    partition dir) → numpy pack → write. tb is computed JVM-side with crc32
-    (bit-identical to the query planner's zlib.crc32, verified by test)."""
+    ONE exchange hash-partitioned by (seg, tb) → sortWithinPartitions(seg,
+    tb, term, doc_id) (flat-column UnsafeRow sort, whole-stage codegen) →
+    streaming pack UDF that detects term boundaries per Arrow batch and
+    carries the trailing partial term into the next batch (memory bound =
+    one term's postings ≤ segment_docs — the SPIMI-merge shape) → write,
+    one file per (seg, tb) dir.
+
+    This shape replaced a groupBy(collect_list(struct)) + repartition plan:
+    the JVM object churn of 20M-struct collect/sort/re-project profiled as
+    the most expensive stage of the whole build and did not scale past a
+    few cores. tb is computed JVM-side with crc32 (bit-identical to the
+    query planner's zlib.crc32, verified by test)."""
     tf = (toks.select("seg", "doc_id", "doc_len",
                       F.explode(F.arrays_zip("terms", "tfs")).alias("p"))
           .select("seg", "doc_id", "doc_len",
                   F.col("p.terms").alias("term"),
-                  F.col("p.tfs").cast("long").alias("tf")))
-    grouped = (tf.groupBy("seg", "term")
-               .agg(F.sort_array(F.collect_list(
-                   F.struct("doc_id", "tf", "doc_len"))).alias("pl"))
-               .select("seg", "term",
-                       F.col("pl.doc_id").alias("doc_ids"),
-                       F.col("pl.tf").alias("tfs"),
-                       F.col("pl.doc_len").alias("dls"))
-               .withColumn("tb", (F.crc32(F.encode("term", "UTF-8"))
-                                  % F.lit(n_buckets)).cast("int"))
-               .repartition(n_out_parts, F.col("seg"), F.col("tb")))
+                  F.col("p.tfs").cast("long").alias("tf"))
+          .withColumn("tb", (F.crc32(F.encode("term", "UTF-8"))
+                             % F.lit(n_buckets)).cast("int"))
+          .repartition(n_out_parts, F.col("seg"), F.col("tb"))
+          .sortWithinPartitions("seg", "tb", "term", "doc_id"))
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: Optional[pd.DataFrame] = None
         for b in batches:
-            packed = codec.pack_rows(list(b["doc_ids"]), list(b["tfs"]),
-                                     list(b["dls"]), avgdl)
-            out = pd.DataFrame({
-                "term": b["term"].values,
-                "seg": b["seg"].values,
-                "tb": b["tb"].values,
-                "df": [p.df for p in packed],
-                "docs": [p.docs for p in packed],
-                "tfs": [p.tfs for p in packed],
-                "dls": [p.dls for p in packed],
-                "first_docs": [p.first_docs for p in packed],
-                "doc_offs": [p.doc_offs for p in packed],
-                "tf_offs": [p.tf_offs for p in packed],
-                "dl_offs": [p.dl_offs for p in packed],
-                "max_partial": [p.max_partial for p in packed],
-            })
-            yield out
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+                carry = None
+            if len(b) == 0:
+                continue
+            # hold back the trailing (seg, term) group — it may continue in
+            # the next batch
+            last_seg = b["seg"].iloc[-1]
+            last_term = b["term"].iloc[-1]
+            tail_mask = ((b["seg"].to_numpy() == last_seg)
+                         & (b["term"].to_numpy() == last_term))
+            ntail = int(tail_mask[::-1].cumprod().sum())
+            if ntail == len(b):
+                carry = b
+                continue
+            carry = b.iloc[len(b) - ntail:]
+            head = b.iloc[: len(b) - ntail]
+            out = _pack_sorted_runs(head, avgdl)
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = _pack_sorted_runs(carry, avgdl)
+            if out is not None:
+                yield out
 
-    return grouped.mapInPandas(pack, POSTINGS_SCHEMA)
+    return tf.mapInPandas(pack, POSTINGS_SCHEMA)
+
+
+def _pack_sorted_runs(b: pd.DataFrame, avgdl: float) -> Optional[pd.DataFrame]:
+    """Pack a block of rows sorted by (seg, tb, term, doc_id) into one
+    posting row per (seg, term). Fully vectorized: group boundaries via
+    factorize+flatnonzero, then codec.pack_rows over array views."""
+    segs = b["seg"].to_numpy()
+    terms = b["term"].to_numpy()
+    docs = b["doc_id"].to_numpy(dtype=np.int64)
+    tfs = b["tf"].to_numpy(dtype=np.int64)
+    dls = b["doc_len"].to_numpy(dtype=np.int64)
+    tbs = b["tb"].to_numpy()
+    n = docs.size
+    if n == 0:
+        return None
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    doc_lists = [docs[s:e] for s, e in zip(starts, ends)]
+    tf_lists = [tfs[s:e] for s, e in zip(starts, ends)]
+    dl_lists = [dls[s:e] for s, e in zip(starts, ends)]
+    packed = codec.pack_rows(doc_lists, tf_lists, dl_lists, avgdl)
+    return pd.DataFrame({
+        "term": terms[starts],
+        "seg": segs[starts],
+        "tb": tbs[starts],
+        "df": [p.df for p in packed],
+        "docs": [p.docs for p in packed],
+        "tfs": [p.tfs for p in packed],
+        "dls": [p.dls for p in packed],
+        "first_docs": [p.first_docs for p in packed],
+        "doc_offs": [p.doc_offs for p in packed],
+        "tf_offs": [p.tf_offs for p in packed],
+        "dl_offs": [p.dl_offs for p in packed],
+        "max_partial": [p.max_partial for p in packed],
+    })
 
 
 def _write_build_log(spark: SparkSession, cat: IndexCatalog,
