@@ -30,12 +30,19 @@ def generate_corpus(n_docs: int, path: str) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, input_path: str) -> dict:
+def run_level(cpus: int, input_path: str, pin: bool = True) -> dict:
+    """Run one parallelism level in a fresh process. With pin=True the whole
+    process tree (JVM + python workers) is confined to exactly `cpus` CPUs
+    via taskset — local[N] alone only caps task SLOTS, while GC, shuffle IO,
+    Arrow feeder threads and python workers would otherwise spill onto every
+    core of the host, inflating low-N throughput and understating scaling."""
     env = dict(os.environ, PYTHONPATH=REPO)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "BENCH", "scaling_worker.py"),
-         "--cpus", str(cpus), "--input", input_path],
-        capture_output=True, text=True, env=env, timeout=3600)
+    cmd = [sys.executable, os.path.join(REPO, "BENCH", "scaling_worker.py"),
+           "--cpus", str(cpus), "--input", input_path]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=3600)
     if out.returncode != 0:
         raise RuntimeError(f"worker {cpus} failed:\n{out.stderr[-3000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])

@@ -38,7 +38,7 @@ def main() -> None:
     try:
         t0 = time.monotonic()
         res = build_index(spark, pages, idx_dir, html_col="html",
-                          lang_filter="en", segment_docs=1 << 14)
+                          lang_filter="en", segment_docs=1 << 17)
         dt = time.monotonic() - t0
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -3,18 +3,22 @@ reference's SPIMI pipeline, /root/reference/pysearchlite/inverted_index_skip_lis
 
 Reference dataflow            →  Spark plan here
 ----------------------------------------------------------------------------
-docID = arrival order            deterministic global row_number over url
-  (doc_list.py:42-45)            (repartitionByRange + per-partition offsets —
-                                 no single-task global sort; §7.3)
-tokenize per doc                 vectorized pandas UDF (tokenizer.tokens_series)
-dict[token].append(docID)        explode → groupBy(seg, term, doc_id) partial
-  (inverted_index_skip_list.py     count (map-side combine) → groupBy(seg,
-   :48-57)                         term) sorted collect — ONE logical shuffle
-                                   tree, Catalyst/AQE-planned
+docID = arrival order            deterministic rank over (crc32(url)%256,
+  (doc_list.py:42-45)            url): hash-bucket partitioning + in-bucket
+                                 sort + broadcast offsets — no sampling, no
+                                 caching, no single-task global sort (§7.3)
+tokenize per doc                 stage-0 mapInPandas: extract + tokenize +
+  (tokenize.py:6-7)              per-doc tf counting (tokenizer.tf_series),
+                                 materialized to a staging parquet (doubles
+                                 as the stage-0 resumability checkpoint)
+dict[token].append(docID)        explode (term, tf) pairs → ONE exchange
+  (inverted_index_skip_list.py     hash-partitioned by (seg, term-bucket) →
+   :48-57)                         flat-column sortWithinPartitions →
+                                   streaming pack UDF (term-boundary carry)
 spill sorted runs + pairwise     Spark sort-based shuffle spills natively;
   merge (:62-71,126-145)           our explicit analogue is docID-range
                                    SEGMENTS (seg = doc_id // segment_docs)
-convert_to_skip_list (:111-124)  per-term numpy pack (codec.pack_postings):
+convert_to_skip_list (:111-124)  batch numpy pack (codec.pack_rows):
                                    delta+varbyte + skip blocks + block-max
 
 Skew (north rule, Zipfian terms): the segment id is an ORDER-PRESERVING SALT —
@@ -46,8 +50,7 @@ from pyspark.sql import functions as F
 
 from pysearchlite_spark import codec
 from pysearchlite_spark.extract import make_extract_udf
-from pysearchlite_spark.sources.catalog import (BUILD_LOG_SCHEMA,
-                                                DOCMAP_SCHEMA,
+from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA,
                                                 POSTINGS_SCHEMA, IndexCatalog)
 from pysearchlite_spark.tokenizer import tokens_series
 

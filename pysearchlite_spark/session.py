@@ -29,6 +29,13 @@ def get_spark(app: str = "pysearchlite_spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # smaller input splits so single-digit-GB intermediate tables still
+        # produce >= 2 tasks/core (default 128m capped a 400MB staged table
+        # at 8 map tasks, starving the big exchange at high parallelism);
+        # on a real cluster with TB inputs the default is fine — override
+        # via SPARK_GRAFT_MAX_PARTITION_BYTES
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
