@@ -26,6 +26,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--queries", default="-",
+                    help="query file; '-' = stdin (NOTE: spark-submit's "
+                         "PythonRunner does not forward stdin to the app — "
+                         "pass a file when running via spark-submit)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -36,7 +40,8 @@ def main() -> None:
     idx = SearchIndex(spark, args.index_dir)
     dist = args.distributed
 
-    for line in sys.stdin:
+    source = sys.stdin if args.queries == "-" else open(args.queries)
+    for line in source:
         line = line.rstrip("\n")
         if not line:
             continue

@@ -318,30 +318,44 @@ def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
                     n_out_parts: int = 64) -> DataFrame:
     """tokens → packed posting rows.
 
-    Plan: explode pre-counted (term, tf) pairs (tf computed inside the
-    stage-0 UDF — the map-side combine happened before any exchange) →
+    Plan: map-side SPIMI combine (per-Arrow-batch mini posting lists; one
+    exchanged row per (task-batch, seg, term) carrying doc/tf/dl ARRAYS) →
     ONE exchange hash-partitioned by (seg, tb) → sortWithinPartitions(seg,
-    tb, term, doc_id) (flat-column UnsafeRow sort, whole-stage codegen) →
-    streaming pack UDF that detects term boundaries per Arrow batch and
-    carries the trailing partial term into the next batch (memory bound =
-    one term's postings ≤ segment_docs — the SPIMI-merge shape) → write,
-    one file per (seg, tb) dir.
+    tb, term) → streaming merge-pack UDF that concatenates each term's runs
+    with term-boundary carry across batches (memory bound = one term's
+    postings ≤ segment_docs — the SPIMI-merge shape, reference
+    inverted_index_skip_list.py:73-109 distributed) → write, one file per
+    (seg, tb) dir.
 
-    This shape replaced a groupBy(collect_list(struct)) + repartition plan:
-    the JVM object churn of 20M-struct collect/sort/re-project profiled as
-    the most expensive stage of the whole build and did not scale past a
-    few cores. tb is computed JVM-side with crc32 (bit-identical to the
-    query planner's zlib.crc32, verified by test)."""
-    tf = (toks.select("seg", "doc_id", "doc_len",
-                      F.explode(F.arrays_zip("terms", "tfs")).alias("p"))
-          .select("seg", "doc_id", "doc_len",
-                  F.col("p.terms").alias("term"),
-                  F.col("p.tfs").cast("long").alias("tf"))
-          .withColumn("tb", (F.crc32(F.encode("term", "UTF-8"))
-                             % F.lit(n_buckets)).cast("int"))
-          .repartition(n_out_parts, F.col("seg"), F.col("tb"))
-          .sortWithinPartitions("seg", "tb", "term", "doc_id"))
+    This shape replaced (1) a groupBy(collect_list(struct)) plan whose JVM
+    object churn profiled as the most expensive stage of the build, then
+    (2) an occurrence-level exchange (one row per posting) whose 160M-row
+    shuffle + Arrow transfer dominated and spilled; array rows cut exchanged
+    rows ~50x and pay term strings once per task-batch instead of once per
+    few cores. tb is computed in Python zlib.crc32 over the per-task term
+    dictionary (identical to java.util.zip.CRC32, verified by test)."""
+    # --- map-side SPIMI combine: per-task mini posting lists ---------------
+    # Each map task inverts its slice into (seg, term) -> arrays of
+    # (doc_id, tf, dl). The exchange then carries ONE row per (task, seg,
+    # term) with array payloads instead of one row per POSTING — term
+    # strings and row overhead are paid once per task instead of once per
+    # occurrence (the distributed form of the reference's in-memory dict,
+    # inverted_index_skip_list.py:48-57). For Zipf-hot terms this shrinks
+    # the shuffle by orders of magnitude.
+    combine_schema = ("seg long, tb int, term string, doc_ids array<long>, "
+                      "tfs array<long>, dls array<long>")
 
+    def map_combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = _mini_invert(b, n_buckets)
+            if out is not None:
+                yield out
+
+    mini = toks.mapInPandas(map_combine, combine_schema)
+    runs = (mini.repartition(n_out_parts, F.col("seg"), F.col("tb"))
+            .sortWithinPartitions("seg", "tb", "term"))
+
+    # --- reduce: streaming merge of sorted runs + pack ---------------------
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: Optional[pd.DataFrame] = None
         for b in batches:
@@ -360,45 +374,93 @@ def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
             if ntail == len(b):
                 carry = b
                 continue
-            carry = b.iloc[len(b) - ntail:]
+            carry = b.iloc[len(b) - ntail:].reset_index(drop=True)
             head = b.iloc[: len(b) - ntail]
-            out = _pack_sorted_runs(head, avgdl)
+            out = _pack_array_runs(head, avgdl)
             if out is not None:
                 yield out
         if carry is not None and len(carry):
-            out = _pack_sorted_runs(carry, avgdl)
+            out = _pack_array_runs(carry, avgdl)
             if out is not None:
                 yield out
 
-    return tf.mapInPandas(pack, POSTINGS_SCHEMA)
+    return runs.mapInPandas(pack, POSTINGS_SCHEMA)
 
 
-def _pack_sorted_runs(b: pd.DataFrame, avgdl: float) -> Optional[pd.DataFrame]:
-    """Pack a block of rows sorted by (seg, tb, term, doc_id) into one
-    posting row per (seg, term). Fully vectorized: group boundaries via
-    factorize+flatnonzero, then codec.pack_rows over array views."""
-    segs = b["seg"].to_numpy()
-    terms = b["term"].to_numpy()
-    docs = b["doc_id"].to_numpy(dtype=np.int64)
-    tfs = b["tf"].to_numpy(dtype=np.int64)
-    dls = b["doc_len"].to_numpy(dtype=np.int64)
-    tbs = b["tb"].to_numpy()
-    n = docs.size
+def _mini_invert(b: pd.DataFrame, n_buckets: int) -> Optional[pd.DataFrame]:
+    """Vectorized per-batch inversion: staged rows (doc_id, doc_len, seg,
+    terms, tfs) -> one row per (seg, term) with doc/tf/dl arrays."""
+    lens = b["terms"].map(len).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    flat_terms = np.concatenate(
+        [np.asarray(t, dtype=object) for t in b["terms"] if len(t)])
+    flat_tfs = np.concatenate(
+        [np.asarray(t, dtype=np.int64) for t in b["tfs"] if len(t)])
+    docs_rep = np.repeat(b["doc_id"].to_numpy(np.int64), lens)
+    dls_rep = np.repeat(b["doc_len"].to_numpy(np.int64), lens)
+    segs_rep = np.repeat(b["seg"].to_numpy(np.int64), lens)
+    codes, uniq = pd.factorize(flat_terms)
+    # group by (seg, code); stable sort keeps doc order within groups
+    key = segs_rep * np.int64(len(uniq)) + codes
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    change = np.empty(total, dtype=bool)
+    change[0] = True
+    change[1:] = key_s[1:] != key_s[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], total)
+    g_seg = segs_rep[order][starts]
+    g_code = codes[order][starts]
+    uniq = np.asarray(uniq, dtype=object)
+    g_term = uniq[g_code]
+    docs_s, tfs_s, dls_s = docs_rep[order], flat_tfs[order], dls_rep[order]
+    tb_of = {t: term_bucket(t, n_buckets) for t in uniq}
+    return pd.DataFrame({
+        "seg": g_seg,
+        "tb": np.fromiter((tb_of[t] for t in g_term), dtype=np.int32,
+                          count=g_term.size),
+        "term": g_term,
+        "doc_ids": [docs_s[s:e] for s, e in zip(starts, ends)],
+        "tfs": [tfs_s[s:e] for s, e in zip(starts, ends)],
+        "dls": [dls_s[s:e] for s, e in zip(starts, ends)],
+    })
+
+
+def _pack_array_runs(b: pd.DataFrame, avgdl: float) -> Optional[pd.DataFrame]:
+    """Merge+pack rows sorted by (seg, term), each carrying partial posting
+    arrays from one map task: concatenate runs per (seg, term), then
+    codec.pack_rows (which lexsorts by docID — run order across map tasks is
+    arbitrary)."""
+    n = len(b)
     if n == 0:
         return None
+    segs = b["seg"].to_numpy()
+    terms = b["term"].to_numpy()
     change = np.empty(n, dtype=bool)
     change[0] = True
     change[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
-    doc_lists = [docs[s:e] for s, e in zip(starts, ends)]
-    tf_lists = [tfs[s:e] for s, e in zip(starts, ends)]
-    dl_lists = [dls[s:e] for s, e in zip(starts, ends)]
+    dlists = b["doc_ids"].to_numpy()
+    tlists = b["tfs"].to_numpy()
+    llists = b["dls"].to_numpy()
+
+    def cat(lists, s, e, dtype):
+        if e - s == 1:
+            return np.asarray(lists[s], dtype=dtype)
+        return np.concatenate([np.asarray(x, dtype=dtype)
+                               for x in lists[s:e]])
+
+    doc_lists = [cat(dlists, s, e, np.int64) for s, e in zip(starts, ends)]
+    tf_lists = [cat(tlists, s, e, np.int64) for s, e in zip(starts, ends)]
+    dl_lists = [cat(llists, s, e, np.int64) for s, e in zip(starts, ends)]
     packed = codec.pack_rows(doc_lists, tf_lists, dl_lists, avgdl)
     return pd.DataFrame({
         "term": terms[starts],
         "seg": segs[starts],
-        "tb": tbs[starts],
+        "tb": b["tb"].to_numpy()[starts],
         "df": [p.df for p in packed],
         "docs": [p.docs for p in packed],
         "tfs": [p.tfs for p in packed],
