@@ -287,6 +287,38 @@ def unpack_block_stream(buf: bytes, offs: np.ndarray, df: int, bidx: int
     return varbyte_decode(_block_slice(buf, offs, bidx), count=cnt)
 
 
+def unpack_block_range(packed: PackedPostings, lo: int, hi: int):
+    """Decode blocks [lo, hi) of all three streams with ONE varbyte pass per
+    stream (contiguous slices + vectorized per-block absolute-first fixup) —
+    ~an order of magnitude fewer python/numpy calls than per-block decode
+    when a query visits many blocks."""
+    df = packed.df
+    cnt = min(hi * BLOCK_DOCS, df) - lo * BLOCK_DOCS
+    nb = packed.doc_offs.shape[0]
+
+    def sl(buf, offs):
+        start = int(offs[lo])
+        end = int(offs[hi]) if hi < nb else len(buf)
+        return buf[start:end]
+
+    deltas = varbyte_decode(sl(packed.docs, packed.doc_offs),
+                            count=cnt).astype(np.int64)
+    out = np.cumsum(deltas)
+    nblocks = hi - lo
+    if nblocks > 1:
+        starts = np.arange(1, nblocks, dtype=np.int64) * BLOCK_DOCS
+        starts = starts[starts < deltas.size]
+        if starts.size:
+            corrections = out[starts - 1].copy()
+            sizes = np.diff(np.append(np.concatenate(([0], starts)),
+                                      deltas.size))
+            per_idx = np.repeat(np.concatenate(([0], corrections)), sizes)
+            out -= per_idx
+    tfs = varbyte_decode(sl(packed.tfs, packed.tf_offs), count=cnt)
+    dls = varbyte_decode(sl(packed.dls, packed.dl_offs), count=cnt)
+    return out, tfs.astype(np.int64), dls.astype(np.int64)
+
+
 def unpack_stream(buf: bytes, df: int) -> np.ndarray:
     """Decode a full tf/dl stream (plain varbyte, no deltas)."""
     return varbyte_decode(buf, count=df)

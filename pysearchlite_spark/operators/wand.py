@@ -155,19 +155,12 @@ def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
 
 def _decode_blocks(r: dict, lo: int, hi: int
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode blocks [lo, hi) of a packed row's three streams."""
-    df = int(r["df"])
-    doc_offs = np.asarray(r["doc_offs"], dtype=np.int32)
-    tf_offs = np.asarray(r["tf_offs"], dtype=np.int32)
-    dl_offs = np.asarray(r["dl_offs"], dtype=np.int32)
-    fd = np.asarray(r["first_docs"], dtype=np.int64)
-    packed = codec.PackedPostings(df, r["docs"], r["tfs"], r["dls"], fd,
-                                  doc_offs, tf_offs, dl_offs, None)
-    docs, tfs, dls = [], [], []
-    for b in range(lo, hi):
-        docs.append(codec.unpack_block_docs(packed, b))
-        tfs.append(codec.unpack_block_stream(r["tfs"], tf_offs, df, b))
-        dls.append(codec.unpack_block_stream(r["dls"], dl_offs, df, b))
-    return (np.concatenate(docs),
-            np.concatenate(tfs).astype(np.int64),
-            np.concatenate(dls).astype(np.int64))
+    """Decode blocks [lo, hi) of a packed row's three streams (bulk range
+    decode — one varbyte pass per stream)."""
+    packed = codec.PackedPostings(
+        int(r["df"]), r["docs"], r["tfs"], r["dls"],
+        np.asarray(r["first_docs"], dtype=np.int64),
+        np.asarray(r["doc_offs"], dtype=np.int32),
+        np.asarray(r["tf_offs"], dtype=np.int32),
+        np.asarray(r["dl_offs"], dtype=np.int32), None)
+    return codec.unpack_block_range(packed, lo, hi)
