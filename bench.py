@@ -85,6 +85,15 @@ def main() -> None:
             idx.topk(qset[0], k=10, distributed=True)
         extras["query_latency_ms"] = round(
             1000 * timings["bm25_top10"] / len(qset), 2)
+        # warm path: preloaded term cache (the reference's mmap-residency
+        # analogue) — no Spark dispatch per query
+        idx.preload()
+        with timed("bm25_top10_preloaded"):
+            for _ in range(10):
+                for q in qset:
+                    idx.topk(q, k=10)
+        extras["query_latency_warm_ms"] = round(
+            1000 * timings["bm25_top10_preloaded"] / (10 * len(qset)), 3)
 
         with timed("exact_dedup"):
             exact_dedup(docs).count()

@@ -1,0 +1,73 @@
+"""True Structured Streaming ingest: readStream file source → stream_ingest
+(foreachBatch segment append) → queries match a batch-built oracle index."""
+
+import glob
+import os
+import time
+
+import pytest
+
+from pysearchlite_spark.engine import SearchIndex
+from pysearchlite_spark.plans.builder import build_index
+from pysearchlite_spark.streaming.ingest import stream_ingest
+
+
+@pytest.mark.timeout(300)
+def test_stream_ingest_file_source(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx_dir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [(f"a{i:03d}", f"alpha beta t{i % 5}") for i in range(40)]
+    rows2 = [(f"b{i:03d}", f"beta gamma t{i % 3}") for i in range(30)]
+    schema = "url string, text string"
+
+    # first file present before the stream starts
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src / "f1"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    q = stream_ingest(spark, stream, idx_dir, ckpt, segment_docs=32,
+                      trigger_seconds=1)
+    try:
+        _wait_for_snapshot(idx_dir, want_docs=40)
+        # second file arrives while the stream runs
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / "f2"))
+        _wait_for_snapshot(idx_dir, want_docs=70)
+    finally:
+        q.stop()
+
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.n_docs == 70
+    assert idx.count("beta") == 70
+    assert idx.count("alpha") == 40
+    assert idx.count("gamma") == 30
+    assert idx.count("alpha gamma") == 0
+
+    # ranking matches a batch build over the same two batches in order
+    d2 = str(tmp_path / "idx_batch")
+    from pysearchlite_spark.streaming.ingest import append_batch
+    append_batch(spark, spark.createDataFrame(rows1, schema), d2,
+                 segment_docs=32, batch_id=0)
+    append_batch(spark, spark.createDataFrame(rows2, schema), d2,
+                 segment_docs=32, batch_id=1)
+    batch_idx = SearchIndex(spark, d2)
+    for query in ["beta", "alpha t1", "gamma beta t2"]:
+        assert idx.topk(query, k=10) == batch_idx.topk(query, k=10), query
+
+
+def _wait_for_snapshot(idx_dir: str, want_docs: int, timeout: int = 120):
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+    cat = IndexCatalog(idx_dir)
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        snap = cat.current_snapshot()
+        if snap and int(snap["stats"]["n_docs"]) >= want_docs:
+            return
+        time.sleep(1.0)
+    raise AssertionError(
+        f"no snapshot with >= {want_docs} docs within {timeout}s")
