@@ -28,7 +28,15 @@ def get_spark(app: str = "pysearchlite_spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2048-row Arrow batches: pandas-UDF stages allocate O(batch) Python
+        # objects; small batches keep each worker inside its warm pymalloc
+        # arenas instead of growing the heap per batch. On this
+        # memory-overcommitted VM first-touch pages cost ~1000x a warm
+        # allocation (measured: the SAME tokenize stage ran 24s with 10k-row
+        # batches vs 3.4s with 2048-row batches at local[8]); on real
+        # hardware small batches still win by bounding UDF peak memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
         # smaller input splits so single-digit-GB intermediate tables still
         # produce >= 2 tasks/core (default 128m capped a 400MB staged table
         # at 8 map tasks, starving the big exchange at high parallelism);

@@ -71,22 +71,25 @@ def tf_series(texts: pd.Series):
         return empty_s, empty_i, pd.Series(lens, index=texts.index)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    # count (row, token) pairs: factorize tokens, then bincount on a
-    # combined key; order within a row = first-occurrence order is NOT
-    # needed (posting build sorts by doc_id, not term order)
+    # count (row, token) pairs: factorize tokens, then factorize+bincount the
+    # combined key. NO sort anywhere: `flat` is in row-major order, so the
+    # combined keys' FIRST OCCURRENCES are already grouped by row and
+    # non-decreasing in row — exactly what the per-row split below needs.
+    # (A previous np.unique(key, return_counts=True) version sorted the full
+    # occurrence array and was the single most expensive line of the build.)
     codes, uniques = pd.factorize(flat)
-    key = rows * len(uniques) + codes
-    uniq_keys, counts = np.unique(key, return_counts=True)
-    out_rows = (uniq_keys // len(uniques)).astype(np.int64)
-    out_codes = (uniq_keys % len(uniques)).astype(np.int64)
-    # split per row
+    key = rows * np.int64(len(uniques)) + codes
+    kcodes, uniq_keys = pd.factorize(key)
+    counts = np.bincount(kcodes)
+    out_rows = uniq_keys // len(uniques)
+    out_codes = uniq_keys % len(uniques)
+    # split per row (out_rows is non-decreasing, see above)
     row_bounds = np.searchsorted(out_rows, np.arange(n + 1))
-    terms_out, tfs_out = [], []
     uniques = np.asarray(uniques, dtype=object)
-    for i in range(n):
-        s, e = row_bounds[i], row_bounds[i + 1]
-        terms_out.append(uniques[out_codes[s:e]].tolist())
-        tfs_out.append(counts[s:e].tolist())
+    per_row_terms = uniques[out_codes]
+    terms_out = [per_row_terms[s:e] for s, e in
+                 zip(row_bounds[:-1], row_bounds[1:])]
+    tfs_out = [counts[s:e] for s, e in zip(row_bounds[:-1], row_bounds[1:])]
     return (pd.Series(terms_out, index=texts.index),
             pd.Series(tfs_out, index=texts.index),
             pd.Series(lens, index=texts.index))
