@@ -7,14 +7,15 @@ docID = arrival order            deterministic rank over (crc32(url)%256,
   (doc_list.py:42-45)            url): hash-bucket partitioning + in-bucket
                                  sort + broadcast offsets — no sampling, no
                                  caching, no single-task global sort (§7.3)
-tokenize per doc                 stage-0 mapInPandas: extract + tokenize +
-  (tokenize.py:6-7)              per-doc tf counting (tokenizer.tf_series),
-                                 materialized to a staging parquet (doubles
-                                 as the stage-0 resumability checkpoint)
-dict[token].append(docID)        explode (term, tf) pairs → ONE exchange
-  (inverted_index_skip_list.py     hash-partitioned by (seg, term-bucket) →
-   :48-57)                         flat-column sortWithinPartitions →
-                                   streaming pack UDF (term-boundary carry)
+tokenize per doc +               stage-0 mapInPandas (make_invert_stage):
+dict[token].append(docID)        extract + tokenize + tf + per-batch SPIMI
+  (tokenize.py:6-7,              inversion FUSED in one pass (the tokenize
+   inverted_index_skip_list.py   factorize is reused by the inversion);
+   :48-57)                       staged to parquet as RUNS + doc rows
+                                 (RUNS_SCHEMA) — the resumability checkpoint
+spill sorted runs                staged runs → ONE exchange hash-partitioned
+                                 by (seg, term-bucket) → sortWithinPartitions
+                                 → streaming pack UDF (term-boundary carry)
 spill sorted runs + pairwise     Spark sort-based shuffle spills natively;
   merge (:62-71,126-145)           our explicit analogue is docID-range
                                    SEGMENTS (seg = doc_id // segment_docs)
@@ -50,8 +51,7 @@ from pyspark.sql import functions as F
 
 from pysearchlite_spark import codec
 from pysearchlite_spark.extract import make_extract_udf
-from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA,
-                                                POSTINGS_SCHEMA, IndexCatalog)
+from pysearchlite_spark.sources.catalog import POSTINGS_SCHEMA, IndexCatalog
 from pysearchlite_spark.tokenizer import tokens_series
 
 DEFAULT_SEGMENT_DOCS = 1 << 20  # 1M docs per segment (Lucene-ish)
@@ -92,13 +92,106 @@ def _tf_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id, url, text) → (doc_id, url, doc_len, terms, tfs): tokenize +
     per-doc tf counting in one vectorized pass (tokenizer.tf_series), so the
     posting build needs only ONE shuffle (groupBy(seg, term)) instead of an
-    occurrence-level pre-aggregation shuffle."""
+    occurrence-level pre-aggregation shuffle. (Used by the streaming ingest
+    path; the batch build uses the fused _invert_stage below.)"""
     from pysearchlite_spark.tokenizer import tf_series
     for b in batches:
         terms, tfs, lens = tf_series(b["text"])
         yield pd.DataFrame({"doc_id": b["doc_id"], "url": b["url"],
                             "doc_len": lens.astype("int64"),
                             "terms": terms, "tfs": tfs})
+
+
+# The staged table of the batch build: SPIMI runs (term rows, tb >= 0),
+# doc rows (tb == -1, term NULL, doc_ids=[doc_id], dls=[doc_len]) and
+# per-batch stats rows (tb == -2, doc_ids=[n_docs], dls=[sum_doc_len]) in ONE
+# parquet — the distributed form of the reference's token-sorted spill runs
+# (inverted_index_skip_list.py:62-71). Staging RUNS instead of per-doc term
+# arrays means the pack phase never re-reads (or re-factorizes) millions of
+# per-occurrence strings: measured 8.6s of Arrow input conversion per 100k
+# docs dropped to ~1s, and the inversion itself reuses the tokenize stage's
+# factorize instead of repeating it. The stats rows give segment discovery +
+# global (n_docs, avgdl) in ONE tiny job — and make pack-time avgdl always
+# the FULL-corpus value even when a resumed run packs only some segments.
+RUNS_SCHEMA = ("seg long, tb int, term string, doc_ids array<long>, "
+               "tfs array<long>, dls array<long>, url string")
+
+
+def make_invert_stage(segment_docs: int, n_buckets: int):
+    """Fused tokenize+tf+invert mapInPandas stage: (doc_id, url, text) →
+    RUNS_SCHEMA rows (term runs + doc rows), one pass, no intermediate
+    Arrow hop."""
+    from pysearchlite_spark.tokenizer import tf_pairs
+
+    def invert_stage(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            occ_rows, occ_codes, occ_tfs, uniques, lens = tf_pairs(b["text"])
+            doc_ids = b["doc_id"].to_numpy(np.int64)
+            segs_doc = doc_ids // np.int64(segment_docs)
+            # doc rows (docmap payload)
+            doc_part = pd.DataFrame({
+                "seg": segs_doc,
+                "tb": np.full(n, -1, dtype=np.int32),
+                "term": None,
+                "doc_ids": [doc_ids[i:i + 1] for i in range(n)],
+                "tfs": None,
+                "dls": [lens[i:i + 1] for i in range(n)],
+                "url": b["url"].to_numpy(object),
+            })
+            # per-(batch, seg) stats rows: segment discovery + global stats
+            # in one tiny scan, no full docmap aggregation job
+            u_segs, seg_inv = np.unique(segs_doc, return_inverse=True)
+            seg_counts = np.bincount(seg_inv).astype(np.int64)
+            seg_dlsums = np.bincount(seg_inv, weights=lens).astype(np.int64)
+            stat_part = pd.DataFrame({
+                "seg": u_segs,
+                "tb": np.full(u_segs.size, -2, dtype=np.int32),
+                "term": None,
+                "doc_ids": [seg_counts[i:i + 1] for i in range(u_segs.size)],
+                "tfs": None,
+                "dls": [seg_dlsums[i:i + 1] for i in range(u_segs.size)],
+                "url": None,
+            })
+            doc_part = pd.concat([doc_part, stat_part], ignore_index=True)
+            if len(occ_rows) == 0:
+                yield doc_part
+                continue
+            # term runs: group the distinct (doc, term) pairs by (seg, code)
+            occ_docs = doc_ids[occ_rows]
+            occ_dls = lens[occ_rows]
+            occ_segs = segs_doc[occ_rows]
+            total = len(occ_rows)
+            key = occ_segs * np.int64(len(uniques)) + occ_codes
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            change = np.empty(total, dtype=bool)
+            change[0] = True
+            change[1:] = key_s[1:] != key_s[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], total)
+            g_seg = occ_segs[order][starts]
+            g_term = uniques[occ_codes[order][starts]]
+            docs_s = occ_docs[order]
+            tfs_s = occ_tfs[order]
+            dls_s = occ_dls[order]
+            tb_of = {t: term_bucket(t, n_buckets) for t in uniques}
+            term_part = pd.DataFrame({
+                "seg": g_seg,
+                "tb": np.fromiter((tb_of[t] for t in g_term),
+                                  dtype=np.int32, count=g_term.size),
+                "term": g_term,
+                "doc_ids": [docs_s[s:e] for s, e in zip(starts, ends)],
+                "tfs": [tfs_s[s:e] for s, e in zip(starts, ends)],
+                "dls": [dls_s[s:e] for s, e in zip(starts, ends)],
+                "url": None,
+            })
+            yield pd.concat([term_part, doc_part], ignore_index=True)
+
+    return invert_stage
 
 
 DOC_BUCKETS = 256  # FIXED url-hash buckets for docID assignment — must not
@@ -212,13 +305,16 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
 
     cat = IndexCatalog(index_dir)
 
-    # ---- stage 0: extract + docIDs + tokenize → staging parquet ------------
+    # ---- stage 0: extract + docIDs + tokenize + invert → staged runs -------
     # Materialized as PARQUET, not .persist(): Spark's in-memory columnar
     # cache build contends badly at high thread counts (measured 2.6x slower
     # at local[32] than local[8] on this corpus), while a parquet write
     # scales. The staged table is also the stage-0 resumability checkpoint:
     # a re-run with the marker present skips extract/ids/tokenize entirely.
-    stage_dir = os.path.join(index_dir, "_stage", "toks")
+    # What is staged: SPIMI runs + doc rows (RUNS_SCHEMA) — the per-doc term
+    # arrays never hit disk, so the pack phase reads numeric arrays plus one
+    # term string per run instead of one string per occurrence.
+    stage_dir = os.path.join(index_dir, "_stage", "runs")
     stage_marker = os.path.join(stage_dir, "_STAGED")
     if not os.path.exists(stage_marker):
         if os.path.isdir(stage_dir):
@@ -228,20 +324,25 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
             spark, df, text_col=text_col, id_col=id_col, url_col=url_col,
             html_col=html_col, lang_filter=lang_filter)
         (docs
-         .mapInPandas(_tf_stage, "doc_id long, url string, doc_len long, "
-                                 "terms array<string>, tfs array<int>")
-         .withColumn("seg", (F.col("doc_id") / F.lit(segment_docs))
-                     .cast("long"))
+         .mapInPandas(make_invert_stage(segment_docs, n_buckets),
+                      RUNS_SCHEMA)
          .write.mode("overwrite").parquet(stage_dir))
         with open(stage_marker, "w") as fh:
             fh.write(str(time.time()))
-    toks = spark.read.schema(STAGE_SCHEMA).parquet(stage_dir)
-    _mark("stage0(extract+doc_ids+tf->parquet)")
+    runs = spark.read.schema(RUNS_SCHEMA).parquet(stage_dir)
+    _mark("stage0(extract+doc_ids+tf+invert->runs)")
 
-    # ---- which segments still need building? (resumability) --------------
-    all_segs = sorted(r["seg"] for r in
-                      toks.select("seg").distinct().collect())
-    _mark("segs_scan")
+    # ---- segments + global stats in ONE tiny job (tb == -2 rows) ----------
+    srows = (runs.filter(F.col("tb") == -2)
+             .groupBy("seg")
+             .agg(F.sum(F.element_at("doc_ids", 1)).alias("n"),
+                  F.sum(F.element_at("dls", 1)).alias("sdl"))
+             .collect())
+    all_segs = sorted(r["seg"] for r in srows)
+    n_docs = int(sum(r["n"] for r in srows))
+    sum_dl = int(sum(r["sdl"] for r in srows))
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    _mark("segs+stats_scan")
     for table in ("docmap", "postings"):
         staged = set(cat.staged_segments(table))
         d = os.path.join(index_dir, table)
@@ -257,45 +358,66 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
     todo = [s for s in all_segs if s not in done_doc or s not in done_post]
     if max_segments is not None:
         todo = todo[:max_segments]
-    todo_set = set(todo)
-    build_toks = toks.filter(F.col("seg").isin(todo)) if todo else None
 
-    # ---- docmap ------------------------------------------------------------
+    # ---- docmap + postings, written CONCURRENTLY ---------------------------
+    # Independent outputs from the same staged runs; two driver threads let
+    # the Spark scheduler overlap the small docmap write with the pack
+    # exchange instead of paying two sequential job latencies.
     doc_todo = [s for s in todo if s not in done_doc]
-    if doc_todo:
+    post_todo = [s for s in todo if s not in done_post]
+    errors: List[BaseException] = []
+
+    def _write_docmap() -> None:
         # repartition to align tasks with output partitions: one writer task
         # per segment → one file per dir instead of tasks×segments files
-        (build_toks.filter(F.col("seg").isin(doc_todo))
-         .select("doc_id", "url", "doc_len", "seg")
+        (runs.filter((F.col("tb") == -1) & F.col("seg").isin(doc_todo))
+         .select(F.element_at("doc_ids", 1).alias("doc_id"), "url",
+                 F.element_at("dls", 1).alias("doc_len"), "seg")
          .repartition(max(len(doc_todo), 1), F.col("seg"))
          .write.partitionBy("seg").mode("append").parquet(cat.docmap_dir()))
         for s in doc_todo:
             cat.mark_staged("docmap", s)
-    _mark("docmap_write")
 
-    # ---- global stats (over ALL staged docmap segments) --------------------
-    docmap = spark.read.schema(DOCMAP_SCHEMA).parquet(cat.docmap_dir())
-    stat = docmap.agg(F.count("*").alias("n"),
-                      F.sum("doc_len").alias("sdl")).collect()[0]
-    n_docs, sum_dl = int(stat["n"]), int(stat["sdl"] or 0)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    _mark("stats")
-
-    # ---- postings ----------------------------------------------------------
-    post_todo = [s for s in todo if s not in done_post]
-    if post_todo:
+    def _write_postings() -> None:
         t_pack = time.time()
-        packed = _build_postings(
-            build_toks.filter(F.col("seg").isin(post_todo)),
-            avgdl=avgdl, n_buckets=n_buckets,
-            n_out_parts=len(post_todo) * n_buckets)
+        # reducer count sized by data volume (sum_dl ≈ run entries), capped
+        # at the number of distinct (seg, tb) exchange keys — more reducers
+        # than keys is pure task overhead, and tiny inputs pack in one task
+        n_out_parts = max(1, min(len(post_todo) * n_buckets,
+                                 sum_dl // 300_000 + 1))
+        packed = _pack_runs(
+            runs.filter((F.col("tb") >= 0) & F.col("seg").isin(post_todo))
+                .drop("url"),
+            avgdl=avgdl,
+            n_out_parts=n_out_parts)
         (packed.write.partitionBy("seg", "tb").mode("append")
          .parquet(cat.postings_dir()))
         for s in post_todo:
             cat.mark_staged("postings", s)
         _write_build_log(spark, cat, post_todo, time.time() - t_pack,
                          lineage or {})
-    _mark("postings_pack_write")
+
+    import threading
+
+    def _guard(fn):
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced after join
+                errors.append(e)
+        return run
+
+    threads = [threading.Thread(target=_guard(fn), daemon=True)
+               for fn, todo_list in ((_write_docmap, doc_todo),
+                                     (_write_postings, post_todo))
+               if todo_list]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    _mark("docmap+postings_write")
 
     # ---- commit (only when every segment is staged) -------------------------
     staged_all = (set(cat.staged_segments("postings"))
@@ -352,6 +474,15 @@ def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
                 yield out
 
     mini = toks.mapInPandas(map_combine, combine_schema)
+    return _pack_runs(mini, avgdl=avgdl, n_out_parts=n_out_parts)
+
+
+def _pack_runs(mini: DataFrame, *, avgdl: float,
+               n_out_parts: int = 64) -> DataFrame:
+    """SPIMI run rows (seg, tb, term, doc/tf/dl arrays) → packed postings:
+    ONE exchange hash-partitioned by (seg, tb) → sortWithinPartitions →
+    streaming merge-pack with term-boundary carry (see _build_postings
+    docstring for the plan rationale)."""
     runs = (mini.repartition(n_out_parts, F.col("seg"), F.col("tb"))
             .sortWithinPartitions("seg", "tb", "term"))
 

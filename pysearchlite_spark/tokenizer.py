@@ -69,23 +69,9 @@ def tf_series(texts: pd.Series):
         empty_s = pd.Series([[] for _ in range(n)], index=texts.index)
         empty_i = pd.Series([[] for _ in range(n)], index=texts.index)
         return empty_s, empty_i, pd.Series(lens, index=texts.index)
-    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    # count (row, token) pairs: factorize tokens, then factorize+bincount the
-    # combined key. NO sort anywhere: `flat` is in row-major order, so the
-    # combined keys' FIRST OCCURRENCES are already grouped by row and
-    # non-decreasing in row — exactly what the per-row split below needs.
-    # (A previous np.unique(key, return_counts=True) version sorted the full
-    # occurrence array and was the single most expensive line of the build.)
-    codes, uniques = pd.factorize(flat)
-    key = rows * np.int64(len(uniques)) + codes
-    kcodes, uniq_keys = pd.factorize(key)
-    counts = np.bincount(kcodes)
-    out_rows = uniq_keys // len(uniques)
-    out_codes = uniq_keys % len(uniques)
-    # split per row (out_rows is non-decreasing, see above)
+    out_rows, out_codes, counts, uniques = _tf_flat(toks, lens, n)
+    # split per row (out_rows is non-decreasing, see _tf_flat)
     row_bounds = np.searchsorted(out_rows, np.arange(n + 1))
-    uniques = np.asarray(uniques, dtype=object)
     per_row_terms = uniques[out_codes]
     terms_out = [per_row_terms[s:e] for s, e in
                  zip(row_bounds[:-1], row_bounds[1:])]
@@ -93,6 +79,44 @@ def tf_series(texts: pd.Series):
     return (pd.Series(terms_out, index=texts.index),
             pd.Series(tfs_out, index=texts.index),
             pd.Series(lens, index=texts.index))
+
+
+def _tf_flat(toks: pd.Series, lens: np.ndarray, n: int):
+    """Flat (row, term) pair counts over tokenized rows.
+
+    Returns (out_rows, out_codes, counts, uniques): one entry per DISTINCT
+    (row, token) pair — the row index, the token's code into `uniques`, and
+    its in-row frequency. NO sort anywhere: the flattened tokens are in
+    row-major order, so the combined keys' FIRST OCCURRENCES are already
+    grouped by row and `out_rows` is non-decreasing. (A previous
+    np.unique(key, return_counts=True) version sorted the full occurrence
+    array and was the single most expensive line of the build.)"""
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes, uniques = pd.factorize(flat)
+    key = rows * np.int64(len(uniques)) + codes
+    kcodes, uniq_keys = pd.factorize(key)
+    counts = np.bincount(kcodes)
+    out_rows = uniq_keys // len(uniques)
+    out_codes = uniq_keys % len(uniques)
+    return out_rows, out_codes, counts, np.asarray(uniques, dtype=object)
+
+
+def tf_pairs(texts: pd.Series):
+    """Vectorized distinct (row, term) pairs for a batch of texts.
+
+    Returns (out_rows, out_codes, counts, uniques, lens) — the flat form of
+    tf_series, for callers (the index build) that immediately re-flatten:
+    skips building per-row object arrays AND the re-factorize a separate
+    inversion pass would pay."""
+    toks = tokens_series(texts)
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    n = len(texts)
+    if n == 0 or lens.sum() == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, np.empty(0, dtype=object), lens
+    out_rows, out_codes, counts, uniques = _tf_flat(toks, lens, n)
+    return out_rows, out_codes, counts, uniques, lens
 
 
 def query_terms(query: str, dedup: bool = True) -> List[str]:
