@@ -164,40 +164,57 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     )
 
 
-def pack_rows(doc_lists, tf_lists, dl_lists, avgdl: float):
-    """Batch pack: encode MANY posting lists with three vectorized varbyte
-    passes over the concatenated streams (instead of 3 numpy calls per term,
-    which dominates build time at millions of terms). Returns a list of
-    PackedPostings, identical to per-row pack_postings (tested).
+class PackedFlat(NamedTuple):
+    """Whole-batch packed postings in FLAT form — one encoded stream per
+    field plus row/block offset vectors. Arrow consumers turn these into
+    Binary/List arrays via from_buffers/from_arrays with zero per-row
+    Python; pack_rows slices them into per-row PackedPostings."""
+    df: np.ndarray           # int64 per row
+    enc_docs: bytes          # concatenated delta+varbyte docID streams
+    enc_tfs: bytes
+    enc_dls: bytes
+    row_doc_offs: np.ndarray  # int64 (R+1) byte offsets into enc_docs
+    row_tf_offs: np.ndarray
+    row_dl_offs: np.ndarray
+    first_docs: np.ndarray   # int64, flat across rows' blocks
+    blk_doc_offs: np.ndarray  # int32 flat, row-local byte offsets
+    blk_tf_offs: np.ndarray
+    blk_dl_offs: np.ndarray
+    max_partial: np.ndarray  # float64 flat
+    blk_row_off: np.ndarray  # int64 (R+1) block-count offsets per row
 
-    Rows need NOT be pre-sorted: a single numpy lexsort orders every list by
-    docID here — far cheaper than JVM-side sort_array over generic structs,
-    which profiled as the single most CPU-expensive stage of the build.
-    """
-    R = len(doc_lists)
-    if R == 0:
-        return []
-    row_lens = np.fromiter((len(d) for d in doc_lists), dtype=np.int64,
-                           count=R)
+
+def pack_flat(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+              row_lens: np.ndarray, avgdl: float) -> PackedFlat:
+    """Pack MANY posting lists given as flat concatenated arrays + per-row
+    lengths: three vectorized varbyte passes over the whole batch (instead
+    of 3 numpy calls per term, which dominates build time at millions of
+    terms).
+
+    Rows need NOT be pre-sorted by docID: when any row is out of order, a
+    single numpy lexsort orders every list — far cheaper than JVM-side
+    sort_array over generic structs, which profiled as the single most
+    CPU-expensive stage of the build."""
+    row_lens = np.ascontiguousarray(row_lens, dtype=np.int64)
+    docs = np.ascontiguousarray(docs, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    R = row_lens.size
     offs = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(row_lens, out=offs[1:])
     n = int(offs[-1])
-    docs = np.empty(n, dtype=np.int64)
-    tfs = np.empty(n, dtype=np.int64)
-    dls = np.empty(n, dtype=np.int64)
-    for r in range(R):
-        s, e = offs[r], offs[r + 1]
-        docs[s:e] = doc_lists[r]
-        tfs[s:e] = tf_lists[r]
-        dls[s:e] = dl_lists[r]
 
-    # per-row docID sort in one global pass (stable; docIDs unique per row)
-    rows_rep_all = np.repeat(np.arange(R, dtype=np.int64), row_lens)
-    if n and not np.all(docs[1:] >= docs[:-1]):
-        order = np.lexsort((docs, rows_rep_all))
-        docs = docs[order]
-        tfs = tfs[order]
-        dls = dls[order]
+    # per-row docID sort in one global pass (stable; docIDs unique per row);
+    # the check is row-aware so already-sorted batches skip the lexsort
+    if n:
+        rows_rep_all = np.repeat(np.arange(R, dtype=np.int64), row_lens)
+        disorder = (docs[1:] < docs[:-1]) & (rows_rep_all[1:]
+                                             == rows_rep_all[:-1])
+        if disorder.any():
+            order = np.lexsort((docs, rows_rep_all))
+            docs = docs[order]
+            tfs = tfs[order]
+            dls = dls[order]
 
     # block starts per row (every BLOCK_DOCS postings, reset per row)
     nblocks_row = (row_lens + BLOCK_DOCS - 1) // BLOCK_DOCS
@@ -228,23 +245,62 @@ def pack_rows(doc_lists, tf_lists, dl_lists, avgdl: float):
     partial = bm25_partial(tfs, dls, avgdl)
     blk_max = (np.maximum.reduceat(partial, block_starts)
                if total_blocks else np.empty(0, np.float64))
-    first_docs_all = docs[block_starts] if total_blocks else np.empty(0, np.int64)
+    first_docs_all = (docs[block_starts] if total_blocks
+                      else np.empty(0, np.int64))
+    row_of_blk = blk_row_off[:-1]
+    return PackedFlat(
+        df=row_lens,
+        enc_docs=enc_d, enc_tfs=enc_t, enc_dls=enc_l,
+        row_doc_offs=bpos_d[offs], row_tf_offs=bpos_t[offs],
+        row_dl_offs=bpos_l[offs],
+        first_docs=first_docs_all,
+        blk_doc_offs=(bpos_d[block_starts]
+                      - np.repeat(bpos_d[offs[:-1]], nblocks_row)
+                      ).astype(np.int32),
+        blk_tf_offs=(bpos_t[block_starts]
+                     - np.repeat(bpos_t[offs[:-1]], nblocks_row)
+                     ).astype(np.int32),
+        blk_dl_offs=(bpos_l[block_starts]
+                     - np.repeat(bpos_l[offs[:-1]], nblocks_row)
+                     ).astype(np.int32),
+        max_partial=blk_max,
+        blk_row_off=blk_row_off,
+    )
 
+
+def pack_rows(doc_lists, tf_lists, dl_lists, avgdl: float):
+    """Batch pack from per-row lists → list of PackedPostings (identical to
+    per-row pack_postings, tested). Thin slicing wrapper over pack_flat."""
+    R = len(doc_lists)
+    if R == 0:
+        return []
+    row_lens = np.fromiter((len(d) for d in doc_lists), dtype=np.int64,
+                           count=R)
+    offs = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=offs[1:])
+    n = int(offs[-1])
+    docs = np.empty(n, dtype=np.int64)
+    tfs = np.empty(n, dtype=np.int64)
+    dls = np.empty(n, dtype=np.int64)
+    for r in range(R):
+        s, e = offs[r], offs[r + 1]
+        docs[s:e] = doc_lists[r]
+        tfs[s:e] = tf_lists[r]
+        dls[s:e] = dl_lists[r]
+    pf = pack_flat(docs, tfs, dls, row_lens, avgdl)
     out = []
     for r in range(R):
-        s, e = int(offs[r]), int(offs[r + 1])
-        bs, be = int(blk_row_off[r]), int(blk_row_off[r + 1])
-        row_blocks = block_starts[bs:be]
+        bs, be = int(pf.blk_row_off[r]), int(pf.blk_row_off[r + 1])
         out.append(PackedPostings(
-            df=int(row_lens[r]),
-            docs=enc_d[bpos_d[s]:bpos_d[e]],
-            tfs=enc_t[bpos_t[s]:bpos_t[e]],
-            dls=enc_l[bpos_l[s]:bpos_l[e]],
-            first_docs=first_docs_all[bs:be],
-            doc_offs=(bpos_d[row_blocks] - bpos_d[s]).astype(np.int32),
-            tf_offs=(bpos_t[row_blocks] - bpos_t[s]).astype(np.int32),
-            dl_offs=(bpos_l[row_blocks] - bpos_l[s]).astype(np.int32),
-            max_partial=blk_max[bs:be],
+            df=int(pf.df[r]),
+            docs=pf.enc_docs[pf.row_doc_offs[r]:pf.row_doc_offs[r + 1]],
+            tfs=pf.enc_tfs[pf.row_tf_offs[r]:pf.row_tf_offs[r + 1]],
+            dls=pf.enc_dls[pf.row_dl_offs[r]:pf.row_dl_offs[r + 1]],
+            first_docs=pf.first_docs[bs:be],
+            doc_offs=pf.blk_doc_offs[bs:be],
+            tf_offs=pf.blk_tf_offs[bs:be],
+            dl_offs=pf.blk_dl_offs[bs:be],
+            max_partial=pf.max_partial[bs:be],
         ))
     return out
 

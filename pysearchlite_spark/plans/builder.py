@@ -7,11 +7,12 @@ docID = arrival order            deterministic rank over (crc32(url)%256,
   (doc_list.py:42-45)            url): hash-bucket partitioning + in-bucket
                                  sort + broadcast offsets — no sampling, no
                                  caching, no single-task global sort (§7.3)
-tokenize per doc +               stage-0 mapInPandas (make_invert_stage):
-dict[token].append(docID)        extract + tokenize + tf + per-batch SPIMI
-  (tokenize.py:6-7,              inversion FUSED in one pass (the tokenize
-   inverted_index_skip_list.py   factorize is reused by the inversion);
-   :48-57)                       staged to parquet as RUNS + doc rows
+tokenize per doc +               stage-0 mapInArrow (make_stage0): docID
+dict[token].append(docID)        assignment + HTML extract + tokenize + tf
+  (tokenize.py:6-7,              + per-batch SPIMI inversion FUSED into ONE
+   inverted_index_skip_list.py   Python hop (the corpus text crosses the
+   :48-57)                       JVM↔Arrow boundary once, not three times);
+                                 staged to parquet as RUNS + doc rows
                                  (RUNS_SCHEMA) — the resumability checkpoint
 spill sorted runs                staged runs → ONE exchange hash-partitioned
                                  by (seg, term-bucket) → sortWithinPartitions
@@ -50,7 +51,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pysearchlite_spark import codec
-from pysearchlite_spark.extract import make_extract_udf
 from pysearchlite_spark.sources.catalog import POSTINGS_SCHEMA, IndexCatalog
 from pysearchlite_spark.tokenizer import tokens_series
 
@@ -117,81 +117,193 @@ RUNS_SCHEMA = ("seg long, tb int, term string, doc_ids array<long>, "
                "tfs array<long>, dls array<long>, url string")
 
 
-def make_invert_stage(segment_docs: int, n_buckets: int):
-    """Fused tokenize+tf+invert mapInPandas stage: (doc_id, url, text) →
-    RUNS_SCHEMA rows (term runs + doc rows), one pass, no intermediate
-    Arrow hop."""
-    from pysearchlite_spark.tokenizer import tf_pairs
+RUNS_PA_SCHEMA = None  # built lazily (pyarrow import kept off the driver-import path)
 
-    def invert_stage(batches: Iterator[pd.DataFrame]
-                     ) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            n = len(b)
+
+def _runs_pa_schema():
+    import pyarrow as pa
+    global RUNS_PA_SCHEMA
+    if RUNS_PA_SCHEMA is None:
+        RUNS_PA_SCHEMA = pa.schema([
+            ("seg", pa.int64()), ("tb", pa.int32()), ("term", pa.string()),
+            ("doc_ids", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int64())),
+            ("dls", pa.list_(pa.int64())), ("url", pa.string())])
+    return RUNS_PA_SCHEMA
+
+
+def _invert_flush(doc_ids: np.ndarray, urls: np.ndarray, texts: pd.Series,
+                  segment_docs: int, n_buckets: int):
+    """One accumulated slab of docs → RUNS RecordBatches (term runs +
+    doc rows + stats rows), fully vectorized.
+
+    Output is built as Arrow ListArrays STRAIGHT FROM the flat occurrence
+    arrays + group offsets (pa.ListArray.from_arrays) — no per-row Python
+    objects anywhere on the output path. The previous mapInPandas shape
+    (object columns holding one numpy slice per row, converted by Spark via
+    pandas→Arrow) spent more time materializing/converting those 2.6M tiny
+    objects than the inversion itself.
+    """
+    import pyarrow as pa
+    from pysearchlite_spark.tokenizer import occurrence_codes
+
+    schema = _runs_pa_schema()
+    n = len(doc_ids)
+    occ_rows, occ_codes, uniques, lens = occurrence_codes(texts)
+    segs_doc = doc_ids // np.int64(segment_docs)
+
+    out = []
+    # term runs: ONE stable argsort by (seg, code) does BOTH groupings —
+    # runs of equal (key, row) are the per-doc tf (occurrences are
+    # row-major, so same-row entries stay adjacent under the stable sort),
+    # and runs of equal key are the (seg, term) posting groups with docIDs
+    # already ascending (doc_ids ascend with row within a partition).
+    total = len(occ_rows)
+    if total:
+        V = np.int64(len(uniques))
+        key = segs_doc[occ_rows] * V + occ_codes
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        r_s = occ_rows[order]
+        echange = np.empty(total, dtype=bool)
+        echange[0] = True
+        echange[1:] = (k_s[1:] != k_s[:-1]) | (r_s[1:] != r_s[:-1])
+        estarts = np.flatnonzero(echange)
+        tfs_e = np.diff(np.append(estarts, total)).astype(np.int64)
+        ek = k_s[estarts]
+        er = r_s[estarts]
+        docs_e = doc_ids[er]
+        dls_e = lens[er]
+        m = ek.size
+        tchange = np.empty(m, dtype=bool)
+        tchange[0] = True
+        tchange[1:] = ek[1:] != ek[:-1]
+        tstarts = np.flatnonzero(tchange)
+        g_seg = ek[tstarts] // V
+        g_term = uniques[ek[tstarts] % V]
+        tb_of = {t: term_bucket(t, n_buckets) for t in uniques}
+        g_tb = np.fromiter((tb_of[t] for t in g_term), dtype=np.int32,
+                           count=g_term.size)
+        offs = np.append(tstarts, m).astype(np.int32)
+        lists = [pa.ListArray.from_arrays(pa.array(offs), pa.array(arr))
+                 for arr in (docs_e, tfs_e, dls_e)]
+        out.append(pa.RecordBatch.from_arrays([
+            pa.array(g_seg), pa.array(g_tb),
+            pa.array(g_term, type=pa.string()),
+            lists[0], lists[1], lists[2],
+            pa.nulls(g_term.size, pa.string()),
+        ], schema=schema))
+
+    # doc rows (docmap payload): one single-element list per doc — offsets
+    # are just arange, values the id/len vectors themselves
+    one = np.arange(n + 1, dtype=np.int32)
+    out.append(pa.RecordBatch.from_arrays([
+        pa.array(segs_doc), pa.array(np.full(n, -1, dtype=np.int32)),
+        pa.nulls(n, pa.string()),
+        pa.ListArray.from_arrays(pa.array(one), pa.array(doc_ids)),
+        pa.nulls(n, pa.list_(pa.int64())),
+        pa.ListArray.from_arrays(pa.array(one), pa.array(lens)),
+        pa.array(urls, type=pa.string()),
+    ], schema=schema))
+
+    # per-(slab, seg) stats rows: segment discovery + global stats in one
+    # tiny scan, no full docmap aggregation job
+    u_segs, seg_inv = np.unique(segs_doc, return_inverse=True)
+    seg_counts = np.bincount(seg_inv).astype(np.int64)
+    seg_dlsums = np.bincount(seg_inv, weights=lens).astype(np.int64)
+    m = u_segs.size
+    onem = np.arange(m + 1, dtype=np.int32)
+    out.append(pa.RecordBatch.from_arrays([
+        pa.array(u_segs), pa.array(np.full(m, -2, dtype=np.int32)),
+        pa.nulls(m, pa.string()),
+        pa.ListArray.from_arrays(pa.array(onem), pa.array(seg_counts)),
+        pa.nulls(m, pa.list_(pa.int64())),
+        pa.ListArray.from_arrays(pa.array(onem), pa.array(seg_dlsums)),
+        pa.nulls(m, pa.string()),
+    ], schema=schema))
+    return out
+
+
+DEFAULT_STAGE0_SLAB_DOCS = 32768
+
+
+def make_stage0(segment_docs: int, n_buckets: int, *,
+                text_col: str = "text", html_col: Optional[str] = None,
+                offsets_bc=None,
+                slab_docs: int = DEFAULT_STAGE0_SLAB_DOCS):
+    """ONE mapInArrow for the whole of stage 0: (optional) docID assignment
+    from the (_b, url)-sorted exchange + (optional) HTML→text extraction +
+    tokenize + tf + SPIMI inversion → RUNS RecordBatches.
+
+    Fusing these into a single Python hop matters: as three separate stages
+    (extract pandas-UDF → add_ids mapInPandas → invert mapInPandas) the full
+    corpus text crosses the JVM↔Arrow↔Python boundary three times; here it
+    crosses once (html in, numeric runs out).
+
+    Input Arrow batches are ACCUMULATED to ~slab_docs docs before inverting:
+    term-run rows per doc shrink roughly with slab vocabulary saturation
+    (Heaps' law), which cuts both the staged-parquet size and the pack
+    exchange's input row count several-fold. docID assignment still happens
+    per arriving batch (order within the partition is the id rule).
+
+    offsets_bc: broadcast {bucket: global offset} for deterministic docID
+    assignment (rows must arrive sorted by (_b, url) within partitions —
+    see assign_doc_ids for the rule). None → batches carry doc_id already.
+    """
+    from pysearchlite_spark.extract import extract_text
+
+    payload_col = html_col if html_col is not None else text_col
+
+    def stage0(batches):
+        seen: dict = {}
+        buf_ids: list = []
+        buf_urls: list = []
+        buf_texts: list = []
+        buffered = 0
+
+        def flush():
+            ids = np.concatenate(buf_ids)
+            urls = np.concatenate(buf_urls)
+            texts = pd.Series(np.concatenate(buf_texts), dtype=object)
+            buf_ids.clear(); buf_urls.clear(); buf_texts.clear()
+            return _invert_flush(ids, urls, texts, segment_docs, n_buckets)
+
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            occ_rows, occ_codes, occ_tfs, uniques, lens = tf_pairs(b["text"])
-            doc_ids = b["doc_id"].to_numpy(np.int64)
-            segs_doc = doc_ids // np.int64(segment_docs)
-            # doc rows (docmap payload)
-            doc_part = pd.DataFrame({
-                "seg": segs_doc,
-                "tb": np.full(n, -1, dtype=np.int32),
-                "term": None,
-                "doc_ids": [doc_ids[i:i + 1] for i in range(n)],
-                "tfs": None,
-                "dls": [lens[i:i + 1] for i in range(n)],
-                "url": b["url"].to_numpy(object),
-            })
-            # per-(batch, seg) stats rows: segment discovery + global stats
-            # in one tiny scan, no full docmap aggregation job
-            u_segs, seg_inv = np.unique(segs_doc, return_inverse=True)
-            seg_counts = np.bincount(seg_inv).astype(np.int64)
-            seg_dlsums = np.bincount(seg_inv, weights=lens).astype(np.int64)
-            stat_part = pd.DataFrame({
-                "seg": u_segs,
-                "tb": np.full(u_segs.size, -2, dtype=np.int32),
-                "term": None,
-                "doc_ids": [seg_counts[i:i + 1] for i in range(u_segs.size)],
-                "tfs": None,
-                "dls": [seg_dlsums[i:i + 1] for i in range(u_segs.size)],
-                "url": None,
-            })
-            doc_part = pd.concat([doc_part, stat_part], ignore_index=True)
-            if len(occ_rows) == 0:
-                yield doc_part
-                continue
-            # term runs: group the distinct (doc, term) pairs by (seg, code)
-            occ_docs = doc_ids[occ_rows]
-            occ_dls = lens[occ_rows]
-            occ_segs = segs_doc[occ_rows]
-            total = len(occ_rows)
-            key = occ_segs * np.int64(len(uniques)) + occ_codes
-            order = np.argsort(key, kind="stable")
-            key_s = key[order]
-            change = np.empty(total, dtype=bool)
-            change[0] = True
-            change[1:] = key_s[1:] != key_s[:-1]
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], total)
-            g_seg = occ_segs[order][starts]
-            g_term = uniques[occ_codes[order][starts]]
-            docs_s = occ_docs[order]
-            tfs_s = occ_tfs[order]
-            dls_s = occ_dls[order]
-            tb_of = {t: term_bucket(t, n_buckets) for t in uniques}
-            term_part = pd.DataFrame({
-                "seg": g_seg,
-                "tb": np.fromiter((tb_of[t] for t in g_term),
-                                  dtype=np.int32, count=g_term.size),
-                "term": g_term,
-                "doc_ids": [docs_s[s:e] for s, e in zip(starts, ends)],
-                "tfs": [tfs_s[s:e] for s, e in zip(starts, ends)],
-                "dls": [dls_s[s:e] for s, e in zip(starts, ends)],
-                "url": None,
-            })
-            yield pd.concat([term_part, doc_part], ignore_index=True)
+            cols = {name: batch.column(i)
+                    for i, name in enumerate(batch.schema.names)}
+            if offsets_bc is not None:
+                off = offsets_bc.value
+                bs = cols["_b"].to_numpy()
+                doc_ids = np.empty(n, dtype=np.int64)
+                for bb in np.unique(bs):
+                    m = bs == bb
+                    s = seen.get(int(bb), 0)
+                    cnt = int(m.sum())
+                    doc_ids[m] = off[int(bb)] + s + np.arange(
+                        cnt, dtype=np.int64)
+                    seen[int(bb)] = s + cnt
+            else:
+                doc_ids = cols["doc_id"].to_numpy()
+            urls = np.asarray(cols["url"].to_pylist(), dtype=object)
+            payload = cols[payload_col].to_pylist()
+            if html_col is not None:
+                texts = np.asarray([extract_text(h) for h in payload],
+                                   dtype=object)
+            else:
+                texts = np.asarray(payload, dtype=object)
+            buf_ids.append(doc_ids)
+            buf_urls.append(urls)
+            buf_texts.append(texts)
+            buffered += n
+            if buffered >= slab_docs:
+                yield from flush()
+                buffered = 0
+        if buffered:
+            yield from flush()
 
-    return invert_stage
+    return stage0
 
 
 DOC_BUCKETS = 256  # FIXED url-hash buckets for docID assignment — must not
@@ -202,6 +314,28 @@ def doc_sort_key(url: str, n_buckets: int = DOC_BUCKETS):
     """The deterministic total order docIDs follow: (crc32(url) % B, url).
     Exposed so oracles can replicate it exactly."""
     return (zlib.crc32(url.encode("utf-8")) % n_buckets, url)
+
+
+def _bucket_offsets(df: DataFrame, order_col: str,
+                    num_partitions: Optional[int] = None):
+    """(bucket expr, broadcast {bucket: global rank offset}, n_partitions)
+    for the deterministic docID rule — the counts pass projects only
+    `order_col`, so Catalyst prunes every other column (incl. html) out of
+    the scan and no UDF runs."""
+    spark = df.sparkSession
+    P = num_partitions or min(DOC_BUCKETS, max(
+        32, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))))
+    bucket = (F.crc32(F.encode(F.col(order_col), "UTF-8"))
+              % F.lit(DOC_BUCKETS)).cast("int")
+    counts = {r["_b"]: r["cnt"] for r in
+              df.select(bucket.alias("_b"))
+                .groupBy("_b").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    boff = spark.sparkContext.broadcast(offsets)
+    return bucket, boff, P
 
 
 def assign_doc_ids(df: DataFrame, order_col: str = "url",
@@ -218,18 +352,7 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url",
     order reproducible under any parallelism/cluster size.
     """
     spark = df.sparkSession
-    P = num_partitions or min(DOC_BUCKETS, max(
-        32, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))))
-    bucket = (F.crc32(F.encode(F.col(order_col), "UTF-8"))
-              % F.lit(DOC_BUCKETS)).cast("int")
-    counts = {r["_b"]: r["cnt"] for r in
-              df.select(bucket.alias("_b"))
-                .groupBy("_b").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    boff = spark.sparkContext.broadcast(offsets)
+    bucket, boff, P = _bucket_offsets(df, order_col, num_partitions)
     fields = df.schema.fieldNames()
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in df.schema.fields) + ", doc_id long"
@@ -260,25 +383,37 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url",
     return parted.mapInPandas(add_ids, out_schema)
 
 
-def _prepare_docs(spark: SparkSession, df: DataFrame, *, text_col: str,
-                  id_col: Optional[str], url_col: Optional[str],
-                  html_col: Optional[str], lang_filter: Optional[str]
-                  ) -> DataFrame:
-    """Normalize any input into (doc_id long, url string, text string)."""
+def _stage0_df(spark: SparkSession, df: DataFrame, *, text_col: str,
+               id_col: Optional[str], url_col: Optional[str],
+               html_col: Optional[str], lang_filter: Optional[str],
+               segment_docs: int, n_buckets: int) -> DataFrame:
+    """Any input → staged RUNS_SCHEMA DataFrame via the fused stage-0.
+
+    Only the payload column (html OR text) plus url is carried through the
+    docID exchange; extraction, id assignment and inversion all happen in
+    the single post-exchange Python hop (make_stage0)."""
     if lang_filter and "lang" in df.columns:
         df = df.filter(F.col("lang") == lang_filter)
-    if html_col is not None:
-        df = df.withColumn(text_col, make_extract_udf()(F.col(html_col)))
+    payload = F.col(html_col if html_col is not None else text_col)
     if id_col is not None:
-        # caller supplies dense monotone ids (e.g. documents.doc_id)
-        return df.select(
+        # caller supplies dense monotone ids (e.g. documents.doc_id):
+        # no exchange at all — scan partitions feed the fused stage directly
+        src = df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             (F.col(url_col).cast("string") if url_col else
              F.col(id_col).cast("string")).alias("url"),
-            F.col(text_col).alias("text"))
-    base = df.select(F.col(url_col or "url").alias("url"),
-                     F.col(text_col).alias("text"))
-    return assign_doc_ids(base, "url").select("doc_id", "url", "text")
+            payload)
+        return src.mapInArrow(
+            make_stage0(segment_docs, n_buckets, text_col=text_col,
+                        html_col=html_col), RUNS_SCHEMA)
+    base = df.select(F.col(url_col or "url").alias("url"), payload)
+    bucket, boff, P = _bucket_offsets(base, "url")
+    parted = (base.withColumn("_b", bucket)
+              .repartition(P, F.col("_b"))
+              .sortWithinPartitions("_b", "url"))
+    return parted.mapInArrow(
+        make_stage0(segment_docs, n_buckets, text_col=text_col,
+                    html_col=html_col, offsets_bc=boff), RUNS_SCHEMA)
 
 
 def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
@@ -320,12 +455,10 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
         if os.path.isdir(stage_dir):
             import shutil
             shutil.rmtree(stage_dir)  # partial stage from a killed run
-        docs = _prepare_docs(
-            spark, df, text_col=text_col, id_col=id_col, url_col=url_col,
-            html_col=html_col, lang_filter=lang_filter)
-        (docs
-         .mapInPandas(make_invert_stage(segment_docs, n_buckets),
-                      RUNS_SCHEMA)
+        (_stage0_df(spark, df, text_col=text_col, id_col=id_col,
+                    url_col=url_col, html_col=html_col,
+                    lang_filter=lang_filter, segment_docs=segment_docs,
+                    n_buckets=n_buckets)
          .write.mode("overwrite").parquet(stage_dir))
         with open(stage_marker, "w") as fh:
             fh.write(str(time.time()))
@@ -477,6 +610,88 @@ def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
     return _pack_runs(mini, avgdl=avgdl, n_out_parts=n_out_parts)
 
 
+POSTINGS_PA_SCHEMA = None
+
+
+def _postings_pa_schema():
+    import pyarrow as pa
+    global POSTINGS_PA_SCHEMA
+    if POSTINGS_PA_SCHEMA is None:
+        POSTINGS_PA_SCHEMA = pa.schema([
+            ("term", pa.string()), ("seg", pa.int64()), ("tb", pa.int32()),
+            ("df", pa.int64()), ("docs", pa.binary()), ("tfs", pa.binary()),
+            ("dls", pa.binary()),
+            ("first_docs", pa.list_(pa.int64())),
+            ("doc_offs", pa.list_(pa.int32())),
+            ("tf_offs", pa.list_(pa.int32())),
+            ("dl_offs", pa.list_(pa.int32())),
+            ("max_partial", pa.list_(pa.float64()))])
+    return POSTINGS_PA_SCHEMA
+
+
+def _pack_table(t, avgdl: float):
+    """One (seg, tb, term)-sorted Arrow table slice → packed-postings
+    RecordBatch. Pure Arrow/numpy: list columns are consumed as flat
+    value buffers + offsets (ListArray.flatten) and the packed streams are
+    emitted as Binary/List arrays built from whole-batch buffers — no
+    per-row Python objects in either direction."""
+    import pyarrow as pa
+
+    t = t.combine_chunks()
+    n = t.num_rows
+    seg = t.column("seg").chunk(0).to_numpy()
+    tb = t.column("tb").chunk(0).to_numpy()
+    term = t.column("term").chunk(0)
+    d_col = t.column("doc_ids").chunk(0)
+    tf_col = t.column("tfs").chunk(0)
+    dl_col = t.column("dls").chunk(0)
+    run_offs = d_col.offsets.to_numpy()
+    run_lens = np.diff(run_offs)
+    d_flat = d_col.flatten().to_numpy()
+    tf_flat = tf_col.flatten().to_numpy()
+    dl_flat = dl_col.flatten().to_numpy()
+
+    # group boundaries: term change (same term ⇒ same tb; seg guard anyway)
+    gchange = np.empty(n, dtype=bool)
+    gchange[0] = True
+    if n > 1:
+        import pyarrow.compute as pc
+        tneq = pc.not_equal(term.slice(1), term.slice(0, n - 1))
+        gchange[1:] = (tneq.to_numpy(zero_copy_only=False)
+                       | (seg[1:] != seg[:-1]))
+    gstarts = np.flatnonzero(gchange)
+    row_lens = np.add.reduceat(run_lens, gstarts)
+
+    pf = codec.pack_flat(d_flat, tf_flat, dl_flat, row_lens, avgdl)
+
+    R = gstarts.size
+    def binary_arr(enc: bytes, row_offs: np.ndarray):
+        assert row_offs[-1] <= np.iinfo(np.int32).max
+        return pa.Array.from_buffers(
+            pa.binary(), R,
+            [None, pa.py_buffer(row_offs.astype(np.int32)),
+             pa.py_buffer(enc)])
+
+    blk_off32 = pf.blk_row_off.astype(np.int32)
+    return pa.RecordBatch.from_arrays([
+        term.take(pa.array(gstarts)),
+        pa.array(seg[gstarts]), pa.array(tb[gstarts]), pa.array(pf.df),
+        binary_arr(pf.enc_docs, pf.row_doc_offs),
+        binary_arr(pf.enc_tfs, pf.row_tf_offs),
+        binary_arr(pf.enc_dls, pf.row_dl_offs),
+        pa.ListArray.from_arrays(pa.array(blk_off32),
+                                 pa.array(pf.first_docs)),
+        pa.ListArray.from_arrays(pa.array(blk_off32),
+                                 pa.array(pf.blk_doc_offs)),
+        pa.ListArray.from_arrays(pa.array(blk_off32),
+                                 pa.array(pf.blk_tf_offs)),
+        pa.ListArray.from_arrays(pa.array(blk_off32),
+                                 pa.array(pf.blk_dl_offs)),
+        pa.ListArray.from_arrays(pa.array(blk_off32),
+                                 pa.array(pf.max_partial)),
+    ], schema=_postings_pa_schema())
+
+
 def _pack_runs(mini: DataFrame, *, avgdl: float,
                n_out_parts: int = 64) -> DataFrame:
     """SPIMI run rows (seg, tb, term, doc/tf/dl arrays) → packed postings:
@@ -487,35 +702,38 @@ def _pack_runs(mini: DataFrame, *, avgdl: float,
             .sortWithinPartitions("seg", "tb", "term"))
 
     # --- reduce: streaming merge of sorted runs + pack ---------------------
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: Optional[pd.DataFrame] = None
-        for b in batches:
-            if carry is not None:
-                b = pd.concat([carry, b], ignore_index=True)
-                carry = None
-            if len(b) == 0:
+    def pack(batches):
+        import pyarrow as pa
+        carry = None  # pa.Table holding the trailing (seg, term) group
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
+            t = pa.Table.from_batches([batch])
+            if carry is not None:
+                t = pa.concat_tables([carry, t]).combine_chunks()
+                carry = None
+            n = t.num_rows
             # hold back the trailing (seg, term) group — it may continue in
             # the next batch
-            last_seg = b["seg"].iloc[-1]
-            last_term = b["term"].iloc[-1]
-            tail_mask = ((b["seg"].to_numpy() == last_seg)
-                         & (b["term"].to_numpy() == last_term))
-            ntail = int(tail_mask[::-1].cumprod().sum())
-            if ntail == len(b):
-                carry = b
+            seg = t.column("seg").chunk(0).to_numpy()
+            term = t.column("term").chunk(0)
+            gchange = np.empty(n, dtype=bool)
+            gchange[0] = True
+            if n > 1:
+                import pyarrow.compute as pc
+                tneq = pc.not_equal(term.slice(1), term.slice(0, n - 1))
+                gchange[1:] = (tneq.to_numpy(zero_copy_only=False)
+                               | (seg[1:] != seg[:-1]))
+            last_start = int(np.flatnonzero(gchange)[-1])
+            if last_start == 0:
+                carry = t
                 continue
-            carry = b.iloc[len(b) - ntail:].reset_index(drop=True)
-            head = b.iloc[: len(b) - ntail]
-            out = _pack_array_runs(head, avgdl)
-            if out is not None:
-                yield out
-        if carry is not None and len(carry):
-            out = _pack_array_runs(carry, avgdl)
-            if out is not None:
-                yield out
+            carry = t.slice(last_start)
+            yield _pack_table(t.slice(0, last_start), avgdl)
+        if carry is not None and carry.num_rows:
+            yield _pack_table(carry, avgdl)
 
-    return runs.mapInPandas(pack, POSTINGS_SCHEMA)
+    return runs.mapInArrow(pack, POSTINGS_SCHEMA)
 
 
 def _mini_invert(b: pd.DataFrame, n_buckets: int) -> Optional[pd.DataFrame]:
@@ -556,51 +774,6 @@ def _mini_invert(b: pd.DataFrame, n_buckets: int) -> Optional[pd.DataFrame]:
         "doc_ids": [docs_s[s:e] for s, e in zip(starts, ends)],
         "tfs": [tfs_s[s:e] for s, e in zip(starts, ends)],
         "dls": [dls_s[s:e] for s, e in zip(starts, ends)],
-    })
-
-
-def _pack_array_runs(b: pd.DataFrame, avgdl: float) -> Optional[pd.DataFrame]:
-    """Merge+pack rows sorted by (seg, term), each carrying partial posting
-    arrays from one map task: concatenate runs per (seg, term), then
-    codec.pack_rows (which lexsorts by docID — run order across map tasks is
-    arbitrary)."""
-    n = len(b)
-    if n == 0:
-        return None
-    segs = b["seg"].to_numpy()
-    terms = b["term"].to_numpy()
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    change[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], n)
-    dlists = b["doc_ids"].to_numpy()
-    tlists = b["tfs"].to_numpy()
-    llists = b["dls"].to_numpy()
-
-    def cat(lists, s, e, dtype):
-        if e - s == 1:
-            return np.asarray(lists[s], dtype=dtype)
-        return np.concatenate([np.asarray(x, dtype=dtype)
-                               for x in lists[s:e]])
-
-    doc_lists = [cat(dlists, s, e, np.int64) for s, e in zip(starts, ends)]
-    tf_lists = [cat(tlists, s, e, np.int64) for s, e in zip(starts, ends)]
-    dl_lists = [cat(llists, s, e, np.int64) for s, e in zip(starts, ends)]
-    packed = codec.pack_rows(doc_lists, tf_lists, dl_lists, avgdl)
-    return pd.DataFrame({
-        "term": terms[starts],
-        "seg": segs[starts],
-        "tb": b["tb"].to_numpy()[starts],
-        "df": [p.df for p in packed],
-        "docs": [p.docs for p in packed],
-        "tfs": [p.tfs for p in packed],
-        "dls": [p.dls for p in packed],
-        "first_docs": [p.first_docs for p in packed],
-        "doc_offs": [p.doc_offs for p in packed],
-        "tf_offs": [p.tf_offs for p in packed],
-        "dl_offs": [p.dl_offs for p in packed],
-        "max_partial": [p.max_partial for p in packed],
     })
 
 

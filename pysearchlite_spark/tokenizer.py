@@ -62,14 +62,13 @@ def tf_series(texts: pd.Series):
     (term, tf) pairs into the posting build removes an entire 1-row-per-
     OCCURRENCE shuffle from the plan (the tf aggregation happens here,
     before any exchange)."""
-    toks = tokens_series(texts)
-    lens = toks.map(len).to_numpy(dtype=np.int64)
+    flat, lens = flat_tokens(texts)
     n = len(texts)
-    if n == 0 or lens.sum() == 0:
+    if n == 0 or flat.size == 0:
         empty_s = pd.Series([[] for _ in range(n)], index=texts.index)
         empty_i = pd.Series([[] for _ in range(n)], index=texts.index)
         return empty_s, empty_i, pd.Series(lens, index=texts.index)
-    out_rows, out_codes, counts, uniques = _tf_flat(toks, lens, n)
+    out_rows, out_codes, counts, uniques = _tf_flat(flat, lens, n)
     # split per row (out_rows is non-decreasing, see _tf_flat)
     row_bounds = np.searchsorted(out_rows, np.arange(n + 1))
     per_row_terms = uniques[out_codes]
@@ -81,8 +80,42 @@ def tf_series(texts: pd.Series):
             pd.Series(lens, index=texts.index))
 
 
-def _tf_flat(toks: pd.Series, lens: np.ndarray, n: int):
-    """Flat (row, term) pair counts over tokenized rows.
+def flat_tokens(texts: pd.Series):
+    """Flat tokenization for batch consumers: ONE object array of all
+    tokens (row-major) + per-row token counts.
+
+    The lowercase+split runs over a SINGLE joined string for the whole
+    batch instead of one str_map pass per row — findall is the only
+    unavoidable per-row regex pass. Profiled: the per-row join/lower/split
+    trio cost as much as the findall itself on web-page batches."""
+    from itertools import chain
+    matches = texts.fillna("").str.findall(ASCII_TOKEN)
+    n = len(texts)
+    lens = np.fromiter((len(m) for m in matches), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=object), lens
+    big = "\x00".join(chain.from_iterable(matches)).lower()
+    flat = np.array(big.split("\x00"), dtype=object)
+    return flat, lens
+
+
+def occurrence_codes(texts: pd.Series):
+    """(occ_rows, codes, uniques, lens): one entry per token OCCURRENCE in
+    row-major order — the raw material for tf counting and inversion.
+    occ_rows is non-decreasing by construction."""
+    flat, lens = flat_tokens(texts)
+    n = len(texts)
+    if flat.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=object), lens
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes, uniques = pd.factorize(flat)
+    return rows, codes, np.asarray(uniques, dtype=object), lens
+
+
+def _tf_flat(flat: np.ndarray, lens: np.ndarray, n: int):
+    """Flat (row, term) pair counts over flat_tokens output.
 
     Returns (out_rows, out_codes, counts, uniques): one entry per DISTINCT
     (row, token) pair — the row index, the token's code into `uniques`, and
@@ -91,7 +124,6 @@ def _tf_flat(toks: pd.Series, lens: np.ndarray, n: int):
     grouped by row and `out_rows` is non-decreasing. (A previous
     np.unique(key, return_counts=True) version sorted the full occurrence
     array and was the single most expensive line of the build.)"""
-    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
     codes, uniques = pd.factorize(flat)
     key = rows * np.int64(len(uniques)) + codes
@@ -109,13 +141,12 @@ def tf_pairs(texts: pd.Series):
     tf_series, for callers (the index build) that immediately re-flatten:
     skips building per-row object arrays AND the re-factorize a separate
     inversion pass would pay."""
-    toks = tokens_series(texts)
-    lens = toks.map(len).to_numpy(dtype=np.int64)
+    flat, lens = flat_tokens(texts)
     n = len(texts)
-    if n == 0 or lens.sum() == 0:
+    if n == 0 or flat.size == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z, z, np.empty(0, dtype=object), lens
-    out_rows, out_codes, counts, uniques = _tf_flat(toks, lens, n)
+    out_rows, out_codes, counts, uniques = _tf_flat(flat, lens, n)
     return out_rows, out_codes, counts, uniques, lens
 
 
