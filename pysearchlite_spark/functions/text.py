@@ -65,21 +65,36 @@ _STOPWORDS = {
 
 
 def _langid_series(texts: pd.Series) -> pd.Series:
-    """Stopword-ratio heuristic: the language whose stopword set covers the
-    largest fraction of tokens; 'und' (undetermined) when no hits."""
-    toks = tokens_series(texts)
-    out = []
-    for ts in toks:
-        if not ts:
-            out.append("und")
-            continue
-        best_lang, best = "und", 0
-        for lang, sw in _STOPWORDS.items():
-            hits = sum(1 for t in ts if t in sw)
-            if hits > best:
-                best_lang, best = lang, hits
-        out.append(best_lang)
-    return pd.Series(out, index=texts.index)
+    """Stopword-hit heuristic: the language with the most stopword token
+    hits; 'und' (undetermined) when no hits. Ties go to the earliest
+    language in _STOPWORDS order (argmax first-wins == the scalar loop's
+    strict `hits > best`).
+
+    Vectorized batch-wide: tokens are factorized once, stopword membership
+    is computed per DISTINCT token, and per-row hit counts come from
+    cumsum differences at row offsets — no per-token Python."""
+    from pysearchlite_spark.tokenizer import flat_tokens
+    flat, lens = flat_tokens(texts)
+    n = len(texts)
+    langs = list(_STOPWORDS)
+    if flat.size == 0:
+        return pd.Series(["und"] * n, index=texts.index)
+    codes, uniques = pd.factorize(flat)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    counts = np.empty((len(langs), n), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        sw = _STOPWORDS[lang]
+        member = np.fromiter((u in sw for u in uniques), dtype=np.int64,
+                             count=len(uniques))
+        occ_cum = np.zeros(flat.size + 1, dtype=np.int64)
+        np.cumsum(member[codes], out=occ_cum[1:])
+        counts[li] = occ_cum[offs[1:]] - occ_cum[offs[:-1]]
+    best = np.argmax(counts, axis=0)
+    hit = counts.max(axis=0) > 0
+    lang_arr = np.asarray(langs, dtype=object)
+    out = np.where(hit, lang_arr[best], "und")
+    return pd.Series(out, index=texts.index, dtype=object)
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id",

@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pysearchlite_spark.tokenizer import tokens_series
 
 MERSENNE = (1 << 61) - 1
 
@@ -47,17 +46,54 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------------- shingles/minhash --
 
-def _hash_shingles(tokens: List[str], k: int = 3) -> np.ndarray:
-    """Distinct word-k-gram shingles → 64-bit hashes (blake2b, stable)."""
-    if len(tokens) < k:
-        shingles = {" ".join(tokens)} if tokens else set()
-    else:
-        shingles = {" ".join(tokens[i:i + k])
-                    for i in range(len(tokens) - k + 1)}
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(sorted(shingles)):
+_SHINGLE_MIX = np.uint64(1099511628211)  # FNV-1a prime (k-gram combine base)
+
+
+def _token_hashes(uniques: np.ndarray) -> np.ndarray:
+    """blake2b-64 per DISTINCT token — the only per-string hashing left;
+    everything downstream works on uint64 vectors."""
+    out = np.empty(len(uniques), dtype=np.uint64)
+    for i, t in enumerate(uniques):
         out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def _shingle_hashes_batch(texts: pd.Series, k: int = 3) -> List[np.ndarray]:
+    """Per row: SORTED DISTINCT word-k-gram shingle hashes (uint64).
+
+    Vectorized across the whole batch: tokens are factorized once, blake2b
+    runs once per DISTINCT token, and k-gram hashes are a polynomial combine
+    (mod 2^64) of consecutive token hashes via shifted array multiplies —
+    no per-shingle Python strings or hash calls (profiled as the whole cost
+    of MinHash at bench scale). Rows shorter than k hash the whole row."""
+    from pysearchlite_spark.tokenizer import flat_tokens
+    flat, lens = flat_tokens(texts)
+    n = len(texts)
+    if flat.size == 0:
+        return [np.empty(0, np.uint64)] * n
+    codes, uniques = pd.factorize(flat)
+    h = _token_hashes(np.asarray(uniques, dtype=object))[codes]
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    # window hash for every start position j: poly over h[j:j+k] (mod 2^64)
+    hw = h.copy()
+    for step in range(1, k):
+        hw = hw[: h.size - step] * _SHINGLE_MIX + h[step:]
+    out: List[np.ndarray] = []
+    for r in range(n):
+        s, e = int(offs[r]), int(offs[r + 1])
+        ln = e - s
+        if ln == 0:
+            out.append(np.empty(0, np.uint64))
+        elif ln < k:
+            # whole-row shingle: same polynomial over the short row
+            v = h[s]
+            for j in range(s + 1, e):
+                v = v * _SHINGLE_MIX + h[j]
+            out.append(np.asarray([v], dtype=np.uint64))
+        else:
+            out.append(np.unique(hw[s:e - k + 1]))
     return out
 
 
@@ -77,16 +113,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks = tokens_series(pdf[text_col])
-            sigs = []
-            for ts in toks:
-                h = _hash_shingles(ts, shingle_k)
-                if h.size == 0:
-                    sigs.append(np.full(n_perm, MERSENNE, dtype=np.int64).tolist())
-                    continue
-                # (n_perm, n_shingles) via outer product, mod Mersenne prime
-                vals = (np.multiply.outer(a, h) + b[:, None]) % np.uint64(MERSENNE)
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            sh = _shingle_hashes_batch(pdf[text_col], shingle_k)
+            R = len(sh)
+            sizes = np.fromiter((s.size for s in sh), dtype=np.int64,
+                                count=R)
+            sigm = np.full((n_perm, R), MERSENNE, dtype=np.uint64)
+            nz = np.flatnonzero(sizes)
+            if nz.size:
+                H = np.concatenate([sh[i] for i in nz])
+                # (n_perm, total_shingles) permute, then per-row min via ONE
+                # reduceat per perm — replaces the former per-doc outer
+                # products (one numpy dispatch per doc)
+                vals = ((a[:, None] * H[None, :] + b[:, None])
+                        % np.uint64(MERSENNE))
+                starts = np.zeros(nz.size, dtype=np.int64)
+                np.cumsum(sizes[nz][:-1], out=starts[1:])
+                sigm[:, nz] = np.minimum.reduceat(vals, starts, axis=1)
+            sigs = list(sigm.astype(np.int64).T)
             yield pd.DataFrame({"doc_id": pdf[id_col], "sig": sigs})
 
     return df.mapInPandas(run, "doc_id long, sig array<long>")
@@ -131,11 +174,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
     def shingle_sets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks = tokens_series(pdf["text"])
+            sh = _shingle_hashes_batch(pdf["text"], shingle_k)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "sh": [np.sort(_hash_shingles(t, shingle_k)).astype(np.int64)
-                       .tolist() for t in toks]})
+                "sh": [s.astype(np.int64).tolist() for s in sh]})
 
     sh = docs.mapInPandas(shingle_sets, "doc_id long, sh array<long>")
     joined = (cand
@@ -201,24 +243,32 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     weighted by tf, vectorized with numpy bit unpacking."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pysearchlite_spark.tokenizer import flat_tokens
         for pdf in batches:
-            toks = tokens_series(pdf[text_col])
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, ts in enumerate(toks):
-                if not ts:
-                    continue
-                uniq, counts = np.unique(ts, return_counts=True)
-                hs = np.array([int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                    "big") for t in uniq], dtype=np.uint64)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)
-                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                sim = np.uint64(0)
-                for bpos in np.flatnonzero(acc > 0):
-                    sim |= np.uint64(1) << np.uint64(bpos)
-                out[i] = np.int64(sim.astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
+            n = len(pdf)
+            flat, lens = flat_tokens(pdf[text_col])
+            if flat.size == 0:
+                yield pd.DataFrame({"doc_id": pdf[id_col],
+                                    "simhash": np.zeros(n, dtype=np.int64)})
+                continue
+            codes, uniques = pd.factorize(flat)
+            th = _token_hashes(np.asarray(uniques, dtype=object))
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            # per-row bit accumulator: acc[r,b] = 2*ones[r,b] - len_r where
+            # ones counts occurrences whose token has bit b set (tf weighting
+            # == occurrence counting); sign bit per position, batch-wide
+            sim = np.zeros(n, dtype=np.uint64)
+            occ_cum = np.empty(flat.size + 1, dtype=np.int64)
+            for bpos in range(64):
+                bit_u = ((th >> np.uint64(bpos)) & np.uint64(1)).astype(np.int64)
+                occ_cum[0] = 0
+                np.cumsum(bit_u[codes], out=occ_cum[1:])
+                ones = occ_cum[offs[1:]] - occ_cum[offs[:-1]]
+                pos = (2 * ones - lens) > 0
+                sim |= pos.astype(np.uint64) << np.uint64(bpos)
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "simhash": sim.astype(np.int64)})
 
     return df.mapInPandas(run, "doc_id long, simhash long")
 
