@@ -121,14 +121,17 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
             nz = np.flatnonzero(sizes)
             if nz.size:
                 H = np.concatenate([sh[i] for i in nz])
-                # (n_perm, total_shingles) permute, then per-row min via ONE
-                # reduceat per perm — replaces the former per-doc outer
-                # products (one numpy dispatch per doc)
-                vals = ((a[:, None] * H[None, :] + b[:, None])
-                        % np.uint64(MERSENNE))
                 starts = np.zeros(nz.size, dtype=np.int64)
                 np.cumsum(sizes[nz][:-1], out=starts[1:])
-                sigm[:, nz] = np.minimum.reduceat(vals, starts, axis=1)
+                # permute + per-row min via reduceat, CHUNKED to 8 perms at
+                # a time: one giant (64, total) reduceat is ~200x slower
+                # (cache-hostile strides) and per-doc outer products pay one
+                # numpy dispatch per doc — 8-row chunks are the sweet spot
+                for p in range(0, n_perm, 8):
+                    vals = ((a[p:p + 8, None] * H[None, :]
+                             + b[p:p + 8, None]) % np.uint64(MERSENNE))
+                    sigm[p:p + 8, nz] = np.minimum.reduceat(
+                        vals, starts, axis=1)
             sigs = list(sigm.astype(np.int64).T)
             yield pd.DataFrame({"doc_id": pdf[id_col], "sig": sigs})
 

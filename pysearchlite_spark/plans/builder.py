@@ -20,8 +20,10 @@ spill sorted runs                staged runs → ONE exchange hash-partitioned
 spill sorted runs + pairwise     Spark sort-based shuffle spills natively;
   merge (:62-71,126-145)           our explicit analogue is docID-range
                                    SEGMENTS (seg = doc_id // segment_docs)
-convert_to_skip_list (:111-124)  batch numpy pack (codec.pack_rows):
-                                   delta+varbyte + skip blocks + block-max
+convert_to_skip_list (:111-124)  batch numpy pack (codec.pack_flat):
+                                   delta+varbyte + skip blocks + block-max,
+                                   written hive-partitioned by worker-direct
+                                   pyarrow sinks (metrics as job rows)
 
 Skew (north rule, Zipfian terms): the segment id is an ORDER-PRESERVING SALT —
 a hot term's postings land in one row per segment, each bounded by
@@ -596,8 +598,12 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
         # overhead. The former sum_dl//300k sizing launched 240 reducers for
         # an 8-core run (task-wave overhead, 240 tiny parquet files).
         par = spark.sparkContext.defaultParallelism
+        # ~4 waves/core for big inputs, but never more reducers than the
+        # data supports (~200k entries each) or distinct (seg, tb) keys;
+        # ≥50M entries per task bounds retry granularity at huge scale
+        target = min(4 * par, sum_dl // 200_000 + 1)
         n_out_parts = max(1, min(len(post_todo) * n_buckets,
-                                 max(4 * par, sum_dl // 50_000_000 + 1)))
+                                 max(target, sum_dl // 50_000_000 + 1)))
         src = (runs.filter((F.col("tb") >= 0)
                            & F.col("seg").isin(post_todo)).drop("url"))
         if "://" not in cat.postings_dir():
