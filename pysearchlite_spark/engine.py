@@ -214,7 +214,9 @@ class SearchIndex:
         return np.concatenate(parts)
 
     def count(self, query: str, distributed: bool = False) -> int:
-        return int(self.search_and_ids(query, distributed=distributed).size)
+        if distributed:
+            return self._count_and_dist(query_terms(query))
+        return int(self.search_and_ids(query).size)
 
     def search(self, query: str, distributed: bool = False) -> List[str]:
         """AND query → doc names (urls), ascending docID order
@@ -272,6 +274,32 @@ class SearchIndex:
                .groupBy("seg").applyInPandas(run, "doc_id long")
                .orderBy("doc_id").collect())
         return np.array([r["doc_id"] for r in out], dtype=np.int64)
+
+    def _count_and_dist(self, terms: List[str]) -> int:
+        """Distributed COUNT: per-segment intersection SIZES only — no docID
+        materialization or collect of matches (the reference's count_and,
+        inverted_index_skip_list.py:252-298, which counts without building
+        the result list; here additionally summed across segments)."""
+        if not terms:
+            return 0
+        dfs_rows = (self.postings_df(terms).groupBy("term")
+                    .agg(F.sum("df").alias("df")).collect())
+        dfs = {r["term"]: int(r["df"]) for r in dfs_rows}
+        if any(dfs.get(t, 0) == 0 for t in terms):
+            return 0
+        n_terms = len(set(terms))
+
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            if len(rows) < n_terms:
+                return pd.DataFrame({"cnt": pd.Series([0], dtype="int64")})
+            ids = I.intersect_packed(rows)
+            return pd.DataFrame({"cnt": pd.Series([ids.size], dtype="int64")})
+
+        out = (self.postings_df(terms)
+               .groupBy("seg").applyInPandas(run, "cnt long")
+               .agg(F.sum("cnt").alias("total")).collect())
+        return int(out[0]["total"] or 0)
 
     def _topk_dist(self, terms: List[str], k: int, mode: str,
                    use_blockmax) -> List[Tuple[int, float]]:

@@ -44,7 +44,12 @@ def get_spark(app: str = "pysearchlite_spark", master: str | None = None,
         # via SPARK_GRAFT_MAX_PARTITION_BYTES
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — size the heap for the
+        # task-slot count (32 threads reading list columns need GBs of
+        # columnar-reader vectors alone; 8g measurably OOMed a 9.6M-doc
+        # build). On a real cluster this maps to executor memory instead.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
