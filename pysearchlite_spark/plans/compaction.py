@@ -7,8 +7,14 @@ space into disjoint ascending ranges, merging per-term posting lists across
 segments is ordered concatenation (the same invariant the reference exploits
 when concatenating id lists of equal tokens across runs, merge_ids,
 gamma_codecs.py:204-211). So an R-way merge is
-    groupBy(term) . sort_by(seg) . concat-decode . repack
+    decode old packed rows → RUNS-shaped array rows (new_seg, tb, term)
+    → the SAME exchange+merge-pack pipeline the build uses (_pack_runs):
+      hash-partition by (seg, tb), sortWithinPartitions, streaming
+      merge-pack with term-boundary carry, worker-direct parquet sink
 — no k-way heap needed, and Spark's shuffle replaces the log2(R) pass tree.
+(The previous groupBy(collect_list(struct(binary...))) plan shuffled packed
+binaries as JVM objects and wrote 128MB JVM row groups whose poor term
+pruning made post-compaction term fetches 10x slower.)
 
 Old segment files stay on disk; visibility flips atomically at the manifest
 commit (new snapshot's posting_segments), preserving time travel. Query
@@ -18,17 +24,55 @@ results before/after compaction are identical (tested).
 from __future__ import annotations
 
 import time
-from typing import Iterator, List, Optional
+from typing import Optional
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from pysearchlite_spark import codec
-from pysearchlite_spark.plans.builder import term_bucket
-from pysearchlite_spark.sources.catalog import (POSTINGS_SCHEMA,
-                                                IndexCatalog)
+from pysearchlite_spark.plans.builder import (RUNS_SCHEMA, _pack_runs,
+                                              _write_build_log_rows)
+from pysearchlite_spark.sources.catalog import POSTINGS_SCHEMA, IndexCatalog
+
+
+def _decode_stage(batches):
+    """Packed posting rows → RUNS-shaped array rows (seg already remapped).
+    Output built as ListArrays over flat decoded arrays (no per-row Python
+    objects on the output path)."""
+    import pyarrow as pa
+    out_schema = pa.schema([
+        ("seg", pa.int64()), ("tb", pa.int32()), ("term", pa.string()),
+        ("doc_ids", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int64())),
+        ("dls", pa.list_(pa.int64())), ("url", pa.string())])
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        cols = {name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)}
+        dfs = cols["df"].to_numpy()
+        doc_parts, tf_parts, dl_parts = [], [], []
+        for docs_b, tfs_b, dls_b, df in zip(
+                cols["docs"].to_pylist(), cols["tfs"].to_pylist(),
+                cols["dls"].to_pylist(), dfs):
+            df = int(df)
+            doc_parts.append(codec.unpack_docs(docs_b, df))
+            tf_parts.append(codec.unpack_stream(tfs_b, df).astype(np.int64))
+            dl_parts.append(codec.unpack_stream(dls_b, df).astype(np.int64))
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dfs, out=offs[1:])
+        offs32 = pa.array(offs.astype(np.int32))
+        yield pa.RecordBatch.from_arrays([
+            cols["seg"], cols["tb"], cols["term"],
+            pa.ListArray.from_arrays(
+                offs32, pa.array(np.concatenate(doc_parts))),
+            pa.ListArray.from_arrays(
+                offs32, pa.array(np.concatenate(tf_parts))),
+            pa.ListArray.from_arrays(
+                offs32, pa.array(np.concatenate(dl_parts))),
+            pa.nulls(n, pa.string()),
+        ], schema=out_schema)
 
 
 def compact_segments(spark: SparkSession, index_dir: str,
@@ -44,7 +88,6 @@ def compact_segments(spark: SparkSession, index_dir: str,
         raise ValueError(f"no committed snapshot in {index_dir}")
     stats = snap["stats"]
     avgdl = float(stats["avgdl"])
-    n_buckets = int(stats["n_buckets"])
     old_segs = sorted(snap.get("posting_segments", snap["segments"]))
     if len(old_segs) <= 1:
         return int(snap["snapshot_id"])  # nothing to merge
@@ -55,53 +98,34 @@ def compact_segments(spark: SparkSession, index_dir: str,
     mapping = F.create_map(
         *[x for s, g in group_of.items() for x in (F.lit(s), F.lit(g))])
 
+    t0 = time.time()
     postings = (spark.read.schema(POSTINGS_SCHEMA)
                 .parquet(cat.postings_dir())
                 .filter(F.col("seg").isin(old_segs)))
-    # one shuffle: (new_seg, term) → ordered slices
-    grouped = (postings
-               .withColumn("new_seg", mapping[F.col("seg")])
-               .groupBy("new_seg", "term")
-               .agg(F.sort_array(F.collect_list(F.struct(
-                   "seg", "df", "docs", "tfs", "dls"))).alias("parts")))
+    runs_like = (postings
+                 .withColumn("seg", mapping[F.col("seg")].cast("long"))
+                 .select("seg", "tb", "term", "df", "docs", "tfs", "dls")
+                 .mapInArrow(_decode_stage, RUNS_SCHEMA))
 
-    def repack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            doc_lists, tf_lists, dl_lists = [], [], []
-            for parts in b["parts"]:
-                docs_l, tfs_l, dls_l = [], [], []
-                for p in parts:  # already ascending by seg (sort_array)
-                    df = int(p["df"])
-                    docs_l.append(codec.unpack_docs(p["docs"], df))
-                    tfs_l.append(codec.unpack_stream(p["tfs"], df)
-                                 .astype(np.int64))
-                    dls_l.append(codec.unpack_stream(p["dls"], df)
-                                 .astype(np.int64))
-                doc_lists.append(np.concatenate(docs_l))  # disjoint asc ranges
-                tf_lists.append(np.concatenate(tfs_l))
-                dl_lists.append(np.concatenate(dls_l))
-            packed = codec.pack_rows(doc_lists, tf_lists, dl_lists, avgdl)
-            yield pd.DataFrame({
-                "term": b["term"].values,
-                "seg": b["new_seg"].astype("int64").values,
-                "tb": [term_bucket(t, n_buckets) for t in b["term"]],
-                "df": [p.df for p in packed],
-                "docs": [p.docs for p in packed],
-                "tfs": [p.tfs for p in packed],
-                "dls": [p.dls for p in packed],
-                "first_docs": [p.first_docs for p in packed],
-                "doc_offs": [p.doc_offs for p in packed],
-                "tf_offs": [p.tf_offs for p in packed],
-                "dl_offs": [p.dl_offs for p in packed],
-                "max_partial": [p.max_partial for p in packed],
-            })
-
+    par = spark.sparkContext.defaultParallelism
+    n_out_parts = max(1, min(len(set(group_of.values()))
+                             * int(stats["n_buckets"]), 4 * par))
     new_segs = sorted(set(group_of.values()))
-    (grouped.mapInPandas(repack, POSTINGS_SCHEMA)
-     .write.partitionBy("seg", "tb").mode("append")
-     .parquet(cat.postings_dir()))
-    for s in new_segs:
-        cat.mark_staged("postings", s)
+    if "://" not in cat.postings_dir():
+        metric_rows = _pack_runs(runs_like.drop("url"), avgdl=avgdl,
+                                 n_out_parts=n_out_parts,
+                                 sink_dir=cat.postings_dir()).collect()
+        for s in new_segs:
+            cat.mark_staged("postings", s)
+        _write_build_log_rows(spark, cat, metric_rows, time.time() - t0,
+                              {"source": "compaction"})
+    else:
+        packed = _pack_runs(runs_like.drop("url"), avgdl=avgdl,
+                            n_out_parts=n_out_parts)
+        (packed.write.partitionBy("seg", "tb").mode("append")
+         .parquet(cat.postings_dir()))
+        for s in new_segs:
+            cat.mark_staged("postings", s)
 
     lineage = dict(snap.get("lineage") or {})
     lineage.update({"compaction_of": old_segs, "compacted_at": time.time(),
