@@ -126,6 +126,35 @@ def fingerprint_tokens(tokens: list) -> int:
     return h
 
 
+def _fingerprint_series(texts: pd.Series) -> pd.Series:
+    """Batch fingerprints, identical to fingerprint_tokens per row
+    (property-tested): blake2b runs once per DISTINCT token in the batch;
+    the rolling-mod combine stays a per-row Python-int loop over the
+    prehashed int array (the modmul needs 122-bit intermediates numpy
+    cannot hold)."""
+    import numpy as np
+
+    from pysearchlite_spark.operators.dedup import _token_hashes
+    from pysearchlite_spark.tokenizer import flat_tokens
+    flat, lens = flat_tokens(texts)
+    n = len(texts)
+    if flat.size == 0:
+        return pd.Series([0] * n, index=texts.index, dtype="int64")
+    codes, uniques = pd.factorize(flat)
+    th = [int(x) for x in
+          _token_hashes(np.asarray(uniques, dtype=object))]
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    codes_l = codes.tolist()
+    out = np.empty(n, dtype=np.int64)
+    for r in range(n):
+        h = 0
+        for j in range(int(offs[r]), int(offs[r + 1])):
+            h = (h * _FP_BASE + th[codes_l[j]]) % _FP_MOD
+        out[r] = h
+    return pd.Series(out, index=texts.index, dtype="int64")
+
+
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     from pyspark.sql.functions import pandas_udf
@@ -133,8 +162,6 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
     @pandas_udf("long")
     def fp_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for b in batches:
-            toks = tokens_series(b)
-            yield pd.Series([fingerprint_tokens(t) for t in toks],
-                            index=b.index, dtype="int64")
+            yield _fingerprint_series(b)
 
     return df.select(F.col(id_col), fp_udf(F.col(text_col)).alias("fingerprint"))

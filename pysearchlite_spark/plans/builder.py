@@ -225,7 +225,8 @@ def _invert_flush(doc_ids: np.ndarray, urls: np.ndarray, texts: pd.Series,
     return out
 
 
-DEFAULT_STAGE0_SLAB_DOCS = 32768
+DEFAULT_STAGE0_SLAB_DOCS = int(os.environ.get("PSL_STAGE0_SLAB_DOCS",
+                                              32768))
 
 
 def make_stage0(segment_docs: int, n_buckets: int, *,
