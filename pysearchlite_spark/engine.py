@@ -120,6 +120,8 @@ class SearchIndex:
                         .parquet(self.cat.docmap_dir())
                         .filter(F.col("seg").isin([int(s) for s in doc_segs])))
         self._term_cache: Dict[str, List[dict]] = {}
+        self._cache_pdf: Optional[pd.DataFrame] = None
+        self._cache_pos: Optional[dict] = None
         self._cache_complete = False
 
     # -------------------------------------------------------- hot cache ---
@@ -135,15 +137,31 @@ class SearchIndex:
         pdf = df.select("term", "seg", "df", "docs", "tfs", "dls",
                         "first_docs", "doc_offs", "tf_offs", "dl_offs",
                         "max_partial").toPandas()
-        cache: Dict[str, List[dict]] = {}
-        for r in pdf.to_dict("records"):
-            cache.setdefault(r["term"], []).append(r)
-        for rows in cache.values():
-            rows.sort(key=lambda r: int(r["seg"]))
+        # LAZY row materialization: building one dict per row up front cost
+        # minutes on a 1M-doc index (1.2M python dicts); instead keep the
+        # frame + a term→positions map and materialize a term's row dicts on
+        # first access (queries touch a handful of terms).
+        self._cache_pdf = pdf.sort_values(["term", "seg"],
+                                          kind="stable").reset_index(drop=True)
+        self._cache_pos = self._cache_pdf.groupby("term", sort=False
+                                                  ).indices
         if terms is None:
             self._cache_complete = True
-        self._term_cache.update(cache)
+        else:
+            for t in terms:
+                if t not in self._cache_pos:
+                    self._term_cache.setdefault(t, [])
         return len(pdf)
+
+    def _cached_rows(self, term: str) -> List[dict]:
+        rows = self._term_cache.get(term)
+        if rows is None:
+            pos = self._cache_pos.get(term) if self._cache_pos is not None \
+                else None
+            rows = ([] if pos is None else
+                    self._cache_pdf.iloc[pos].to_dict("records"))
+            self._term_cache[term] = rows
+        return rows
 
     # ------------------------------------------------------------ scan ----
     def postings_df(self, terms: List[str]) -> DataFrame:
@@ -156,9 +174,14 @@ class SearchIndex:
     def _fetch(self, terms: List[str]) -> pd.DataFrame:
         if not terms:
             return pd.DataFrame(columns=["term", "seg", "df"])
-        if self._cache_complete or all(t in self._term_cache for t in terms):
-            rows = [r for t in set(terms)
-                    for r in self._term_cache.get(t, [])]
+
+        def have(t: str) -> bool:
+            return (self._cache_complete or t in self._term_cache
+                    or (self._cache_pos is not None
+                        and t in self._cache_pos))
+
+        if all(have(t) for t in terms):
+            rows = [r for t in set(terms) for r in self._cached_rows(t)]
             if not rows:
                 return pd.DataFrame(columns=["term", "seg", "df"])
             return pd.DataFrame(rows)
@@ -224,8 +247,18 @@ class SearchIndex:
         ids = self.search_and_ids(query, distributed=distributed)
         if ids.size == 0:
             return []
-        rows = (self._docmap.filter(F.col("doc_id").isin(ids.tolist()))
-                .select("doc_id", "url").collect())
+        if ids.size <= 10_000:
+            # small result: In-list pushdown prunes the docmap scan (S8)
+            rows = (self._docmap.filter(F.col("doc_id").isin(ids.tolist()))
+                    .select("doc_id", "url").collect())
+        else:
+            # large result: a 100k+-element In expression is quadratic to
+            # plan — join against the id set instead (broadcast: the id
+            # frame is the small side)
+            ids_df = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id long")
+            rows = (self._docmap.join(F.broadcast(ids_df), "doc_id")
+                    .select("doc_id", "url").collect())
         name = {r["doc_id"]: r["url"] for r in rows}
         return [name[int(i)] for i in ids]
 

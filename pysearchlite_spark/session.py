@@ -50,6 +50,11 @@ def get_spark(app: str = "pysearchlite_spark", master: str | None = None,
         # build). On a real cluster this maps to executor memory instead.
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # whole-index preload (the reference's mmap-residency analogue)
+        # collects the packed postings table; the 1g default rejects
+        # multi-GB indexes the heap can easily hold
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
