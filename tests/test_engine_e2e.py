@@ -176,3 +176,24 @@ def test_blockmax_disjoint_term_ranges(spark, tmp_path):
         assert got == want, q
         assert [d for d, _ in got] == sorted(d for d, _ in got), q
     assert [d for d, _ in idx.topk("alpha beta", k=5)] == [0, 1, 2, 3, 4]
+
+
+def test_large_result_name_lookup_and_lazy_preload(spark, tmp_path_factory):
+    """search() switches to a broadcast join above 10k result ids, and
+    preload's lazy row materialization returns the same results as the scan
+    path — both over a corpus where one term matches EVERY doc."""
+    n = 12_000
+    docs = [(f"u{i:06d}", f"common w{i % 7}") for i in range(n)]
+    idx = _build(spark, docs, tmp_path_factory.mktemp("big_names"),
+                 segment_docs=4096)
+    cold = idx.search_and_ids("common")
+    assert cold.size == n
+    names = idx.search("common")            # join path (> 10k ids)
+    assert len(names) == n
+    assert names[0] == "u000000" and names[-1] == f"u{n-1:06d}"
+    idx.preload()                           # lazy cache
+    warm = idx.search_and_ids("common")
+    assert np.array_equal(cold, warm)
+    assert idx.count("common w3") == len([d for d in docs
+                                          if d[1].endswith("w3")])
+    assert idx.topk("common", k=5) == idx.topk("common", k=5)
