@@ -141,6 +141,19 @@ class SearchIndex:
         # minutes on a 1M-doc index (1.2M python dicts); instead keep the
         # frame + a term→positions map and materialize a term's row dicts on
         # first access (queries touch a handful of terms).
+        n_new = len(pdf)
+        if terms is not None and self._cache_pdf is not None:
+            # MERGE with the existing cache (never replace wholesale): a
+            # partial preload after a full one must not orphan cached terms
+            # while _cache_complete stays True, and repeated partial preloads
+            # must accumulate rather than drop earlier warmed terms.
+            fetched = set(terms)
+            keep = self._cache_pdf[~self._cache_pdf["term"].isin(fetched)]
+            pdf = pd.concat([keep, pdf], ignore_index=True)
+            for t in fetched:
+                self._term_cache.pop(t, None)  # refreshed below lazily
+        elif terms is None:
+            self._term_cache.clear()
         self._cache_pdf = pdf.sort_values(["term", "seg"],
                                           kind="stable").reset_index(drop=True)
         self._cache_pos = self._cache_pdf.groupby("term", sort=False
@@ -151,7 +164,7 @@ class SearchIndex:
             for t in terms:
                 if t not in self._cache_pos:
                     self._term_cache.setdefault(t, [])
-        return len(pdf)
+        return n_new
 
     def _cached_rows(self, term: str) -> List[dict]:
         rows = self._term_cache.get(term)
@@ -223,10 +236,13 @@ class SearchIndex:
             return np.empty(0, dtype=np.int64)
         return np.concatenate(parts)  # segments are disjoint ascending ranges
 
-    def search_or_ids(self, query: str) -> np.ndarray:
+    def search_or_ids(self, query: str, distributed: bool = False
+                      ) -> np.ndarray:
         terms = query_terms(query)
         if not terms:
             return np.empty(0, dtype=np.int64)
+        if distributed:
+            return self._search_or_ids_dist(terms)
         pdf = self._fetch(terms)
         parts = []
         for seg, rows in sorted(self._rows_by_seg(pdf).items()):
@@ -256,7 +272,7 @@ class SearchIndex:
             # plan — join against the id set instead (broadcast: the id
             # frame is the small side)
             ids_df = self.spark.createDataFrame(
-                [(int(i),) for i in ids], "doc_id long")
+                pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64)}))
             rows = (self._docmap.join(F.broadcast(ids_df), "doc_id")
                     .select("doc_id", "url").collect())
         name = {r["doc_id"]: r["url"] for r in rows}
@@ -307,6 +323,25 @@ class SearchIndex:
                .groupBy("seg").applyInPandas(run, "doc_id long")
                .orderBy("doc_id").collect())
         return np.array([r["doc_id"] for r in out], dtype=np.int64)
+
+    def _search_or_ids_dist(self, terms: List[str]) -> np.ndarray:
+        """Distributed OR: per-segment sorted union inside applyInPandas —
+        only the segment's matching doc ids cross to the driver, never the
+        raw postings of a hot term (the 10^12-doc path; the driver path
+        collects all query-term postings first). Reference analogue: the
+        derivable union of §2.7 (no short-circuit,
+        inverted_index_skip_list.py:198-240)."""
+
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            ids = I.union_sorted(
+                [codec.unpack_docs(r["docs"], int(r["df"])) for r in rows])
+            return pd.DataFrame({"doc_id": ids})
+
+        out = (self.postings_df(terms)
+               .groupBy("seg").applyInPandas(run, "doc_id long")
+               .orderBy("doc_id").toPandas())
+        return out["doc_id"].to_numpy(np.int64)
 
     def _count_and_dist(self, terms: List[str]) -> int:
         """Distributed COUNT: per-segment intersection SIZES only — no docID

@@ -22,13 +22,17 @@ from typing import Iterator, Optional, Union
 
 import pandas as pd
 
-# One combined pass: at '<' the alternation tries the script/style-block and
-# comment branches before the bare-tag branch, so the output is identical to
-# the former two-pass (_SCRIPT_STYLE then _TAG) form at half the regex cost.
-_MARKUP = re.compile(
-    r"<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->|<[^>]*>",
+# TWO passes, deliberately: script/style blocks and comments are removed
+# FIRST, then bare tags. A single combined alternation is NOT equivalent on
+# malformed nesting — in '<a <script>var x=1</script> b> tail' the bare-tag
+# branch consumes '<a <script>' before the block branch can match, so script
+# body text would leak into the indexed text. Malformed pages like this are
+# routine at web scale; block removal must win.
+_SCRIPT_STYLE_COMMENT = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
     re.IGNORECASE | re.DOTALL,
 )
+_TAG = re.compile(r"<[^>]*>")
 
 
 def extract_text(html: Union[bytes, str, None]) -> str:
@@ -39,7 +43,8 @@ def extract_text(html: Union[bytes, str, None]) -> str:
         s = bytes(html).decode("utf-8", errors="replace")
     else:
         s = html
-    s = _MARKUP.sub(" ", s)
+    s = _SCRIPT_STYLE_COMMENT.sub(" ", s)
+    s = _TAG.sub(" ", s)
     s = _html.unescape(s)
     # collapse whitespace runs + strip: str.split() (C, unicode whitespace)
     # replaces the former re \s+ sub — same result, measurably faster

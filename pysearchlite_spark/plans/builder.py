@@ -332,9 +332,14 @@ def make_stage0_sink(out_dir: str, segment_docs: int, n_buckets: int, *,
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-        tmp = os.path.join(out_dir, f"_tmp-part-{pid:05d}.inprogress")
+        # attempt-unique tmp: with speculative execution two attempts of the
+        # same partition must never interleave writes into one tmp file —
+        # each writes its own, the os.replace is last-wins atomic
+        tmp = os.path.join(
+            out_dir, f"_tmp-part-{pid:05d}-{ctx.taskAttemptId()}.inprogress")
         writer = None
         n_rows = 0
         try:
@@ -850,7 +855,9 @@ def _pack_runs(mini: DataFrame, *, avgdl: float, n_out_parts: int = 64,
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         file_schema = pa.schema([f for f in _postings_pa_schema()
                                  if f.name not in ("seg", "tb")])
         stats: dict = {}
@@ -885,7 +892,7 @@ def _pack_runs(mini: DataFrame, *, avgdl: float, n_out_parts: int = 64,
                     state["final"] = os.path.join(
                         d, f"part-{pid:05d}.parquet")
                     state["tmp"] = os.path.join(
-                        d, f"_tmp-part-{pid:05d}.inprogress")
+                        d, f"_tmp-part-{pid:05d}-{attempt}.inprogress")
                     state["writer"] = pq.ParquetWriter(
                         state["tmp"], file_schema, compression="snappy")
                     state["key"] = key

@@ -13,6 +13,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(24g, ~70% of host MemAvailable), floor 4g: 32 task slots reading
+    list columns need GBs of columnar-reader vectors (8g OOMed a 9.6M-doc
+    build), but a fixed 24g would fail to start on smaller/cgroup-limited
+    hosts where 8g previously worked. SPARK_GRAFT_DRIVER_MEM overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            kib = {l.split(":")[0]: int(l.split()[1]) for l in f
+                   if l.split(":")[0] in ("MemTotal", "MemAvailable")}
+        avail_g = kib.get("MemAvailable", kib.get("MemTotal", 0)) / (1 << 20)
+        return f"{max(4, min(24, int(avail_g * 0.7)))}g"
+    except Exception:
+        return "8g"
+
+
 def get_spark(app: str = "pysearchlite_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
@@ -49,7 +64,8 @@ def get_spark(app: str = "pysearchlite_spark", master: str | None = None,
         # columnar-reader vectors alone; 8g measurably OOMed a 9.6M-doc
         # build). On a real cluster this maps to executor memory instead.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+                or _default_driver_mem())
         # whole-index preload (the reference's mmap-residency analogue)
         # collects the packed postings table; the 1g default rejects
         # multi-GB indexes the heap can easily hold

@@ -116,9 +116,34 @@ def test_distributed_paths_match_driver(random_idx):
     for q in ["the of", "hello test", "t10", "missing term"]:
         assert random_idx.search_and_ids(q, distributed=True).tolist() == \
             random_idx.search_and_ids(q).tolist(), q
+        assert random_idx.search_or_ids(q, distributed=True).tolist() == \
+            random_idx.search_or_ids(q).tolist(), q
         got = random_idx.topk(q, k=10, distributed=True)
         want = random_idx.topk(q, k=10)
         assert [d for d, _ in got] == [d for d, _ in want], q
+
+
+def test_preload_merge_not_replace(spark, tmp_path_factory, random_corpus):
+    """Regression: a partial preload() after a full preload() must MERGE into
+    the cache, not replace it — previously the second preload swapped in a
+    partial frame while _cache_complete stayed True, so any term outside it
+    silently returned no results."""
+    idx = _build(spark, random_corpus,
+                 tmp_path_factory.mktemp("preload_merge"), segment_docs=64)
+    oracle = _oracle_for(random_corpus)
+    idx.preload()                       # full cache
+    idx.preload(["hello"])              # partial refresh must not orphan
+    for q in ["the of", "t10", "hello test"]:
+        assert idx.search_and_ids(q).tolist() == oracle.search_and_ids(q), q
+    # repeated partial preloads accumulate warmed terms
+    idx2 = _build(spark, random_corpus,
+                  tmp_path_factory.mktemp("preload_acc"), segment_docs=64)
+    idx2.preload(["the"])
+    idx2.preload(["of"])
+    assert not idx2._cache_complete
+    assert "the" in idx2._cache_pos and "of" in idx2._cache_pos
+    assert idx2.search_and_ids("the of").tolist() == \
+        oracle.search_and_ids("the of")
 
 
 def test_reference_query_set_on_zipf_pages(spark, tmp_path_factory):
