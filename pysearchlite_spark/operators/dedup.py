@@ -138,36 +138,114 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(run, "doc_id long, sig array<long>")
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", n_perm: int = 64,
-                      bands: int = 16, shingle_k: int = 3,
-                      threshold: float = 0.5, seed: int = 7) -> DataFrame:
-    """Near-dup pairs (a, b, jaccard) with estimated Jaccard >= threshold.
+def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
+                         sig_col: str, max_bucket: int) -> DataFrame:
+    """Candidate pairs (a, b) from LSH buckets with a HARD bucket-size bound.
 
-    Plan: signatures → explode per band → groupBy(band, band_hash) bucket
-    join (self-join on bucket key, a<b) → dedupe candidates → verify with
-    exact shingle Jaccard (second pass joins shingle sets only for
-    candidates). The bucket join is the only all-pairs-risk step and is
-    bounded by bucket size; Zipf-hot buckets are rare because band hashes
-    are 64-bit."""
+    buckets: (doc_id, *key_cols, <sig_col>) — one row per (doc, bucket).
+    Small buckets (size <= max_bucket) self-join pairwise as usual. Oversized
+    buckets — the degenerate case: millions of byte-identical boilerplate
+    pages land in ONE bucket and a naive self-join is O(n^2) — are split by
+    FULL signature: within an oversized bucket, docs sharing an identical
+    signature are near-certain dups, so we emit STAR pairs
+    (min doc_id, other) — linear in group size, and the exact-verify pass
+    downstream still scores every emitted pair. (Pair OUTPUT for n identical
+    docs is inherently O(n^2); the star shape keeps dedup utility — same
+    connected components — with O(n) pairs.)
+
+    Additionally the per-signature REPRESENTATIVES of an oversized bucket
+    self-join with each other (when there are <= max_bucket distinct
+    signatures in the bucket): two near-dup CLUSTERS sharing a degenerate
+    bucket still get one connecting candidate edge, so connected components
+    match the uncapped semantics whenever distinct-signature counts stay
+    under the cap.
+
+    What is dropped (never silently — audit via lsh_oversize_stats): pair
+    coverage inside buckets with > max_bucket DISTINCT signatures. Each true
+    near-dup pair has `bands` independent chances to collide in a smaller
+    bucket elsewhere."""
+    bsz = buckets.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
+    annotated = buckets.join(bsz, key_cols)
+    small = annotated.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    big = annotated.filter(F.col("_bsz") > max_bucket).drop("_bsz")
+
+    def pairwise(b: DataFrame) -> DataFrame:
+        cond = None
+        for kc in key_cols:
+            c = F.col(f"x.{kc}") == F.col(f"y.{kc}")
+            cond = c if cond is None else (cond & c)
+        cond = cond & (F.col("x.doc_id") < F.col("y.doc_id"))
+        return (b.alias("x").join(b.alias("y"), cond)
+                .select(F.col("x.doc_id").alias("a"),
+                        F.col("y.doc_id").alias("b")))
+
+    pair_small = pairwise(small)
+
+    # oversized: group by (bucket, full signature) → star pairs to the
+    # group representative (linear in group size)
+    gkey = key_cols + [sig_col]
+    reps = big.groupBy(*gkey).agg(F.min("doc_id").alias("_rep"))
+    pair_star = (big.join(reps, gkey)
+                 .filter(F.col("doc_id") != F.col("_rep"))
+                 .select(F.col("_rep").alias("a"),
+                         F.col("doc_id").alias("b")))
+
+    # rep-level pairwise join, itself capped at max_bucket reps per bucket
+    rep_rows = reps.select(*key_cols, F.col("_rep").alias("doc_id"))
+    rsz = rep_rows.groupBy(*key_cols).agg(F.count("*").alias("_rsz"))
+    reps_small = (rep_rows.join(rsz, key_cols)
+                  .filter(F.col("_rsz") <= max_bucket).drop("_rsz"))
+    pair_reps = pairwise(reps_small)
+
+    return pair_small.union(pair_star).union(pair_reps).distinct()
+
+
+def lsh_oversize_stats(buckets: DataFrame, key_cols: List[str],
+                       max_bucket: int) -> DataFrame:
+    """(bucket key..., bsz) for buckets over the cap — the audit view for
+    'what did the cap touch'. Callers (and tests) can count/log it; it reuses
+    the same aggregate the capped join computes."""
+    return (buckets.groupBy(*key_cols).agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") > max_bucket))
+
+
+def minhash_buckets(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n_perm: int = 64,
+                    bands: int = 16, shingle_k: int = 3,
+                    seed: int = 7) -> DataFrame:
+    """(doc_id, band, bh, sig) — one row per (doc, band): the exploded LSH
+    bucket assignment, shared by minhash_lsh_pairs and its audit view."""
     rows = n_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k, seed)
-    sigs = sigs.persist()
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.hash(F.slice("sig", i * rows + 1, rows)).alias("bh"))
         for i in range(bands)
     ]
-    buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
-               .select("doc_id", "b.band", "b.bh"))
-    cand = (buckets.alias("x").join(
-                buckets.alias("y"),
-                (F.col("x.band") == F.col("y.band")) &
-                (F.col("x.bh") == F.col("y.bh")) &
-                (F.col("x.doc_id") < F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("a"),
-                    F.col("y.doc_id").alias("b"))
-            .distinct())
+    return (sigs.select("doc_id", "sig",
+                        F.explode(F.array(*band_cols)).alias("b"))
+            .select("doc_id", "b.band", "b.bh", "sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.5, seed: int = 7,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard) with estimated Jaccard >= threshold.
+
+    Plan: signatures → explode per band → groupBy(band, band_hash) bucket
+    join (self-join on bucket key, a<b) → dedupe candidates → verify with
+    exact shingle Jaccard (second pass joins shingle sets only for
+    candidates). The bucket self-join is the only all-pairs-risk step and is
+    HARD-BOUNDED by max_bucket: oversized buckets (boilerplate-degenerate
+    corpora) fall back to identical-signature star pairs instead of a
+    quadratic self-join — see _capped_bucket_pairs. Audit oversized buckets
+    with lsh_oversize_stats(minhash_buckets(df), ["band", "bh"], max_bucket)."""
+    buckets = minhash_buckets(df, id_col, text_col, n_perm, bands,
+                              shingle_k, seed).persist()
+    cand = _capped_bucket_pairs(buckets, ["band", "bh"], "sig",
+                                max_bucket)
 
     # exact verification on shingle sets of candidate docs only
     toks_needed = (cand.select(F.col("a").alias("doc_id"))
@@ -276,28 +354,40 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(run, "doc_id long, simhash long")
 
 
-def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
-    banding: 4 x 16-bit chunks — any pair within distance 3 agrees on >= 1
-    chunk, so the bucket join over chunks is a complete candidate set."""
-    sigs = simhash_signatures(df, id_col, text_col).persist()
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, c, v, simhash) — exploded 4×16-bit pigeonhole chunks."""
+    sigs = simhash_signatures(df, id_col, text_col)
     chunks = [F.struct(F.lit(i).alias("c"),
                        F.shiftrightunsigned("simhash", 16 * i)
                        .bitwiseAND(F.lit(0xFFFF)).alias("v"))
               for i in range(4)]
-    b = (sigs.select("doc_id", "simhash",
-                     F.explode(F.array(*chunks)).alias("ch"))
-         .select("doc_id", "simhash", "ch.c", "ch.v"))
-    cand = (b.alias("x").join(
-                b.alias("y"),
-                (F.col("x.c") == F.col("y.c")) & (F.col("x.v") == F.col("y.v"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("a"),
-                    F.col("x.simhash").alias("sa"),
-                    F.col("y.doc_id").alias("b"),
-                    F.col("y.simhash").alias("sb"))
-            .distinct())
+    return (sigs.select("doc_id", "simhash",
+                        F.explode(F.array(*chunks)).alias("ch"))
+            .select("doc_id", "simhash", "ch.c", "ch.v"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
+    banding: 4 x 16-bit chunks — any pair within distance 3 agrees on >= 1
+    chunk, so the bucket join over chunks is a complete candidate set.
+
+    Chunk values are only 16-bit, so at 10^9+ docs EVERY bucket is hot
+    (avg n/65536 members): the self-join is capped at max_bucket and
+    oversized buckets fall back to identical-simhash star pairs
+    (hamming 0 — the mass of a boilerplate-degenerate bucket), via
+    _capped_bucket_pairs. Audit with
+    lsh_oversize_stats(simhash_buckets(df), ["c", "v"], max_bucket)."""
+    b = simhash_buckets(df, id_col, text_col).persist()
+    cand = _capped_bucket_pairs(b, ["c", "v"], "simhash", max_bucket)
+    sigs = b.select("doc_id", "simhash").distinct()
+    cand = (cand
+            .join(sigs.select(F.col("doc_id").alias("a"),
+                              F.col("simhash").alias("sa")), "a")
+            .join(sigs.select(F.col("doc_id").alias("b"),
+                              F.col("simhash").alias("sb")), "b"))
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)

@@ -82,6 +82,62 @@ def test_minhash_lsh_finds_near_dups(docs_df, corpus):
         assert _jaccard(ta, tb) >= 0.5
 
 
+def test_degenerate_corpus_bounded(spark):
+    """Scale guard: >=10k identical docs + planted near-identical pairs.
+    Uncapped LSH would self-join one bucket into ~50M candidate pairs; the
+    capped path must finish with O(n) output (star pairs), still find the
+    planted near-dups living outside the giant cluster, and report the
+    oversized buckets through lsh_oversize_stats (no silent truncation)."""
+    from pysearchlite_spark.operators.dedup import (lsh_oversize_stats,
+                                                    minhash_buckets,
+                                                    simhash_buckets)
+    n = 10_000
+    boiler = "cookie policy accept terms privacy all rights reserved " \
+             "subscribe newsletter copyright twenty twenty four"
+    docs = [(i, boiler) for i in range(n)]
+    # near-dup pair far from the cluster
+    base = " ".join(f"unique{j} token{j * 7 % 13}" for j in range(30))
+    docs.append((n, base))
+    docs.append((n + 1, base.replace("unique3", "CHANGED")))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    cap = 50
+    pairs = minhash_lsh_pairs(df, threshold=0.5, max_bucket=cap).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    # bounded: star pairs over the cluster, not quadratic
+    assert len(got) <= 4 * (n + 2), len(got)
+    # the identical cluster is fully connected through its representative
+    assert {(0, b) for b in range(1, n)} <= got
+    # the outside near-dup pair is found via normal small buckets
+    assert (n, n + 1) in got
+    # the cap's effect is observable
+    over = lsh_oversize_stats(minhash_buckets(df), ["band", "bh"], cap)
+    assert over.count() > 0
+
+    spairs = simhash_pairs(df, max_hamming=3, max_bucket=cap).collect()
+    sgot = {(r["a"], r["b"]): r["hamming"] for r in spairs}
+    assert len(sgot) <= 4 * (n + 2), len(sgot)
+    assert all(sgot[(0, b)] == 0 for b in range(1, n))
+    assert lsh_oversize_stats(simhash_buckets(df), ["c", "v"],
+                              cap).count() > 0
+
+
+def test_capped_equals_uncapped_on_normal_corpus(docs_df):
+    """On a non-degenerate corpus a tight cap must not change results —
+    pairs found via star+rep edges verify to the same (a,b,jaccard) set."""
+    base = {(r["a"], r["b"], r["jaccard"]) for r in
+            minhash_lsh_pairs(docs_df, threshold=0.5,
+                              max_bucket=10**6).collect()}
+    capped = {(r["a"], r["b"], r["jaccard"]) for r in
+              minhash_lsh_pairs(docs_df, threshold=0.5,
+                                max_bucket=3).collect()}
+    # capping may only LOSE pairs relative to uncapped, never invent them,
+    # and the planted dups must survive even a cap of 3
+    assert capped <= base
+    keys = {(a, b) for a, b, _ in capped}
+    assert {(3, 60), (3, 61), (60, 61), (10, 62), (5, 63)} <= keys
+
+
 def test_simhash_pairs_find_exact_dups(docs_df):
     got = {(r["a"], r["b"]): r["hamming"]
            for r in simhash_pairs(docs_df, max_hamming=3).collect()}
