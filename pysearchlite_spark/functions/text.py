@@ -126,14 +126,55 @@ def fingerprint_tokens(tokens: list) -> int:
     return h
 
 
+_M61 = np.uint64(_FP_MOD)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x (u64) mod 2^61-1, via 2^61 ≡ 1: fold the top 3 bits down twice."""
+    x = (x >> np.uint64(61)) + (x & _M61)
+    x = (x >> np.uint64(61)) + (x & _M61)
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*b) mod 2^61-1 for a,b < 2^61, entirely in u64 numpy: 32-bit limb
+    split (a1*b1*2^64 ≡ a1*b1*8; mid*2^32 folded at bit 61; a0*b0 < 2^64)."""
+    u32 = np.uint64(0xFFFFFFFF)
+    a1, a0 = a >> np.uint64(32), a & u32
+    b1, b0 = b >> np.uint64(32), b & u32
+    hi = a1 * b1                       # < 2^58
+    mid = a1 * b0 + a0 * b1            # < 2^62
+    lo = a0 * b0                       # < 2^64
+    m29 = np.uint64((1 << 29) - 1)
+    t = ((hi << np.uint64(3))          # hi*2^64 ≡ hi*8 (mod p), < 2^61
+         + (mid >> np.uint64(29))      # mid*2^32 = (mid>>29)*2^61 + ...
+         + ((mid & m29) << np.uint64(32))
+         + (lo >> np.uint64(61)) + (lo & _M61))
+    return _mod61(t)                   # t < 5*2^61 < 2^64: no overflow
+
+
+_PW = np.ones(1, dtype=np.uint64)  # module-level B^e mod p table (grows)
+
+
+def _powers(upto: int) -> np.ndarray:
+    global _PW
+    if _PW.size <= upto:
+        old = _PW.size
+        new = np.empty(max(upto + 1, old * 2), dtype=np.uint64)
+        new[:old] = _PW
+        b = np.asarray([_FP_BASE], dtype=np.uint64)
+        for e in range(old, new.size):  # amortized: runs once per max-len
+            new[e] = _mulmod61(new[e - 1:e], b)[0]
+        _PW = new
+    return _PW
+
+
 def _fingerprint_series(texts: pd.Series) -> pd.Series:
     """Batch fingerprints, identical to fingerprint_tokens per row
-    (property-tested): blake2b runs once per DISTINCT token in the batch;
-    the rolling-mod combine stays a per-row Python-int loop over the
-    prehashed int array (the modmul needs 122-bit intermediates numpy
-    cannot hold)."""
-    import numpy as np
-
+    (property-tested): blake2b runs once per DISTINCT token; the rolling
+    combine is the closed form h = Σ th_j · B^(L-1-j) mod p, fully numpy —
+    Mersenne-prime limb multiplication (_mulmod61) instead of the former
+    per-token Python big-int loop."""
     from pysearchlite_spark.operators.dedup import _token_hashes
     from pysearchlite_spark.tokenizer import flat_tokens
     flat, lens = flat_tokens(texts)
@@ -141,18 +182,27 @@ def _fingerprint_series(texts: pd.Series) -> pd.Series:
     if flat.size == 0:
         return pd.Series([0] * n, index=texts.index, dtype="int64")
     codes, uniques = pd.factorize(flat)
-    th = [int(x) for x in
-          _token_hashes(np.asarray(uniques, dtype=object))]
+    th = _mod61(_token_hashes(np.asarray(uniques, dtype=object)))[codes]
+    lens = np.asarray(lens, dtype=np.int64)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    codes_l = codes.tolist()
-    out = np.empty(n, dtype=np.int64)
-    for r in range(n):
-        h = 0
-        for j in range(int(offs[r]), int(offs[r + 1])):
-            h = (h * _FP_BASE + th[codes_l[j]]) % _FP_MOD
-        out[r] = h
-    return pd.Series(out, index=texts.index, dtype="int64")
+    # exponent of position g in its row r: (offs[r+1]-1) - g
+    ends = np.repeat(offs[1:] - 1, lens)
+    exps = ends - np.arange(flat.size, dtype=np.int64)
+    pw = _powers(int(lens.max()))[exps]
+    prod = _mulmod61(th, pw)           # < 2^61 each
+    # per-row modular sum without u64 overflow: sum 32-bit halves separately
+    u32 = np.uint64(0xFFFFFFFF)
+    # reduceat starts clipped below flat.size (trailing-empty-row offsets
+    # would be out of range); empty rows are masked to 0 below anyway
+    starts = np.minimum(offs[:-1], flat.size - 1)
+    lo = np.add.reduceat(prod & u32, starts)          # < L*2^32
+    hi = np.add.reduceat(prod >> np.uint64(32), starts)
+    total = _mod61(_mulmod61(_mod61(hi), np.uint64(1) << np.uint64(32))
+                   + _mod61(lo))
+    total = np.where(lens == 0, np.uint64(0), total)
+    return pd.Series(total.astype(np.int64), index=texts.index,
+                     dtype="int64")
 
 
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",

@@ -60,3 +60,45 @@ def test_pairwise_dups_finds_planted(emb):
     got = {(r["a"], r["b"]) for r in
            pairwise_cosine_dups(df, tau=0.999).collect()}
     assert (7, 200) in got
+
+
+def test_ann_index_persisted(emb, spark, tmp_path_factory):
+    """The persisted AnnIndex must (a) answer identically to the one-shot
+    lsh_cosine_topk under the same planes, (b) hit recall vs brute force,
+    (c) restore from disk, and (d) PRUNE: its candidate scan's plan carries
+    PartitionFilters on bucket and reads fewer files than a full scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pysearchlite_spark.operators.ann import AnnIndex
+
+    df, rows = emb
+    root = str(tmp_path_factory.mktemp("ann_idx") / "idx")
+    idx = AnnIndex.build(spark, df, root, n_planes=10, seed=99)
+    q = np.asarray(rows[0][1], dtype=np.float64)
+
+    got = [(r["vec_id"], r["cos"]) for r in
+           idx.topk(q.tolist(), k=10, probe_bits=2).collect()]
+    oneshot = [(r["vec_id"], r["cos"]) for r in
+               lsh_cosine_topk(df, q.tolist(), k=10, n_planes=10,
+                               probe_bits=2, seed=99).collect()]
+    assert got == oneshot
+
+    want = {w[0] for w in _brute(rows, q, 10)}
+    recall = len({g[0] for g in got} & want) / len(want)
+    assert recall >= 0.5, f"recall {recall}"
+
+    # restore-from-disk path (fresh object, meta.json only)
+    idx2 = AnnIndex(spark, root)
+    assert [(r["vec_id"], r["cos"]) for r in
+            idx2.topk(q.tolist(), k=10).collect()] == got
+    assert idx2.meta["n_vectors"] == len(rows)
+
+    # plan proof: bucket partition pruning, like the postings seg=/tb= scan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        idx.candidates(q.tolist(), probe_bits=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    n_cand = idx.candidates(q.tolist(), probe_bits=2).count()
+    assert 0 < n_cand < len(rows)  # pruned: strict subset of the corpus
