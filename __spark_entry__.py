@@ -3,10 +3,20 @@
 queries() entries cover SURVEY.md §2's operator inventory re-expressed
 Spark-first (inverted-index build + AND/OR/COUNT/BM25 engine) plus the
 training-data-pipeline operators (dedup, similarity, text analysis).
-Each SQL-expressible entry has a DuckDB oracle in oracle_sql(); engine
-internals that SQL cannot express (MinHash-LSH, SimHash, LSH-ANN,
-fingerprints, langid) are rows-only checks here but are oracle-verified in
-tests/ against single-node references.
+
+EVERY entry has a DuckDB oracle in oracle_sql() — including the ones whose
+round-1 form was rows-only. The trick is configuration, not weakening:
+  * doc_fingerprint / simhash_signatures run with hash_fn='md5' (the token
+    hash DuckDB can reproduce bit-for-bit: '0x'||substr(md5(t),1,16));
+  * minhash_lsh_pairs runs with shingle_k=1, threshold=0.9, bands=32 —
+    unigram shingles make exact-verified LSH output equal token-set Jaccard
+    pairs (P(missed pair) <= (1-0.9^2)^32 ≈ 8e-24), which SQL computes
+    directly;
+  * ann_lsh_topk queries a PERSISTED AnnIndex built with DATA-DERIVED
+    hyperplanes (embeddings of vec_id 1..12), so the bucket bits are
+    list_dot_product signs DuckDB can replicate; multi-probe(<=2 bit flips)
+    == hamming(bits, query_bits) <= 2.
+The default blake2b/Gaussian-plane configurations stay covered by tests/.
 """
 
 from __future__ import annotations
@@ -48,6 +58,38 @@ def _index(spark: SparkSession, sf_dir: str):
                     lineage={"source": f"{sf_dir}/documents.parquet"})
         _IDX_CACHE[sf_dir] = SearchIndex(spark, d)
     return _IDX_CACHE[sf_dir]
+
+
+N_ANN_PLANES = 12
+
+
+def _ann_query(spark: SparkSession, sf_dir: str) -> list:
+    qv = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+          .select("embedding").collect())
+    return list(qv[0][0])
+
+
+def _ann_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the persisted bucket-partitioned AnnIndex
+    with data-derived hyperplanes: the embeddings of vec_id 1..N_ANN_PLANES
+    (float64-promoted), which the SQL oracle reproduces via
+    list_dot_product sign bits."""
+    import numpy as np
+
+    from pysearchlite_spark.operators.ann import AnnIndex
+
+    key = ("ann", sf_dir)
+    if key not in _IDX_CACHE:
+        emb = _emb(spark, sf_dir)
+        rows = (emb.filter(F.col("vec_id").between(1, N_ANN_PLANES))
+                .orderBy("vec_id").collect())
+        planes = np.asarray([list(r["embedding"]) for r in rows],
+                            dtype=np.float64)
+        d = tempfile.mkdtemp(prefix="pslspark_ann_")
+        _TMP_DIRS.append(d)
+        _IDX_CACHE[key] = AnnIndex.build(
+            spark, emb.filter(F.col("vec_id") != 0), d, planes=planes)
+    return _IDX_CACHE[key]
 
 
 @atexit.register
@@ -126,25 +168,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lang_id(_docs(spark, sf))
 
     def fingerprint(spark, sf):
+        # hash_fn='md5' → the full fingerprint VALUE is oracle-checked
         from pysearchlite_spark.functions.text import doc_fingerprint
-        return doc_fingerprint(_docs(spark, sf))
+        return doc_fingerprint(_docs(spark, sf), hash_fn="md5")
 
     def exact_dup(spark, sf):
         from pysearchlite_spark.operators.dedup import exact_dedup
         return exact_dedup(_docs(spark, sf))
 
     def jaccard_pairs(spark, sf):
+        # tier 1 of the two-tier dedup design: EXACT all-pairs jaccard with
+        # the rare-token cap disabled (max_df=inf) — valid only at oracle
+        # scale; production uses the bounded entry below + MinHash for the
+        # non-rare-token mass
         from pysearchlite_spark.operators.dedup import token_jaccard_pairs
         return token_jaccard_pairs(_docs(spark, sf), threshold=0.8,
                                    max_df=10**9)
 
+    def jaccard_bounded(spark, sf):
+        # tier 2: the 100-TB configuration — candidate generation only
+        # through tokens with df <= 100; exact for pairs sharing >= 1 rare
+        # token (the oracle replicates the same candidate rule)
+        from pysearchlite_spark.operators.dedup import token_jaccard_pairs
+        return token_jaccard_pairs(_docs(spark, sf), threshold=0.8,
+                                   max_df=100)
+
     def minhash_pairs(spark, sf):
+        # unigram shingles + 32x2 banding: output == token-jaccard >= 0.9
+        # pairs (see module docstring), giving the LSH pipeline an exact
+        # SQL oracle; k=3 shingles + capped buckets stay covered in tests/
         from pysearchlite_spark.operators.dedup import minhash_lsh_pairs
-        return minhash_lsh_pairs(_docs(spark, sf), threshold=0.5)
+        return minhash_lsh_pairs(_docs(spark, sf), threshold=0.9,
+                                 shingle_k=1, n_perm=64, bands=32)
 
     def simhash_sigs(spark, sf):
         from pysearchlite_spark.operators.dedup import simhash_signatures
-        return simhash_signatures(_docs(spark, sf))
+        return simhash_signatures(_docs(spark, sf), hash_fn="md5")
 
     def ann_cosine(spark, sf):
         from pysearchlite_spark.operators.ann import brute_cosine_topk
@@ -154,11 +213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  list(qv[0][0]), k=10)
 
     def ann_lsh(spark, sf):
-        from pysearchlite_spark.operators.ann import lsh_cosine_topk
-        emb = _emb(spark, sf)
-        qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
-        return lsh_cosine_topk(emb.filter(F.col("vec_id") != 0),
-                               list(qv[0][0]), k=10)
+        # persisted bucket-partitioned index (built once per sf), planes =
+        # embeddings of vec_id 1..12 so DuckDB can recompute the bucket bits
+        return _ann_index(spark, sf).topk(_ann_query(spark, sf), k=10,
+                                          probe_bits=2)
 
     def events_hourly(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -181,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": fingerprint,
         "exact_dedup": exact_dup,
         "token_jaccard_pairs": jaccard_pairs,
+        "token_jaccard_bounded": jaccard_bounded,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash_signatures": simhash_sigs,
         "ann_cosine_topk": ann_cosine,
@@ -235,6 +294,103 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM t x JOIN t y ON x.doc_id < y.doc_id
 WHERE len(list_intersect(x.ts, y.ts))::DOUBLE
       / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= 0.8
+"""
+
+    # bounded max_df: candidates only via tokens with df <= 100 — replicates
+    # the operator's documented candidate-generation semantics exactly
+    jaccard_bounded = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents
+), inv AS (
+  SELECT doc_id, unnest(ts) AS tok FROM t
+), tdf AS (
+  SELECT tok, count(*) AS df FROM inv GROUP BY tok
+), rare AS (
+  SELECT inv.doc_id, inv.tok FROM inv JOIN tdf USING (tok) WHERE tdf.df <= 100
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM rare x JOIN rare y ON x.tok = y.tok AND x.doc_id < y.doc_id
+)
+SELECT a, b,
+       round(len(list_intersect(xt.ts, yt.ts))::DOUBLE
+             / (len(xt.ts) + len(yt.ts) - len(list_intersect(xt.ts, yt.ts))),
+             6) AS jaccard
+FROM cand JOIN t xt ON xt.doc_id = cand.a JOIN t yt ON yt.doc_id = cand.b
+WHERE len(list_intersect(xt.ts, yt.ts))::DOUBLE
+      / (len(xt.ts) + len(yt.ts) - len(list_intersect(xt.ts, yt.ts))) >= 0.8
+"""
+
+    # minhash_lsh_pairs with shingle_k=1: exact-verified output over distinct
+    # unigram (token) sets == token jaccard >= 0.9 (miss prob ~8e-24/pair)
+    minhash_oracle = jaccard.replace(">= 0.8", ">= 0.9")
+
+    # doc_fingerprint (hash_fn='md5'): full rolling-hash value —
+    # h = fold(h*B + md5_64(token)) mod 2^61-1
+    fingerprint_sql = f"""
+SELECT doc_id, list_reduce(
+  list_prepend(0::HUGEINT,
+    list_transform({_TOK},
+                   t -> (('0x' || substr(md5(t), 1, 16))::UBIGINT)::HUGEINT)),
+  (acc, x) -> (acc * {1_000_003} + x) % {(1 << 61) - 1}
+)::BIGINT AS fingerprint
+FROM documents
+"""
+
+    # simhash (hash_fn='md5'): bit b of the signature is set iff the
+    # tf-weighted majority of md5_64 token-hash bits at position b is 1
+    bit_sums = ",\n         ".join(
+        f"sum(((h >> {b}) & 1)::BIGINT) AS b{b}" for b in range(64))
+    bit_val = "\n       + ".join(
+        f"(CASE WHEN 2*b{b} > n THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64))
+    simhash_sql = f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+), bits AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+), val AS (
+  SELECT doc_id,
+       {bit_val} AS v
+  FROM bits
+)
+SELECT d.doc_id,
+       CASE WHEN v IS NULL THEN 0
+            WHEN v >= {1 << 63}::HUGEINT THEN (v - {1 << 64}::HUGEINT)::BIGINT
+            ELSE v::BIGINT END AS simhash
+FROM documents d LEFT JOIN val USING (doc_id)
+"""
+
+    # ann_lsh_topk: planes = embeddings 1..N; candidate iff hamming between
+    # sign-bit vectors <= 2 (== the engine's multi-probe 2-bit flips);
+    # exact float64 cosine rerank of candidates
+    ann_lsh_sql = f"""
+WITH p AS (
+  SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {N_ANN_PLANES}
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), vb AS (
+  SELECT e.vec_id, p.pid,
+         (list_dot_product(e.embedding::DOUBLE[], p.pv) > 0) AS s
+  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0
+), qb AS (
+  SELECT p.pid, (list_dot_product(q.qv, p.pv) > 0) AS s
+  FROM p CROSS JOIN q
+), ham AS (
+  SELECT vb.vec_id,
+         sum(CASE WHEN vb.s <> qb.s THEN 1 ELSE 0 END) AS h
+  FROM vb JOIN qb USING (pid) GROUP BY vb.vec_id
+), cand AS (
+  SELECT vec_id FROM ham WHERE h <= 2
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT 10
 """
 
     # langid: occurrence counts per stopword set; first language in
@@ -297,6 +453,11 @@ FROM h
                    doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
             FROM documents""",
         "token_jaccard_pairs": jaccard,
+        "token_jaccard_bounded": jaccard_bounded,
+        "minhash_lsh_pairs": minhash_oracle,
+        "doc_fingerprint": fingerprint_sql,
+        "simhash_signatures": simhash_sql,
+        "ann_lsh_topk": ann_lsh_sql,
         "ann_cosine_topk": """
             -- DOUBLE[] casts force float64 math (DuckDB's native
             -- list_cosine_similarity on FLOAT[] computes in float32,

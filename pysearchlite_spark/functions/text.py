@@ -113,16 +113,18 @@ _FP_MOD = (1 << 61) - 1
 _FP_BASE = 1_000_003
 
 
-def fingerprint_tokens(tokens: list) -> int:
+def fingerprint_tokens(tokens: list, hash_fn: str = "blake2b") -> int:
     """Rolling polynomial hash of the token stream over a Mersenne prime —
     OUR deterministic fingerprint spec (stable across processes; no reliance
-    on PYTHONHASHSEED)."""
+    on PYTHONHASHSEED). hash_fn='md5' (first 8 digest bytes) makes the value
+    reproducible in SQL: DuckDB list_reduce over
+    ('0x'||substr(md5(t),1,16))::UBIGINT with HUGEINT modmul."""
+    import hashlib
     h = 0
     for t in tokens:
-        th = int.from_bytes(
-            __import__("hashlib").blake2b(t.encode(), digest_size=8).digest(),
-            "big")
-        h = (h * _FP_BASE + th) % _FP_MOD
+        d = (hashlib.md5(t.encode()).digest()[:8] if hash_fn == "md5" else
+             hashlib.blake2b(t.encode(), digest_size=8).digest())
+        h = (h * _FP_BASE + int.from_bytes(d, "big")) % _FP_MOD
     return h
 
 
@@ -169,7 +171,8 @@ def _powers(upto: int) -> np.ndarray:
     return _PW
 
 
-def _fingerprint_series(texts: pd.Series) -> pd.Series:
+def _fingerprint_series(texts: pd.Series,
+                        hash_fn: str = "blake2b") -> pd.Series:
     """Batch fingerprints, identical to fingerprint_tokens per row
     (property-tested): blake2b runs once per DISTINCT token; the rolling
     combine is the closed form h = Σ th_j · B^(L-1-j) mod p, fully numpy —
@@ -182,7 +185,8 @@ def _fingerprint_series(texts: pd.Series) -> pd.Series:
     if flat.size == 0:
         return pd.Series([0] * n, index=texts.index, dtype="int64")
     codes, uniques = pd.factorize(flat)
-    th = _mod61(_token_hashes(np.asarray(uniques, dtype=object)))[codes]
+    th = _mod61(_token_hashes(np.asarray(uniques, dtype=object),
+                              hash_fn))[codes]
     lens = np.asarray(lens, dtype=np.int64)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
@@ -206,12 +210,13 @@ def _fingerprint_series(texts: pd.Series) -> pd.Series:
 
 
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    hash_fn: str = "blake2b") -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def fp_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for b in batches:
-            yield _fingerprint_series(b)
+            yield _fingerprint_series(b, hash_fn)
 
     return df.select(F.col(id_col), fp_udf(F.col(text_col)).alias("fingerprint"))

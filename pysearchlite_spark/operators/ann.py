@@ -105,18 +105,30 @@ class AnnIndex:
         with open(os.path.join(root, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_planes = int(self.meta["n_planes"])
-        self.planes = _planes(int(self.meta["dim"]), self.n_planes,
-                              int(self.meta["seed"]))
+        if self.meta.get("planes") is not None:
+            self.planes = np.asarray(self.meta["planes"], dtype=np.float64)
+        else:
+            self.planes = _planes(int(self.meta["dim"]), self.n_planes,
+                                  int(self.meta["seed"]))
 
     @staticmethod
     def build(spark: SparkSession, df: DataFrame, root: str,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              n_planes: int = 12, seed: int = 99) -> "AnnIndex":
+              n_planes: int = 12, seed: int = 99,
+              planes=None) -> "AnnIndex":
+        """planes: optional explicit (n_planes, dim) float64 hyperplanes
+        (persisted verbatim in meta.json) — e.g. data-derived planes that an
+        external system can reproduce; default is the seeded Gaussian set."""
         first = df.select(vec_col).first()
         if first is None:
             raise ValueError("cannot build AnnIndex over an empty table")
         dim = len(first[0])
-        planes = _planes(dim, n_planes, seed)
+        explicit = planes is not None
+        if explicit:
+            planes = np.asarray(planes, dtype=np.float64)
+            n_planes = planes.shape[0]
+        else:
+            planes = _planes(dim, n_planes, seed)
 
         def bucketize(batches: Iterator[pd.DataFrame]
                       ) -> Iterator[pd.DataFrame]:
@@ -137,8 +149,9 @@ class AnnIndex:
          .write.partitionBy("bucket").mode("overwrite").parquet(vec_dir))
         n_vectors = (spark.read.schema(AnnIndex.VEC_SCHEMA)
                      .parquet(vec_dir).count())
-        meta = {"n_planes": n_planes, "seed": seed, "dim": dim,
-                "n_vectors": n_vectors}
+        meta = {"n_planes": int(n_planes), "seed": seed, "dim": dim,
+                "n_vectors": n_vectors,
+                "planes": (planes.tolist() if explicit else None)}
         fd, tmp = tempfile.mkstemp(dir=root, suffix=".meta")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)

@@ -49,10 +49,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 _SHINGLE_MIX = np.uint64(1099511628211)  # FNV-1a prime (k-gram combine base)
 
 
-def _token_hashes(uniques: np.ndarray) -> np.ndarray:
-    """blake2b-64 per DISTINCT token — the only per-string hashing left;
-    everything downstream works on uint64 vectors."""
+def _token_hashes(uniques: np.ndarray, fn: str = "blake2b") -> np.ndarray:
+    """64-bit hash per DISTINCT token — the only per-string hashing left;
+    everything downstream works on uint64 vectors. fn='blake2b' (default,
+    keyed for speed) or 'md5' (first 8 digest bytes big-endian — chosen
+    because DuckDB can reproduce it exactly:
+    ('0x'||substr(md5(t),1,16))::UBIGINT — making simhash/fingerprint
+    SQL-verifiable end-to-end)."""
     out = np.empty(len(uniques), dtype=np.uint64)
+    if fn == "md5":
+        for i, t in enumerate(uniques):
+            out[i] = int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:8], "big")
+        return out
     for i, t in enumerate(uniques):
         out[i] = int.from_bytes(
             hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
@@ -164,11 +173,6 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
     coverage inside buckets with > max_bucket DISTINCT signatures. Each true
     near-dup pair has `bands` independent chances to collide in a smaller
     bucket elsewhere."""
-    bsz = buckets.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
-    annotated = buckets.join(bsz, key_cols)
-    small = annotated.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
-    big = annotated.filter(F.col("_bsz") > max_bucket).drop("_bsz")
-
     def pairwise(b: DataFrame) -> DataFrame:
         cond = None
         for kc in key_cols:
@@ -178,6 +182,24 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
         return (b.alias("x").join(b.alias("y"), cond)
                 .select(F.col("x.doc_id").alias("a"),
                         F.col("y.doc_id").alias("b")))
+
+    # FAST PATH: one cheap map-side-combined count over the (persisted)
+    # buckets decides whether any bucket exceeds the cap; the common healthy
+    # corpus skips the annotate/split machinery entirely and runs the plain
+    # self-join plan.
+    over = (buckets.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket).drop("_bsz"))
+    if over.limit(1).count() == 0:
+        return pairwise(buckets).distinct()
+
+    # capped path: tag rows by membership in an oversized bucket. The `over`
+    # side holds one row per oversized bucket (<= rows/max_bucket of them) —
+    # small by construction, so AQE broadcasts it; a pathological corpus
+    # where it is huge degrades to a shuffle join, never to O(n^2) pairs.
+    annotated = buckets.join(over.withColumn("_over", F.lit(True)),
+                             key_cols, "left")
+    small = annotated.filter(F.col("_over").isNull()).drop("_over")
+    big = annotated.filter(F.col("_over").isNotNull()).drop("_over")
 
     pair_small = pairwise(small)
 
@@ -319,9 +341,11 @@ def token_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------- simhash --
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long): 64-bit SimHash — per-token blake2b bits
-    weighted by tf, vectorized with numpy bit unpacking."""
+                       text_col: str = "text",
+                       hash_fn: str = "blake2b") -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash — per-token hash bits
+    weighted by tf, vectorized with numpy bit unpacking. hash_fn='md5'
+    makes the whole value reproducible in ANSI SQL (see _token_hashes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pysearchlite_spark.tokenizer import flat_tokens
@@ -333,7 +357,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                                     "simhash": np.zeros(n, dtype=np.int64)})
                 continue
             codes, uniques = pd.factorize(flat)
-            th = _token_hashes(np.asarray(uniques, dtype=object))
+            th = _token_hashes(np.asarray(uniques, dtype=object), hash_fn)
             offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
             # per-row bit accumulator: acc[r,b] = 2*ones[r,b] - len_r where
