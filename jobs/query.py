@@ -22,6 +22,39 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run(spark, index_dir: str, lines, out=None, err=None,
+        distributed: bool = False) -> None:
+    """Protocol core (testable without owning the SparkSession): one output
+    line per input line, matching do_query.py's line discipline."""
+    from pysearchlite_spark.engine import SearchIndex
+
+    out = out or sys.stdout
+    err = err or sys.stderr
+    idx = SearchIndex(spark, index_dir)
+    dist = distributed
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        cmd, _, q = line.partition("\t")
+        if cmd == "COUNT" or cmd == "TOP_10_COUNT":
+            out.write(f"{idx.count(q, distributed=dist)}\n")
+        elif cmd == "TOP_10":
+            top = idx.topk(q, k=10, distributed=dist)
+            out.write(" ".join(f"{d}:{s:.6f}" for d, s in top) + "\n")
+        elif cmd == "AND":
+            out.write(" ".join(map(str, idx.search_and_ids(
+                q, distributed=dist).tolist())) + "\n")
+        elif cmd == "OR":
+            out.write(" ".join(map(str, idx.search_or_ids(
+                q, distributed=dist).tolist())) + "\n")
+        elif cmd == "SEARCH":
+            out.write(" ".join(idx.search(q, distributed=dist)) + "\n")
+        else:
+            err.write(f"ERR unknown command {cmd}\n")
+        out.flush()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-dir", required=True)
@@ -34,32 +67,9 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from pysearchlite_spark.engine import SearchIndex
-
     spark = SparkSession.builder.appName("psl-query").getOrCreate()
-    idx = SearchIndex(spark, args.index_dir)
-    dist = args.distributed
-
     source = sys.stdin if args.queries == "-" else open(args.queries)
-    for line in source:
-        line = line.rstrip("\n")
-        if not line:
-            continue
-        cmd, _, q = line.partition("\t")
-        if cmd == "COUNT" or cmd == "TOP_10_COUNT":
-            print(idx.count(q, distributed=dist))
-        elif cmd == "TOP_10":
-            top = idx.topk(q, k=10, distributed=dist)
-            print(" ".join(f"{d}:{s:.6f}" for d, s in top))
-        elif cmd == "AND":
-            print(" ".join(map(str, idx.search_and_ids(q, distributed=dist)
-                               .tolist())))
-        elif cmd == "OR":
-            print(" ".join(map(str, idx.search_or_ids(q).tolist())))
-        elif cmd == "SEARCH":
-            print(" ".join(idx.search(q, distributed=dist)))
-        else:
-            print(f"ERR unknown command {cmd}", file=sys.stderr)
+    run(spark, args.index_dir, source, distributed=args.distributed)
     spark.stop()
 
 

@@ -51,13 +51,14 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
     state) so the distributed applyInPandas path serializes only plain
     values, never the SparkSession."""
     if use_blockmax == "auto":
-        # Default to the exhaustive vectorized pass: it is O(total postings)
-        # with pure-numpy constants and beat zone-at-a-time block-max by
-        # 8-25x on profiled Zipf workloads, where head-term queries match
-        # nearly every doc and score ties leave nothing to prune. Block-max
-        # (use_blockmax=True) wins when idf spread is large and k << matches
-        # — rank-identity between the two is test-enforced either way.
-        use_blockmax = False
+        # ADAPTIVE: a metadata-only probe (W.decide_blockmax) estimates the
+        # zone-visit fraction. Head-term tie-heavy queries (nearly every doc
+        # matches, zone bounds comparable — where exhaustive beat block-max
+        # by 8-25x on profiled Zipf workloads) choose the exhaustive
+        # vectorized pass; selective queries (rare high-idf term, k <<
+        # matches) choose pruned. Rank-identity between the two is
+        # test-enforced either way.
+        use_blockmax = mode != "and" and W.decide_blockmax(rows, idfs, k)
     if mode == "and":
         if len(rows) < n_query_terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)

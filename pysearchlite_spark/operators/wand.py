@@ -66,9 +66,13 @@ def topk_merge(parts: Sequence[Tuple[np.ndarray, np.ndarray]], k: int
 
 
 def _zone_bounds_for_term(zone_edges: np.ndarray, first_docs: np.ndarray,
-                          max_partial: np.ndarray) -> np.ndarray:
+                          max_partial: np.ndarray,
+                          last_doc: int | None = None) -> np.ndarray:
     """Per-zone upper bound of a term's partial score. zone_edges has Z+1
-    edges; block b of the term covers [first_docs[b], first_docs[b+1])."""
+    edges; block b of the term covers [first_docs[b], first_docs[b+1]).
+    last_doc bounds the FINAL block's coverage — without it the last block
+    extends to +inf and a low-docID rare term poisons the upper bound of
+    every zone above it (measured: zero pruning on a clustered rare term)."""
     Z = zone_edges.size - 1
     out = np.zeros(Z, dtype=np.float64)
     if first_docs.size == 0:
@@ -77,10 +81,72 @@ def _zone_bounds_for_term(zone_edges: np.ndarray, first_docs: np.ndarray,
     lo = np.searchsorted(first_docs, zone_edges[:-1], side="right") - 1
     hi = np.searchsorted(first_docs, zone_edges[1:], side="left")
     lo = np.maximum(lo, 0)
-    for z in range(Z):
-        if hi[z] > lo[z]:
-            out[z] = max_partial[lo[z]:hi[z]].max()
+    # vectorized: zones are the finest grid, so almost every zone overlaps
+    # <= 2 blocks of any term — max of the two endpoint blocks is exact
+    # there; the rare wider spans fall back to a loop (must stay an exact
+    # UPPER bound: endpoint-max alone would miss interior blocks)
+    valid = hi > lo
+    l, h = lo[valid], hi[valid]
+    res = max_partial[l].copy()
+    two = h - l >= 2
+    res[two] = np.maximum(res[two], max_partial[h[two] - 1])
+    for i in np.flatnonzero(h - l > 2):
+        res[i] = max_partial[l[i]:h[i]].max()
+    out[valid] = res
+    if last_doc is not None:
+        out[zone_edges[:-1] > last_doc] = 0.0
     return out
+
+
+def _term_last_doc(r: dict) -> int | None:
+    """Largest docID of a packed row — one final-block decode (<= 128
+    varbytes); caps the last block's zone coverage."""
+    nb = len(r["first_docs"])
+    if nb == 0:
+        return None
+    d, _, _ = _decode_blocks(r, nb - 1, nb)
+    return int(d[-1])
+
+
+def decide_blockmax(rows: List[dict], idfs: Dict[str, float], k: int,
+                    visit_frac_cutoff: float = 0.25) -> bool:
+    """Adaptive auto mode: choose pruned (True) vs exhaustive (False) from
+    METADATA ONLY (first_docs/max_partial — no posting decode).
+
+    Estimate how many zones block-max would visit: zones are ranked by their
+    upper bound; scoring stops once the k-th best real score beats the next
+    zone's ub. Real scores are unknown pre-decode, so assume pessimistically
+    the final threshold reaches only half the k-th-ranked zone ub — count
+    zones with ub >= that. Tie-heavy head-term queries (every zone's ub
+    comparable — the measured 8-25x-slower-than-exhaustive regime) estimate
+    ~all zones visited → exhaustive; selective queries (rare high-idf term
+    dominating few zones) estimate a small fraction → pruned."""
+    if not rows or k <= 0:
+        return False
+    big = max(rows, key=lambda r: r["df"])
+    Z = len(big["first_docs"])
+    if Z <= 8:  # tiny segment: exhaustive vector pass is trivially fast
+        return False
+    edges = np.asarray(big["first_docs"], dtype=np.int64).copy()
+    mins = [np.asarray(r["first_docs"], dtype=np.int64)[0]
+            for r in rows if len(r["first_docs"])]
+    edges[0] = min(int(edges[0]), min(mins) if mins else 0)
+    zone_edges = np.concatenate([edges, [np.iinfo(np.int64).max]])
+    ub = np.zeros(zone_edges.size - 1, dtype=np.float64)
+    for r in rows:
+        ub += idfs[r["term"]] * _zone_bounds_for_term(
+            zone_edges,
+            np.asarray(r["first_docs"], dtype=np.int64),
+            np.asarray(r["max_partial"], dtype=np.float64),
+            _term_last_doc(r))
+    # threshold estimate: one zone holds ~a skip block of docs (>= k for
+    # default k=10), so after the best zone the heap's k-th score is within
+    # a factor of that zone's bound — assume it reaches half (ub is an
+    # overestimate). Count zones whose bound survives that threshold: the
+    # tie-heavy regime (all bounds comparable) counts ~every zone →
+    # exhaustive; a dominant rare term counts a handful → pruned.
+    visited_est = int((ub >= 0.5 * ub.max()).sum())
+    return visited_est <= visit_frac_cutoff * ub.size
 
 
 def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
@@ -111,7 +177,7 @@ def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
     for r in rows:
         fd = np.asarray(r["first_docs"], dtype=np.int64)
         mp = np.asarray(r["max_partial"], dtype=np.float64)
-        tb = _zone_bounds_for_term(zone_edges, fd, mp)
+        tb = _zone_bounds_for_term(zone_edges, fd, mp, _term_last_doc(r))
         ub += idfs[r["term"]] * tb
         per_term.append((r, fd))
 

@@ -203,6 +203,42 @@ def test_blockmax_disjoint_term_ranges(spark, tmp_path):
     assert [d for d, _ in idx.topk("alpha beta", k=5)] == [0, 1, 2, 3, 4]
 
 
+def test_blockmax_auto_adaptive(spark, tmp_path_factory):
+    """Adaptive auto mode: a selective query (rare high-idf term clustered
+    in docID space) must choose the pruned path; a tie-heavy head query must
+    choose exhaustive — and all three modes stay rank-identical."""
+    from pysearchlite_spark.engine import bm25_idf
+    from pysearchlite_spark.operators import wand as W
+
+    n = 20_000
+    docs = []
+    for i in range(n):
+        parts = ["common"] * (1 + i % 3) + [f"filler{i % 7}", "filler"]
+        if n // 2 <= i < n // 2 + 60:
+            parts.append("rare")
+        docs.append((f"u{i:06d}", " ".join(parts)))
+    idx = _build(spark, docs, tmp_path_factory.mktemp("bmx_auto"),
+                 segment_docs=1 << 20)
+    idx.preload()
+
+    def decision(q):
+        terms = q.split()
+        pdf = idx._fetch(terms)
+        dfs = idx.global_dfs(pdf, terms)
+        idfs = {t: bm25_idf(idx.n_docs, d) for t, d in dfs.items() if d > 0}
+        return W.decide_blockmax(pdf.to_dict("records"), idfs, 10)
+
+    assert decision("common rare") is True
+    assert decision("common filler") is False
+    for q in ("common rare", "common filler", "rare"):
+        a = idx.topk(q, k=10, use_blockmax="auto")
+        e = idx.topk(q, k=10, use_blockmax=False)
+        b = idx.topk(q, k=10, use_blockmax=True)
+        assert [d for d, _ in a] == [d for d, _ in e] == [d for d, _ in b], q
+        np.testing.assert_allclose([s for _, s in a], [s for _, s in e],
+                                   rtol=1e-9)
+
+
 def test_large_result_name_lookup_and_lazy_preload(spark, tmp_path_factory):
     """search() switches to a broadcast join above 10k result ids, and
     preload's lazy row materialization returns the same results as the scan

@@ -1,0 +1,73 @@
+"""Query-CLI protocol test — pins jobs/query.py's line discipline to the
+reference's search-benchmark-game protocol (commands/do_query.py:9-23):
+tab-separated COMMAND\tquery lines, one output line per input line,
+flushed per line. COUNT/TOP_10_COUNT print the AND match count; TOP_10 is
+our north-rule BM25 upgrade (doc:score pairs instead of the reference's
+constant 1)."""
+
+import io
+
+import pytest
+
+from jobs.query import run
+from pysearchlite_spark.datagen import micro_corpus
+from pysearchlite_spark.engine import SearchIndex
+from pysearchlite_spark.oracle import OracleEngine
+from pysearchlite_spark.plans.builder import build_index
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, tmp_path_factory):
+    docs = micro_corpus()
+    df = spark.createDataFrame(
+        [(i, name, text) for i, (name, text) in enumerate(docs)],
+        "doc_id long, url string, text string")
+    d = str(tmp_path_factory.mktemp("cli_idx"))
+    build_index(spark, df, d, id_col="doc_id", url_col="url", segment_docs=2)
+    return d
+
+
+def _run(spark, idx_dir, lines, distributed=False):
+    out, err = io.StringIO(), io.StringIO()
+    run(spark, idx_dir, [l + "\n" for l in lines], out, err,
+        distributed=distributed)
+    return out.getvalue().splitlines(), err.getvalue().splitlines()
+
+
+def test_protocol_counts_match_reference_semantics(spark, idx_dir):
+    # reference goldens (test_search_engine.py:12-14,25-27): count semantics
+    out, err = _run(spark, idx_dir, [
+        "COUNT\tthis test",
+        "COUNT\tthat",
+        "COUNT\thello",
+        "TOP_10_COUNT\tthis test",
+        "TOP_10_COUNT\tthat",
+    ])
+    assert out == ["2", "0", "1", "2", "0"]
+    assert err == []
+
+
+def test_protocol_top10_and_extensions(spark, idx_dir):
+    oracle = OracleEngine()
+    oracle.index_corpus(micro_corpus())
+    out, _ = _run(spark, idx_dir, ["TOP_10\tthis test", "AND\tthis test",
+                                   "OR\thello another", "SEARCH\tthis test"])
+    want_top = " ".join(f"{d}:{s:.6f}" for d, s in oracle.topk(
+        "this test", 10))
+    assert out[0] == want_top
+    assert out[1] == " ".join(map(str, oracle.search_and_ids("this test")))
+    assert out[2] == " ".join(map(str, oracle.search_or_ids("hello another")))
+    assert out[3] == " ".join(oracle.search("this test"))
+
+
+def test_protocol_distributed_matches_driver(spark, idx_dir):
+    lines = ["COUNT\tthis test", "TOP_10\tthis test", "AND\tthis test",
+             "OR\thello another", "SEARCH\tthis test"]
+    assert _run(spark, idx_dir, lines)[0] == \
+        _run(spark, idx_dir, lines, distributed=True)[0]
+
+
+def test_protocol_unknown_and_blank_lines(spark, idx_dir):
+    out, err = _run(spark, idx_dir, ["", "BOGUS\tx", "COUNT\thello"])
+    assert out == ["1"]
+    assert err == ["ERR unknown command BOGUS"]
