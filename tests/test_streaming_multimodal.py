@@ -77,32 +77,75 @@ def test_ingest_then_compact(spark, tmp_path):
         assert (idx2.search_and_ids(q).tolist(), idx2.topk(q, k=5)) == want
 
 
-def test_multimodal_plumbing(spark):
-    from pysearchlite_spark.functions.multimodal import (frame_sample,
-                                                         image_features,
-                                                         media_stats)
-    rows = [(i, bytes([i % 256]) * (100 + i)) for i in range(20)]
+def test_multimodal_image_audio_video(spark):
+    """Spec'd container decode + feature extraction (real pixel/sample math,
+    no stubs): PSL1 images, PSLA audio, PSLV video frames."""
+    from pysearchlite_spark.functions.multimodal import (
+        audio_features, decode_image, encode_audio, encode_image,
+        encode_video, frame_sample, image_feature_vec, image_features,
+        media_stats)
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (16 + i % 5, 20, 3), dtype=np.uint8)
+            for i in range(20)]
+    rows = [(i, encode_image(a)) for i, a in enumerate(imgs)]
     df = spark.createDataFrame(rows, "doc_id long, media binary")
 
-    feats = image_features(df, deterministic=True).collect()
+    feats = {r["doc_id"]: r for r in image_features(df).collect()}
     assert len(feats) == 20
-    assert all(len(r["feature"]) == 64 for r in feats)
-    assert all(r["meta"]["channels"] == 3 for r in feats)
-    # deterministic across runs
-    feats2 = image_features(df, deterministic=True).collect()
-    assert [r["feature"] for r in sorted(feats, key=lambda r: r["doc_id"])] \
-        == [r["feature"] for r in sorted(feats2, key=lambda r: r["doc_id"])]
+    for i, a in enumerate(imgs):
+        r = feats[i]
+        assert (r["meta"]["width"], r["meta"]["height"],
+                r["meta"]["channels"]) == (20, a.shape[0], 3)
+        # feature equals the spec'd kernel applied directly to the pixels
+        np.testing.assert_allclose(r["feature"], image_feature_vec(a),
+                                   rtol=1e-6)
+        assert abs(r["feature"][0] - a[:, :, 0].mean() / 255.0) < 1e-6
+    # roundtrip decode parity
+    meta, px = decode_image(encode_image(imgs[0]))
+    assert np.array_equal(px, imgs[0])
 
-    frames = frame_sample(df, deterministic=True).collect()
-    assert len(frames) >= 20
-    assert all(len(r["frame"]) == 32 for r in frames)
+    # grayscale broadcasts to 3 channels
+    g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    gdf = spark.createDataFrame([(0, encode_image(g))],
+                                "doc_id long, media binary")
+    gr = image_features(gdf).collect()[0]
+    assert len(gr["feature"]) == 64 and gr["meta"]["channels"] == 1
+
+    # audio: 1s of a 440-ish square wave at 8kHz
+    wave = (np.sign(np.sin(np.arange(8000) * 0.3)) * 16384).astype(np.int16)
+    adf = spark.createDataFrame([(7, encode_audio(wave, 8000))],
+                                "doc_id long, media binary")
+    ar = audio_features(adf).collect()[0]
+    assert ar["sample_rate"] == 8000
+    assert abs(ar["duration_sec"] - 1.0) < 1e-9
+    assert len(ar["feature"]) == 64
+    assert abs(ar["feature"][1] - 0.5) < 0.01  # rms of +-0.5 square wave
+
+    # video: 10 frames, sample every 3rd -> frames 0,3,6,9
+    vid = encode_video([rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+                        for _ in range(10)])
+    vdf = spark.createDataFrame([(3, vid)], "doc_id long, media binary")
+    frames = frame_sample(vdf, every_n=3).collect()
+    assert sorted(r["frame_no"] for r in frames) == [0, 3, 6, 9]
+    # each sampled frame is itself a decodable PSL1 image
+    for r in frames:
+        _, fpx = decode_image(bytes(r["frame"]))
+        assert fpx.shape == (4, 4, 3)
 
     stats = {r["doc_id"]: r for r in media_stats(df).collect()}
-    assert stats[0]["n_bytes"] == 100
+    assert stats[0]["n_bytes"] == len(rows[0][1])
     assert len(stats[0]["sha256"]) == 64
 
-    # non-deterministic mode raises the documented stub error
-    with pytest.raises(Exception) as ei:
-        image_features(df, deterministic=False).collect()
-    assert "NotImplementedError" in str(ei.value) or \
-        "Pillow" in str(ei.value)
+    # non-PSL1 bytes without Pillow raise the documented error
+    bad = spark.createDataFrame([(0, b"\xff\xd8JPEGISH")],
+                                "doc_id long, media binary")
+    try:
+        from PIL import Image  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(Exception) as ei:
+            image_features(bad).collect()
+        assert "Pillow" in str(ei.value) or "PSL1" in str(ei.value)
