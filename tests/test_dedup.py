@@ -82,6 +82,30 @@ def test_minhash_lsh_finds_near_dups(docs_df, corpus):
         assert _jaccard(ta, tb) >= 0.5
 
 
+def test_token_jaccard_bounded_max_df(spark):
+    """Bounded candidate generation (the 100-TB configuration): pairs
+    sharing ONLY hot tokens (df > max_df) are excluded by design — the
+    documented exactness condition is 'shares >= 1 token with df <=
+    max_df'; pairs with a rare shared token keep exact jaccard values."""
+    hot = "the and of common words everywhere always present tokens here"
+    docs = (
+        # pair 0: all-hot pair, high jaccard, NO rare shared token
+        [(0, hot), (1, hot)]
+        # pair 2-3: hot + one shared rare token
+        + [(2, hot + " rareshared"), (3, hot + " rareshared")]
+        # fillers so the hot tokens exceed max_df=4
+        + [(10 + i, hot + f" filler{i}") for i in range(8)])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           token_jaccard_pairs(df, threshold=0.5, max_df=4).collect()}
+    assert (0, 1) not in got          # only-hot pair excluded by the bound
+    assert got.get((2, 3)) == pytest.approx(1.0)
+    # unbounded finds the all-hot pair too (exactness reference)
+    full = {(r["a"], r["b"]) for r in
+            token_jaccard_pairs(df, threshold=0.5, max_df=10**9).collect()}
+    assert (0, 1) in full and (2, 3) in full
+
+
 def test_degenerate_corpus_bounded(spark):
     """Scale guard: >=10k identical docs + planted near-identical pairs.
     Uncapped LSH would self-join one bucket into ~50M candidate pairs; the

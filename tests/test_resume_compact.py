@@ -103,6 +103,49 @@ def test_compaction_preserves_results(spark, corpus, tmp_path):
         results_before["hot the"][2]
 
 
+def test_compaction_rerun_drops_stale_attempt_files(spark, corpus, tmp_path):
+    """Regression: a compaction attempt that crashed after writing part
+    files (but before the manifest commit) leaves files under the NEW seg
+    ids; a rerun reuses those ids and must drop the stale files first —
+    otherwise they become duplicate posting rows after commit, corrupting
+    df/counts/scores."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                segment_docs=100)  # 4 segments, next seg id = 4
+    before = SearchIndex(spark, d)
+    want = {q: (before.count(q), before.topk(q, k=10)) for q in QUERIES}
+
+    # simulate the crashed attempt: plant a stale part file with REAL posting
+    # rows (duplicating term 'the' postings from seg 0) in the dir the rerun
+    # will reuse
+    cat = IndexCatalog(d)
+    src = before._postings.filter("seg = 0 AND term = 'the'").toPandas()
+    assert len(src) > 0
+    stale_dir = os.path.join(cat.postings_dir(), "seg=4",
+                             f"tb={int(src['tb'].iloc[0])}")
+    os.makedirs(stale_dir, exist_ok=True)
+    body = src.drop(columns=["seg", "tb"])
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(body),
+                                        preserve_index=False),
+                   os.path.join(stale_dir, "part-99998.parquet"))
+
+    sid = compact_segments(spark, d)  # rerun: all → seg 4
+    assert sid == 2
+    after = SearchIndex(spark, d)
+    for q in QUERIES:
+        assert (after.count(q), after.topk(q, k=10)) == want[q], q
+    # the planted duplicate rows are gone from the committed segment
+    dup = (after._postings.filter("term = 'the'")
+           .groupBy("seg", "tb", "term").count().filter("count > 1").count())
+    assert dup == 0
+
+
 def test_time_travel_snapshots(spark, corpus, tmp_path):
     d = str(tmp_path / "idx")
     build_index(spark, corpus, d, id_col="doc_id", url_col="url",
