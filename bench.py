@@ -102,6 +102,17 @@ def main() -> None:
         with timed("ann_cosine_top10"):
             qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
             brute_cosine_topk(emb, list(qv), k=10).collect()
+        from pysearchlite_spark.operators.ann import AnnIndex
+        ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
+        try:
+            with timed("ann_index_build"):
+                ann = AnnIndex.build(spark, emb, ann_dir)
+            with timed("ann_lsh_top10"):
+                for _ in range(3):
+                    ann.topk(list(qv), k=10).collect()
+            timings["ann_lsh_top10"] = round(timings["ann_lsh_top10"] / 3, 4)
+        finally:
+            shutil.rmtree(ann_dir, ignore_errors=True)
         with timed("quality_stats"):
             quality_stats(docs).count()
         with timed("events_hourly"):
