@@ -305,23 +305,54 @@ class SearchIndex:
         return W.topk_merge(parts, k)
 
     # ------------------------------------------------- distributed paths --
+    def _matching_ids_dist(self, terms: List[str], mode: str) -> DataFrame:
+        """Per-segment boolean kernel as a DataFrame of matching doc_ids —
+        the building block every distributed path (and the scalable
+        search_df surface) shares; nothing is collected here."""
+        n_terms = len(set(terms))
+
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            if mode == "and":
+                if len(rows) < n_terms:
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64")})
+                ids = I.intersect_packed(rows)
+            else:
+                ids = I.union_sorted(
+                    [codec.unpack_docs(r["docs"], int(r["df"]))
+                     for r in rows])
+            return pd.DataFrame({"doc_id": ids})
+
+        return (self.postings_df(terms)
+                .groupBy("seg").applyInPandas(run, "doc_id long"))
+
+    def search_df(self, query: str, mode: str = "and") -> DataFrame:
+        """The 10^12-doc search surface: matching (doc_id, url) as a LAZY
+        DataFrame — per-segment kernels produce ids, a join against the
+        docmap resolves names, and NOTHING reaches the driver; sink with
+        .write or feed downstream joins. (search() stays the interactive
+        list-returning API.)"""
+        terms = query_terms(query)
+        empty = self.spark.createDataFrame([], "doc_id long, url string")
+        if not terms:
+            return empty
+        if mode == "and":
+            dfs_rows = (self.postings_df(terms).groupBy("term")
+                        .agg(F.sum("df").alias("df")).collect())
+            dfs = {r["term"]: int(r["df"]) for r in dfs_rows}
+            if any(dfs.get(t, 0) == 0 for t in terms):  # P4 short-circuit
+                return empty
+        return (self._matching_ids_dist(terms, mode)
+                .join(self._docmap.select("doc_id", "url"), "doc_id"))
+
     def _search_and_ids_dist(self, terms: List[str]) -> np.ndarray:
         dfs_rows = (self.postings_df(terms).groupBy("term")
                     .agg(F.sum("df").alias("df")).collect())
         dfs = {r["term"]: int(r["df"]) for r in dfs_rows}
         if any(dfs.get(t, 0) == 0 for t in terms):
             return np.empty(0, dtype=np.int64)
-        n_terms = len(set(terms))
-
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            rows = pdf.to_dict("records")
-            if len(rows) < n_terms:
-                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-            ids = I.intersect_packed(rows)
-            return pd.DataFrame({"doc_id": ids})
-
-        out = (self.postings_df(terms)
-               .groupBy("seg").applyInPandas(run, "doc_id long")
+        out = (self._matching_ids_dist(terms, "and")
                .orderBy("doc_id").collect())
         return np.array([r["doc_id"] for r in out], dtype=np.int64)
 
@@ -332,15 +363,7 @@ class SearchIndex:
         collects all query-term postings first). Reference analogue: the
         derivable union of §2.7 (no short-circuit,
         inverted_index_skip_list.py:198-240)."""
-
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            rows = pdf.to_dict("records")
-            ids = I.union_sorted(
-                [codec.unpack_docs(r["docs"], int(r["df"])) for r in rows])
-            return pd.DataFrame({"doc_id": ids})
-
-        out = (self.postings_df(terms)
-               .groupBy("seg").applyInPandas(run, "doc_id long")
+        out = (self._matching_ids_dist(terms, "or")
                .orderBy("doc_id").toPandas())
         return out["doc_id"].to_numpy(np.int64)
 

@@ -97,7 +97,8 @@ class AnnIndex:
     corpus instead of re-bucketizing everything per query (the round-1
     anti-pattern this replaces)."""
 
-    VEC_SCHEMA = "vec_id long, embedding array<float>, norm double, bucket long"
+    VEC_SCHEMA = ("vec_id long, embedding array<float>, norm double, "
+                  "bucket long, pb int")
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -105,6 +106,7 @@ class AnnIndex:
         with open(os.path.join(root, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_planes = int(self.meta["n_planes"])
+        self.part_bits = int(self.meta.get("part_bits", self.n_planes))
         if self.meta.get("planes") is not None:
             self.planes = np.asarray(self.meta["planes"], dtype=np.float64)
         else:
@@ -115,10 +117,18 @@ class AnnIndex:
     def build(spark: SparkSession, df: DataFrame, root: str,
               id_col: str = "vec_id", vec_col: str = "embedding",
               n_planes: int = 12, seed: int = 99,
-              planes=None) -> "AnnIndex":
+              planes=None, part_bits: int = 8) -> "AnnIndex":
         """planes: optional explicit (n_planes, dim) float64 hyperplanes
         (persisted verbatim in meta.json) — e.g. data-derived planes that an
-        external system can reproduce; default is the seeded Gaussian set."""
+        external system can reproduce; default is the seeded Gaussian set.
+
+        part_bits: the parquet PARTITION key is the top `part_bits` bits of
+        the bucket (default 8 → at most 256 directories), with the full
+        bucket a regular column pushed down as a row-group filter. Using the
+        raw bucket as the partition key would create 2^n_planes tiny
+        directories whose listing/open cost dominates both build and query
+        below billions of vectors (measured 24.8s build / 3.8s query at
+        50k vectors with 4096 dirs)."""
         first = df.select(vec_col).first()
         if first is None:
             raise ValueError("cannot build AnnIndex over an empty table")
@@ -129,6 +139,8 @@ class AnnIndex:
             n_planes = planes.shape[0]
         else:
             planes = _planes(dim, n_planes, seed)
+        part_bits = min(part_bits, n_planes)
+        shift = n_planes - part_bits
 
         def bucketize(batches: Iterator[pd.DataFrame]
                       ) -> Iterator[pd.DataFrame]:
@@ -136,21 +148,28 @@ class AnnIndex:
                 if len(pdf) == 0:
                     continue
                 m = _as_matrix(pdf[vec_col])
+                b = _bucket_of(m, planes)
                 yield pd.DataFrame({
                     "vec_id": pdf[id_col],
                     "embedding": pdf[vec_col],
                     "norm": np.linalg.norm(m, axis=1),
-                    "bucket": _bucket_of(m, planes)})
+                    "bucket": b,
+                    "pb": (b >> shift).astype(np.int32)})
 
         os.makedirs(root, exist_ok=True)
         vec_dir = os.path.join(root, "vectors")
+        # repartition by pb so each partition dir is written by one task
+        # (sorted within → one file per (task, pb)); without it every input
+        # task opens a writer per dir it touches
         (df.select(F.col(id_col).alias(id_col), vec_col)
          .mapInPandas(bucketize, AnnIndex.VEC_SCHEMA)
-         .write.partitionBy("bucket").mode("overwrite").parquet(vec_dir))
+         .repartition(F.col("pb"))
+         .sortWithinPartitions("pb", "bucket")
+         .write.partitionBy("pb").mode("overwrite").parquet(vec_dir))
         n_vectors = (spark.read.schema(AnnIndex.VEC_SCHEMA)
                      .parquet(vec_dir).count())
         meta = {"n_planes": int(n_planes), "seed": seed, "dim": dim,
-                "n_vectors": n_vectors,
+                "n_vectors": n_vectors, "part_bits": int(part_bits),
                 "planes": (planes.tolist() if explicit else None)}
         fd, tmp = tempfile.mkstemp(dir=root, suffix=".meta")
         with os.fdopen(fd, "w") as f:
@@ -160,12 +179,17 @@ class AnnIndex:
 
     def candidates(self, query_vec: Sequence[float],
                    probe_bits: int = 2) -> DataFrame:
-        """The pruned candidate scan (exposed for plan auditing)."""
+        """The pruned candidate scan (exposed for plan auditing):
+        partition pruning on the bucket prefix + parquet row-group pushdown
+        on the full bucket id."""
         q = np.asarray(list(query_vec), dtype=np.float64)
         qb = int(_bucket_of(q[None, :], self.planes)[0])
         targets = _probe_targets(qb, self.n_planes, probe_bits)
+        shift = self.n_planes - self.part_bits
+        prefixes = sorted({t >> shift for t in targets})
         return (self.spark.read.schema(self.VEC_SCHEMA)
                 .parquet(os.path.join(self.root, "vectors"))
+                .filter(F.col("pb").isin(prefixes))
                 .filter(F.col("bucket").isin(targets)))
 
     def topk(self, query_vec: Sequence[float], k: int = 10,

@@ -123,6 +123,23 @@ def test_distributed_paths_match_driver(random_idx):
         assert [d for d, _ in got] == [d for d, _ in want], q
 
 
+def test_search_df_lazy_surface(random_idx, random_corpus):
+    """search_df: the no-collect result surface must agree with search()
+    and the oracle for both modes, including the missing-term short-circuit
+    and empty query."""
+    oracle = _oracle_for(random_corpus)
+    for q in ["the of", "hello test", "missing term"]:
+        got = sorted((r["doc_id"], r["url"])
+                     for r in random_idx.search_df(q).collect())
+        want_ids = oracle.search_and_ids(q)
+        want = sorted((i, oracle.doc_names[i]) for i in want_ids)
+        assert got == want, q
+    got_or = sorted(r["doc_id"] for r in
+                    random_idx.search_df("hello test", mode="or").collect())
+    assert got_or == oracle.search_or_ids("hello test")
+    assert random_idx.search_df("").count() == 0
+
+
 def test_preload_merge_not_replace(spark, tmp_path_factory, random_corpus):
     """Regression: a partial preload() after a full preload() must MERGE into
     the cache, not replace it — previously the second preload swapped in a
