@@ -98,12 +98,18 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
 
 
 class SearchIndex:
-    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 snapshot_id: Optional[int] = None) -> None:
+        """snapshot_id: time travel — read any committed snapshot (results
+        exactly as of that commit; default = current)."""
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
-        snap = self.cat.current_snapshot()
+        snap = (self.cat.current_snapshot() if snapshot_id is None
+                else self.cat.snapshot(snapshot_id))
         if snap is None:
-            raise ValueError(f"no committed snapshot in {index_dir}")
+            raise ValueError(
+                f"no committed snapshot in {index_dir}" if snapshot_id is None
+                else f"snapshot {snapshot_id} not found in {index_dir}")
         self.snapshot = snap
         self.stats = snap["stats"]
         self.n_docs = int(self.stats["n_docs"])

@@ -77,6 +77,14 @@ class IndexCatalog:
             return None
         return next(s for s in m["snapshots"] if s["snapshot_id"] == m["current"])
 
+    def snapshot(self, snapshot_id: int) -> Optional[dict]:
+        """Time travel: any committed snapshot by id (old segment files are
+        never deleted by commits/compaction, so every snapshot in the
+        manifest stays readable)."""
+        m = self.load_manifest()
+        return next((s for s in m["snapshots"]
+                     if s["snapshot_id"] == snapshot_id), None)
+
     def commit_snapshot(self, segments: List[int], stats: dict,
                         lineage: dict,
                         posting_segments: Optional[List[int]] = None,

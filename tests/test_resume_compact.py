@@ -157,3 +157,16 @@ def test_time_travel_snapshots(spark, corpus, tmp_path):
     assert m["snapshots"][1]["parent_id"] == 1
     # old segment files still on disk (snapshot 1 remains readable)
     assert set(m["snapshots"][0]["posting_segments"]) == {0, 1, 2, 3}
+
+    # time-travel READ: snapshot 1 (pre-compaction) answers identically to
+    # the current snapshot, from the original 4 segments
+    cur = SearchIndex(spark, d)
+    old = SearchIndex(spark, d, snapshot_id=1)
+    assert len(old.snapshot["posting_segments"]) == 4
+    assert len(cur.snapshot["posting_segments"]) == 1
+    for q in QUERIES:
+        assert old.search_and_ids(q).tolist() == \
+            cur.search_and_ids(q).tolist(), q
+        assert old.topk(q, k=10) == cur.topk(q, k=10), q
+    with pytest.raises(ValueError, match="snapshot 99 not found"):
+        SearchIndex(spark, d, snapshot_id=99)
