@@ -21,6 +21,16 @@ def test_script_style_comments_dropped():
     assert extract_text(html) == "real text"
 
 
+def test_malformed_nesting_no_script_leak():
+    """Regression (advisor finding): with a bare tag malformed to contain a
+    '<script>' opener, a combined single-pass alternation consumed the tag
+    first and leaked the script BODY into the text. Block removal must run
+    before bare-tag stripping."""
+    html = b"<a <script>var x=1</script> b> tail"
+    assert extract_text(html) == "tail"
+    assert extract_text(b"<p <style>p{}</style> q>visible") == "visible"
+
+
 def test_entities_and_whitespace():
     assert extract_text(b"<p>a &amp; b\n\n  c&nbsp;d</p>") == "a & b c d"
     assert extract_text(b"  <div> x </div>  ") == "x"
