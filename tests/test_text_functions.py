@@ -1,6 +1,9 @@
 """Text-analysis operators vs pure-Python oracles."""
 
+import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pysearchlite_spark.functions.text import (_langid_series,
                                                doc_fingerprint,
@@ -73,3 +76,37 @@ def test_fingerprint(df):
     assert fingerprint_tokens(["a", "b"]) != fingerprint_tokens(["b", "a"])
     assert got[6] == fingerprint_tokens(
         ["hello", "hello", "hello", "world", "123"])
+
+
+P61 = (1 << 61) - 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, P61 - 1), st.integers(0, P61 - 1))
+def test_mulmod61_matches_bigint(a, b):
+    from pysearchlite_spark.functions.text import _mulmod61
+    got = _mulmod61(np.asarray([a], np.uint64), np.asarray([b], np.uint64))
+    assert int(got[0]) == (a * b) % P61
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, (1 << 64) - 1))
+def test_mod61_matches_bigint(x):
+    from pysearchlite_spark.functions.text import _mod61
+    assert int(_mod61(np.asarray([x], np.uint64))[0]) == x % P61
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from("abc xy 12 longtoken".split()),
+                max_size=40), st.sampled_from(["blake2b", "md5"]))
+def test_fingerprint_series_property(tokens, hash_fn):
+    """Vectorized batch fingerprint == scalar spec for arbitrary token
+    streams under both hash functions."""
+    import pandas as pd
+
+    from pysearchlite_spark.functions.text import (_fingerprint_series,
+                                                   fingerprint_tokens)
+    text = " ".join(tokens)
+    got = _fingerprint_series(pd.Series([text, "", text]), hash_fn).tolist()
+    want = fingerprint_tokens(normalized_tokens(text), hash_fn)
+    assert got == [want, 0, want]
