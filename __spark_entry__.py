@@ -98,6 +98,11 @@ def _cleanup() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _bpe_pattern_sql() -> str:
+    from pysearchlite_spark.functions.text import BPE_PATTERN
+    return BPE_PATTERN.replace("'", "''")
+
+
 def _ids_df(spark: SparkSession, ids) -> DataFrame:
     return spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
 
@@ -158,6 +163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pysearchlite_spark.functions.text import token_counts
         return token_counts(_docs(spark, sf)).select(
             "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+    def bpe_count(spark, sf):
+        from pysearchlite_spark.functions.text import bpe_token_counts
+        return bpe_token_counts(_docs(spark, sf))
 
     def quality(spark, sf):
         from pysearchlite_spark.functions.text import quality_stats
@@ -234,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "doc_len": doc_len,
         "token_count": token_count,
+        "bpe_token_count": bpe_count,
         "quality_stats": quality,
         "lang_id": langid,
         "doc_fingerprint": fingerprint,
@@ -434,6 +444,13 @@ FROM h
                    f"FROM documents ORDER BY doc_id",
         "token_count": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens "
                        f"FROM documents",
+        # same pattern string, Java regex (Spark, JVM-side) vs RE2 (DuckDB):
+        # restricted to constructs both evaluate identically (functions/
+        # text.py BPE_PATTERN)
+        "bpe_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '"
+            + _bpe_pattern_sql()
+            + "'))::BIGINT AS n_bpe_tokens FROM documents"),
         "quality_stats": f"""
             WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
                               {_TOK} AS ts FROM documents)

@@ -50,6 +50,27 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# GPT-2-style pretokenizer pattern, restricted to constructs Java regex and
+# RE2 (DuckDB) evaluate identically — no lookaheads, no \p classes:
+# contraction suffixes, optional-space letter runs, optional-space digit
+# runs, optional-space punctuation runs, whitespace runs. This is the
+# "BPE-ish" token counting spec: counts approximate a byte-level BPE
+# pretokenizer's piece count (before merges).
+BPE_PATTERN = ("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+|"
+               " ?[^A-Za-z0-9\\s']+|\\s")
+
+
+def bpe_token_counts(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_bpe_tokens) — BPE-pretokenizer piece counting, entirely
+    JVM-side (regexp_extract_all inside whole-stage codegen; no Python in
+    the plan)."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+         .cast("long").alias("n_bpe_tokens"))
+
+
 # Minimal per-language stopword lists for the langid heuristic (public
 # common-word lists; deterministic, dependency-free).
 _STOPWORDS = {

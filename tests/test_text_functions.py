@@ -110,3 +110,21 @@ def test_fingerprint_series_property(tokens, hash_fn):
     got = _fingerprint_series(pd.Series([text, "", text]), hash_fn).tolist()
     want = fingerprint_tokens(normalized_tokens(text), hash_fn)
     assert got == [want, 0, want]
+
+
+def test_bpe_token_counts(spark):
+    """JVM-side regexp_extract_all == python re.findall on the same
+    pattern, incl. contractions, punctuation runs, and whitespace."""
+    import re
+
+    from pysearchlite_spark.functions.text import (BPE_PATTERN,
+                                                   bpe_token_counts)
+    texts = ["it's a test", "hello   world!!", "can't won't 123abc", "",
+             "don't  stop-me now... 3.14", "I'll we've they're o'clock",
+             "tab\there\nnewline", "'", "a'b'c"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_token_counts(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(re.findall(BPE_PATTERN, t)), repr(t)
