@@ -92,6 +92,33 @@ def _ann_index(spark: SparkSession, sf_dir: str):
     return _IDX_CACHE[key]
 
 
+N_IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Persisted IVF-flat index with FIXED centroids (embeddings of vec_id
+    1..N_IVF_CENTROIDS) so the oracle can replicate assignment/probing as
+    cosine argmax in SQL (k-means-trained centroids stay covered in
+    tests/)."""
+    import numpy as np
+
+    from pysearchlite_spark.operators.ann import IvfIndex
+
+    key = ("ivf", sf_dir)
+    if key not in _IDX_CACHE:
+        emb = _emb(spark, sf_dir)
+        rows = (emb.filter(F.col("vec_id").between(1, N_IVF_CENTROIDS))
+                .orderBy("vec_id").collect())
+        cents = np.asarray([list(r["embedding"]) for r in rows],
+                           dtype=np.float64)
+        d = tempfile.mkdtemp(prefix="pslspark_ivf_")
+        _TMP_DIRS.append(d)
+        _IDX_CACHE[key] = IvfIndex.build(
+            spark, emb.filter(F.col("vec_id") != 0), d, centroids=cents)
+    return _IDX_CACHE[key]
+
+
 @atexit.register
 def _cleanup() -> None:
     for d in _TMP_DIRS:
@@ -227,6 +254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ann_index(spark, sf).topk(_ann_query(spark, sf), k=10,
                                           probe_bits=2)
 
+    def ann_ivf(spark, sf):
+        # persisted IVF-flat index, fixed centroids (embeddings 1..16),
+        # nprobe=4 — assignment/probing reproducible as SQL cosine argmax
+        return _ivf_index(spark, sf).topk(_ann_query(spark, sf), k=10,
+                                          nprobe=IVF_NPROBE)
+
     def events_hourly(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -254,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": simhash_sigs,
         "ann_cosine_topk": ann_cosine,
         "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
         "events_hourly": events_hourly,
     }
 
@@ -427,7 +461,40 @@ SELECT doc_id,
 FROM h
 """
 
+    # ann_ivf_topk: assignment = cosine-argmax over fixed centroids
+    # (embeddings 1..16; engine cid = position == vec_id-1, ties by lowest
+    # cid == lowest vec_id); probe = top-4 centroids by cosine; rerank.
+    ann_ivf_sql = f"""
+WITH cent AS (
+  SELECT vec_id AS cvid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {N_IVF_CENTROIDS}
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), assign AS (
+  SELECT vec_id, cvid FROM (
+    SELECT e.vec_id, c.cvid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+               DESC, c.cvid) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0)
+  WHERE rn = 1
+), probe AS (
+  SELECT cvid FROM cent CROSS JOIN q
+  ORDER BY list_cosine_similarity(q.qv, cv) DESC, cvid
+  LIMIT {IVF_NPROBE}
+), cand AS (
+  SELECT vec_id FROM assign WHERE cvid IN (SELECT cvid FROM probe)
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT 10
+"""
+
     return {
+        "ann_ivf_topk": ann_ivf_sql,
         "search_and": f"SELECT doc_id FROM documents WHERE {and_pred} "
                       f"ORDER BY doc_id",
         "search_or": f"SELECT doc_id FROM documents WHERE {or_pred} "

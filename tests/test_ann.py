@@ -62,6 +62,38 @@ def test_pairwise_dups_finds_planted(emb):
     assert (7, 200) in got
 
 
+def test_ivf_index(emb, spark, tmp_path_factory):
+    """IVF-flat: trained centroids adapt to the fixture's 5 clusters, so a
+    small nprobe reaches high recall; restore-from-disk answers
+    identically; the candidate scan is a strict subset of the corpus."""
+    from pysearchlite_spark.operators.ann import IvfIndex
+
+    df, rows = emb
+    root = str(tmp_path_factory.mktemp("ivf_idx") / "idx")
+    idx = IvfIndex.build(spark, df, root, n_centroids=10, seed=17)
+    q = np.asarray(rows[0][1], dtype=np.float64)
+
+    got = [(r["vec_id"], r["cos"]) for r in
+           idx.topk(q.tolist(), k=10, nprobe=3).collect()]
+    want = _brute(rows, q, 10)
+    recall = len({g[0] for g in got} & {w[0] for w in want}) / 10
+    assert recall >= 0.8, f"recall {recall}"
+
+    idx2 = IvfIndex(spark, root)
+    assert [(r["vec_id"], r["cos"]) for r in
+            idx2.topk(q.tolist(), k=10, nprobe=3).collect()] == got
+    n_cand = idx.candidates(q.tolist(), nprobe=3).count()
+    assert 0 < n_cand < len(rows)
+    # deterministic training: same seed → same centroids
+    assert np.allclose(
+        IvfIndex.train_centroids(
+            np.vstack([np.asarray(r[1], np.float64) for r in rows]),
+            10, 5, 17),
+        IvfIndex.train_centroids(
+            np.vstack([np.asarray(r[1], np.float64) for r in rows]),
+            10, 5, 17))
+
+
 def test_ann_index_persisted(emb, spark, tmp_path_factory):
     """The persisted AnnIndex must (a) answer identically to the one-shot
     lsh_cosine_topk under the same planes, (b) hit recall vs brute force,
