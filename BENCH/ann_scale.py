@@ -44,55 +44,74 @@ def vectors_df(spark, n: int):
     return spark.range(n).mapInPandas(gen, "vec_id long, embedding array<float>")
 
 
+def measure(idx, emb, qrows, n, exact_by_q, topk_kwargs):
+    lat, cand_frac, recalls = [], [], []
+    for qi, r in enumerate(qrows):
+        qv = list(r["embedding"])
+        t0 = time.monotonic()
+        approx = [x["vec_id"] for x in
+                  idx.topk(qv, k=10, **topk_kwargs).collect()]
+        lat.append(time.monotonic() - t0)
+        cand_frac.append(idx.candidates(qv).count() / n)
+        recalls.append(len(set(approx) & set(exact_by_q[qi])) / 10)
+    return {"query_ms_mean": round(1000 * float(np.mean(lat)), 1),
+            "candidate_fraction_mean": round(float(np.mean(cand_frac)), 5),
+            "recall_at_10_mean": round(float(np.mean(recalls)), 3)}
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    from pysearchlite_spark.operators.ann import AnnIndex, brute_cosine_topk
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    from pysearchlite_spark.operators.ann import (AnnIndex, IvfIndex,
+                                                  brute_cosine_topk)
     spark = get_spark("ann-scale", master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     src = tempfile.mkdtemp(prefix="annscale_src_")
-    root = tempfile.mkdtemp(prefix="annscale_idx_")
+    root_lsh = tempfile.mkdtemp(prefix="annscale_lsh_")
+    root_ivf = tempfile.mkdtemp(prefix="annscale_ivf_")
     try:
         vectors_df(spark, n).write.mode("overwrite").parquet(src)
         emb = spark.read.parquet(src)
 
-        t0 = time.monotonic()
-        idx = AnnIndex.build(spark, emb, root, n_planes=12)
-        build_sec = round(time.monotonic() - t0, 2)
-
         qrows = emb.filter(f"vec_id % {n // 20} = 1").collect()[:20]
-        lat, cand_frac, recalls = [], [], []
-        for r in qrows:
-            qv = list(r["embedding"])
-            t0 = time.monotonic()
-            approx = [x["vec_id"] for x in idx.topk(qv, k=10).collect()]
-            lat.append(time.monotonic() - t0)
-            cand_frac.append(idx.candidates(qv).count() / n)
-            exact = [x["vec_id"] for x in
-                     brute_cosine_topk(emb, qv, k=10).collect()]
-            recalls.append(len(set(approx) & set(exact)) / 10)
+        exact_by_q = []
         t0 = time.monotonic()
-        brute_cosine_topk(emb, list(qrows[0]["embedding"]), k=10).collect()
-        brute_ms = round(1000 * (time.monotonic() - t0), 1)
+        for r in qrows:
+            exact_by_q.append([x["vec_id"] for x in brute_cosine_topk(
+                emb, list(r["embedding"]), k=10).collect()])
+        brute_ms = round(1000 * (time.monotonic() - t0) / len(qrows), 1)
 
-        out = {"n_vectors": n, "dim": DIM, "n_planes": 12, "part_bits": 8,
-               "build_sec": build_sec,
-               "index_mb": round(sum(
-                   os.path.getsize(os.path.join(dp, f))
-                   for dp, _, fs in os.walk(root) for f in fs) / 2**20, 1),
-               "query_ms_mean": round(1000 * float(np.mean(lat)), 1),
-               "candidate_fraction_mean": round(float(np.mean(cand_frac)), 5),
-               "recall_at_10_mean": round(float(np.mean(recalls)), 3),
+        t0 = time.monotonic()
+        lsh = AnnIndex.build(spark, emb, root_lsh, n_planes=12)
+        lsh_build = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        ivf = IvfIndex.build(spark, emb, root_ivf, n_centroids=1024,
+                             train_sample=100_000, iters=5)
+        ivf_build = round(time.monotonic() - t0, 2)
+
+        out = {"n_vectors": n, "dim": DIM, "n_queries": len(qrows),
                "brute_force_ms": brute_ms,
-               "n_queries": len(qrows)}
+               "lsh": {"n_planes": 12, "part_bits": 8,
+                       "build_sec": lsh_build,
+                       **measure(lsh, emb, qrows, n, exact_by_q,
+                                 {"probe_bits": 2})},
+               "ivf": {"n_centroids": 1024, "nprobe": 32,
+                       "build_sec": ivf_build,
+                       **measure(ivf, emb, qrows, n, exact_by_q,
+                                 {"nprobe": 32})}}
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "ann_scale.json")
+        prev = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+        prev.setdefault("runs", {})[str(n)] = out
         with open(path, "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump(prev, f, indent=1)
         print(json.dumps(out))
     finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(root, ignore_errors=True)
+        for d in (src, root_lsh, root_ivf):
+            shutil.rmtree(d, ignore_errors=True)
         spark.stop()
 
 
