@@ -518,9 +518,12 @@ LIMIT 10
             "SELECT doc_id, len(regexp_extract_all(text, '"
             + _bpe_pattern_sql()
             + "'))::BIGINT AS n_bpe_tokens FROM documents"),
-        "quality_stats": f"""
+        "quality_stats": """
             WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
-                              {_TOK} AS ts FROM documents)
+                              length(regexp_replace(
+                                text, '[^A-Za-z0-9\\s]', '', 'g'))::BIGINT
+                                AS n_keep,
+                              {tok} AS ts FROM documents)
             SELECT doc_id, n_chars, len(ts)::BIGINT AS n_tokens,
                    round(CASE WHEN len(ts) > 0 THEN
                          len(list_distinct(ts))::DOUBLE / len(ts)
@@ -528,8 +531,17 @@ LIMIT 10
                    round(CASE WHEN len(ts) > 0 THEN
                          list_sum(list_transform(ts, x -> length(x)))::DOUBLE
                            / len(ts)
-                         ELSE 0.0 END, 6) AS avg_token_len
-            FROM t""",
+                         ELSE 0.0 END, 6) AS avg_token_len,
+                   round(CASE WHEN n_chars > 0 THEN
+                         (n_chars - n_keep)::DOUBLE / n_chars
+                         ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(ts) > 0 THEN
+                         len(list_filter(ts, x -> x IN ({sw})))::DOUBLE
+                           / len(ts)
+                         ELSE 0.0 END, 6) AS stopword_ratio
+            FROM t""".format(
+            tok=_TOK,
+            sw=", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))),
         "lang_id": langid,
         "exact_dedup": """
             SELECT doc_id,

@@ -32,21 +32,33 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
 def quality_stats(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Per-doc quality features: n_chars, n_tokens, distinct-token ratio,
-    mean token length. Everything after tokenization is JVM-side
-    (whole-stage codegen): size/array_distinct/aggregate."""
+    mean token length, punctuation-character ratio, English-stopword token
+    ratio (the standard web-text quality filters: length / punct /
+    stopword). Everything after tokenization is JVM-side (whole-stage
+    codegen): size/array_distinct/aggregate/filter/regexp_replace."""
     t = with_tokens(df, text_col)
     n = F.size("tokens")
+    n_chars = F.length(F.col(text_col))
     total_len = F.aggregate("tokens", F.lit(0).cast("long"),
                             lambda acc, x: acc + F.length(x))
+    # punctuation = characters that are neither [A-Za-z0-9] nor whitespace
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
+    sw = sorted(_STOPWORDS["en"])
+    n_stop = F.size(F.filter("tokens", lambda x: x.isin(*sw)))
     return t.select(
         F.col(id_col),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_chars.cast("long").alias("n_chars"),
         n.cast("long").alias("n_tokens"),
         F.round(F.when(n > 0, F.size(F.array_distinct("tokens"))
                        .cast("double") / n).otherwise(0.0), 6)
          .alias("distinct_ratio"),
         F.round(F.when(n > 0, total_len.cast("double") / n).otherwise(0.0), 6)
          .alias("avg_token_len"),
+        F.round(F.when(n_chars > 0, n_punct.cast("double") / n_chars)
+                .otherwise(0.0), 6).alias("punct_ratio"),
+        F.round(F.when(n > 0, n_stop.cast("double") / n).otherwise(0.0), 6)
+         .alias("stopword_ratio"),
     )
 
 

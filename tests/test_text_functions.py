@@ -47,6 +47,27 @@ def test_quality_stats(df):
                 round(sum(map(len, toks)) / len(toks), 6))
         else:
             assert r["distinct_ratio"] == 0.0
+        # punct / stopword ratios vs pure-python spec
+        import re
+
+        from pysearchlite_spark.functions.text import _STOPWORDS
+        n_punct = len(t) - len(re.sub(r"[^A-Za-z0-9\s]", "", t))
+        assert r["punct_ratio"] == pytest.approx(
+            round(n_punct / len(t), 6) if t else 0.0)
+        n_stop = sum(1 for x in toks if x in _STOPWORDS["en"])
+        assert r["stopword_ratio"] == pytest.approx(
+            round(n_stop / len(toks), 6) if toks else 0.0)
+
+
+def test_quality_ratios_discriminate(spark):
+    """The ratios must actually separate clean prose from junk."""
+    rows = [(0, "the cat sat on the mat and it was a good day for all"),
+            (1, "!!! ??? ### $$$ %%% @@@ ^^^ &&& *** ((()))"),
+            (2, "zxqj vvkp wmlr ttyn bgfd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_stats(df).collect()}
+    assert got[0]["stopword_ratio"] > 0.4 > got[2]["stopword_ratio"]
+    assert got[1]["punct_ratio"] > 0.5 > got[0]["punct_ratio"]
 
 
 def test_lang_id(df):
