@@ -52,7 +52,7 @@ def measure(idx, emb, qrows, n, exact_by_q, topk_kwargs):
         approx = [x["vec_id"] for x in
                   idx.topk(qv, k=10, **topk_kwargs).collect()]
         lat.append(time.monotonic() - t0)
-        cand_frac.append(idx.candidates(qv).count() / n)
+        cand_frac.append(idx.candidates(qv, **topk_kwargs).count() / n)
         recalls.append(len(set(approx) & set(exact_by_q[qi])) / 10)
     return {"query_ms_mean": round(1000 * float(np.mean(lat)), 1),
             "candidate_fraction_mean": round(float(np.mean(cand_frac)), 5),

@@ -521,7 +521,8 @@ LIMIT 10
         "quality_stats": """
             WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
                               length(regexp_replace(
-                                text, '[^A-Za-z0-9\\s]', '', 'g'))::BIGINT
+                                text, '[^\\p{{L}}\\p{{N}} \\t\\n\\x0B\\f\\r]',
+                                '', 'g'))::BIGINT
                                 AS n_keep,
                               {tok} AS ts FROM documents)
             SELECT doc_id, n_chars, len(ts)::BIGINT AS n_tokens,

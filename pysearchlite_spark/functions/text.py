@@ -41,9 +41,13 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id",
     n_chars = F.length(F.col(text_col))
     total_len = F.aggregate("tokens", F.lit(0).cast("long"),
                             lambda acc, x: acc + F.length(x))
-    # punctuation = characters that are neither [A-Za-z0-9] nor whitespace
+    # punctuation = characters that are neither Unicode letters/digits
+    # (\p{L}\p{N} — Java and RE2 agree; ASCII-only classes would count
+    # every accented or non-Latin letter as punctuation) nor ASCII
+    # whitespace (explicit class: Java \s and RE2 \s disagree on \x0B)
     n_punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
+        F.regexp_replace(F.col(text_col),
+                         "[^\\p{L}\\p{N}" + _WS + "]", ""))
     sw = sorted(_STOPWORDS["en"])
     n_stop = F.size(F.filter("tokens", lambda x: x.isin(*sw)))
     return t.select(
@@ -63,13 +67,16 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id",
 
 
 # GPT-2-style pretokenizer pattern, restricted to constructs Java regex and
-# RE2 (DuckDB) evaluate identically — no lookaheads, no \p classes:
+# RE2 (DuckDB) evaluate identically — no lookaheads, and whitespace spelled
+# as an EXPLICIT class (Java's \s includes \x0B, RE2's does not — the
+# explicit class keeps Spark and the SQL oracle bit-identical):
 # contraction suffixes, optional-space letter runs, optional-space digit
-# runs, optional-space punctuation runs, whitespace runs. This is the
-# "BPE-ish" token counting spec: counts approximate a byte-level BPE
+# runs, optional-space punctuation runs, single whitespace chars. This is
+# the "BPE-ish" token counting spec: counts approximate a byte-level BPE
 # pretokenizer's piece count (before merges).
+_WS = " \\t\\n\\x0B\\f\\r"
 BPE_PATTERN = ("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+|"
-               " ?[^A-Za-z0-9\\s']+|\\s")
+               f" ?[^A-Za-z0-9{_WS}']+|[{_WS}]")
 
 
 def bpe_token_counts(df: DataFrame, id_col: str = "doc_id",
@@ -230,14 +237,18 @@ def _fingerprint_series(texts: pd.Series,
     prod = _mulmod61(th, pw)           # < 2^61 each
     # per-row modular sum without u64 overflow: sum 32-bit halves separately
     u32 = np.uint64(0xFFFFFFFF)
-    # reduceat starts clipped below flat.size (trailing-empty-row offsets
-    # would be out of range); empty rows are masked to 0 below anyway
-    starts = np.minimum(offs[:-1], flat.size - 1)
+    # reduceat over NON-EMPTY rows only: their start offsets are strictly
+    # increasing and < flat.size, so each segment is exactly one row.
+    # (Clipping trailing-empty-row offsets to flat.size-1 instead corrupted
+    # the LAST non-empty row: its reduceat segment lost the final token.)
+    ne = lens > 0
+    starts = offs[:-1][ne]
     lo = np.add.reduceat(prod & u32, starts)          # < L*2^32
     hi = np.add.reduceat(prod >> np.uint64(32), starts)
-    total = _mod61(_mulmod61(_mod61(hi), np.uint64(1) << np.uint64(32))
-                   + _mod61(lo))
-    total = np.where(lens == 0, np.uint64(0), total)
+    total_ne = _mod61(_mulmod61(_mod61(hi), np.uint64(1) << np.uint64(32))
+                      + _mod61(lo))
+    total = np.zeros(n, dtype=np.uint64)
+    total[ne] = total_ne
     return pd.Series(total.astype(np.int64), index=texts.index,
                      dtype="int64")
 

@@ -148,10 +148,13 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
-                         sig_col: str, max_bucket: int) -> DataFrame:
+                         sig_df: DataFrame, max_bucket: int) -> DataFrame:
     """Candidate pairs (a, b) from LSH buckets with a HARD bucket-size bound.
 
-    buckets: (doc_id, *key_cols, <sig_col>) — one row per (doc, bucket).
+    buckets: (doc_id, *key_cols) — one row per (doc, bucket). sig_df:
+    (doc_id, _sig) — the full signature, joined onto the OVERSIZED subset
+    only (carrying an n_perm-long array into every exploded band row
+    would inflate the common path's cache and self-join input ~bands-fold).
     Small buckets (size <= max_bucket) self-join pairwise as usual. Oversized
     buckets — the degenerate case: millions of byte-identical boilerplate
     pages land in ONE bucket and a naive self-join is O(n^2) — are split by
@@ -203,9 +206,10 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
 
     pair_small = pairwise(small)
 
-    # oversized: group by (bucket, full signature) → star pairs to the
-    # group representative (linear in group size)
-    gkey = key_cols + [sig_col]
+    # oversized: join the full signature on, group by (bucket, signature)
+    # → star pairs to the group representative (linear in group size)
+    big = big.join(sig_df, "doc_id")
+    gkey = key_cols + ["_sig"]
     reps = big.groupBy(*gkey).agg(F.min("doc_id").alias("_rep"))
     pair_star = (big.join(reps, gkey)
                  .filter(F.col("doc_id") != F.col("_rep"))
@@ -231,22 +235,28 @@ def lsh_oversize_stats(buckets: DataFrame, key_cols: List[str],
             .filter(F.col("bsz") > max_bucket))
 
 
-def minhash_buckets(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", n_perm: int = 64,
-                    bands: int = 16, shingle_k: int = 3,
-                    seed: int = 7) -> DataFrame:
-    """(doc_id, band, bh, sig) — one row per (doc, band): the exploded LSH
-    bucket assignment, shared by minhash_lsh_pairs and its audit view."""
+def _band_explode(sigs: DataFrame, n_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bh) from a signatures frame — sig itself is NOT
+    carried (bands-fold duplication of the array)."""
     rows = n_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k, seed)
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.hash(F.slice("sig", i * rows + 1, rows)).alias("bh"))
         for i in range(bands)
     ]
-    return (sigs.select("doc_id", "sig",
+    return (sigs.select("doc_id",
                         F.explode(F.array(*band_cols)).alias("b"))
-            .select("doc_id", "b.band", "b.bh", "sig"))
+            .select("doc_id", "b.band", "b.bh"))
+
+
+def minhash_buckets(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n_perm: int = 64,
+                    bands: int = 16, shingle_k: int = 3,
+                    seed: int = 7) -> DataFrame:
+    """(doc_id, band, bh) — one row per (doc, band): the exploded LSH
+    bucket assignment, shared by minhash_lsh_pairs and its audit view."""
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k, seed)
+    return _band_explode(sigs, n_perm, bands)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -264,9 +274,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     corpora) fall back to identical-signature star pairs instead of a
     quadratic self-join — see _capped_bucket_pairs. Audit oversized buckets
     with lsh_oversize_stats(minhash_buckets(df), ["band", "bh"], max_bucket)."""
-    buckets = minhash_buckets(df, id_col, text_col, n_perm, bands,
-                              shingle_k, seed).persist()
-    cand = _capped_bucket_pairs(buckets, ["band", "bh"], "sig",
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k,
+                              seed).persist()
+    buckets = _band_explode(sigs, n_perm, bands).persist()
+    cand = _capped_bucket_pairs(buckets, ["band", "bh"],
+                                sigs.select("doc_id",
+                                            F.col("sig").alias("_sig")),
                                 max_bucket)
 
     # exact verification on shingle sets of candidate docs only
@@ -405,7 +418,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     _capped_bucket_pairs. Audit with
     lsh_oversize_stats(simhash_buckets(df), ["c", "v"], max_bucket)."""
     b = simhash_buckets(df, id_col, text_col).persist()
-    cand = _capped_bucket_pairs(b, ["c", "v"], "simhash", max_bucket)
+    cand = _capped_bucket_pairs(
+        b.select("doc_id", "c", "v"), ["c", "v"],
+        b.select("doc_id", F.col("simhash").alias("_sig")).distinct(),
+        max_bucket)
     sigs = b.select("doc_id", "simhash").distinct()
     cand = (cand
             .join(sigs.select(F.col("doc_id").alias("a"),

@@ -869,42 +869,52 @@ def _pack_runs(mini: DataFrame, *, avgdl: float, n_out_parts: int = 64,
                 os.replace(state["tmp"], state["final"])
                 state["writer"] = None
 
-        for rb in packed_batches(batches):
-            t = pa.Table.from_batches([rb])
-            seg = t.column("seg").chunk(0).to_numpy()
-            tb = t.column("tb").chunk(0).to_numpy()
-            n = t.num_rows
-            kchange = np.empty(n, dtype=bool)
-            kchange[0] = True
-            kchange[1:] = (seg[1:] != seg[:-1]) | (tb[1:] != tb[:-1])
-            kstarts = np.flatnonzero(kchange)
-            kends = np.append(kstarts[1:], n)
-            body = t.drop_columns(["seg", "tb"])
-            for s, e in zip(kstarts, kends):
-                key = (int(seg[s]), int(tb[s]))
-                if key != state["key"]:
-                    # sorted input → keys are contiguous per task: at most
-                    # one writer open, one file per (task, seg, tb)
-                    close_writer()
-                    d = os.path.join(sink_dir, f"seg={key[0]}",
-                                     f"tb={key[1]}")
-                    os.makedirs(d, exist_ok=True)
-                    state["final"] = os.path.join(
-                        d, f"part-{pid:05d}.parquet")
-                    state["tmp"] = os.path.join(
-                        d, f"_tmp-part-{pid:05d}-{attempt}.inprogress")
-                    state["writer"] = pq.ParquetWriter(
-                        state["tmp"], file_schema, compression="snappy")
-                    state["key"] = key
-                sl = body.slice(s, e - s)
-                state["writer"].write_table(sl)
-                st = stats.setdefault(key, [0, 0, 0])
-                st[0] += e - s
-                st[1] += int(pc.sum(t.column("df").slice(s, e - s)).as_py())
-                st[2] += sum(
-                    int(pc.sum(pc.binary_length(sl.column(c))).as_py())
-                    for c in ("docs", "tfs", "dls"))
-        close_writer()
+        try:
+            for rb in packed_batches(batches):
+                t = pa.Table.from_batches([rb])
+                seg = t.column("seg").chunk(0).to_numpy()
+                tb = t.column("tb").chunk(0).to_numpy()
+                n = t.num_rows
+                kchange = np.empty(n, dtype=bool)
+                kchange[0] = True
+                kchange[1:] = (seg[1:] != seg[:-1]) | (tb[1:] != tb[:-1])
+                kstarts = np.flatnonzero(kchange)
+                kends = np.append(kstarts[1:], n)
+                body = t.drop_columns(["seg", "tb"])
+                for s, e in zip(kstarts, kends):
+                    key = (int(seg[s]), int(tb[s]))
+                    if key != state["key"]:
+                        # sorted input → keys are contiguous per task: at
+                        # most one writer open, one file per (task, seg, tb)
+                        close_writer()
+                        d = os.path.join(sink_dir, f"seg={key[0]}",
+                                         f"tb={key[1]}")
+                        os.makedirs(d, exist_ok=True)
+                        state["final"] = os.path.join(
+                            d, f"part-{pid:05d}.parquet")
+                        state["tmp"] = os.path.join(
+                            d, f"_tmp-part-{pid:05d}-{attempt}.inprogress")
+                        state["writer"] = pq.ParquetWriter(
+                            state["tmp"], file_schema, compression="snappy")
+                        state["key"] = key
+                    sl = body.slice(s, e - s)
+                    state["writer"].write_table(sl)
+                    st = stats.setdefault(key, [0, 0, 0])
+                    st[0] += e - s
+                    st[1] += int(pc.sum(t.column("df")
+                                        .slice(s, e - s)).as_py())
+                    st[2] += sum(
+                        int(pc.sum(pc.binary_length(sl.column(c))).as_py())
+                        for c in ("docs", "tfs", "dls"))
+            close_writer()
+        finally:
+            # failed/killed attempt (incl. speculative losers): close and
+            # remove the in-progress tmp instead of leaking it into the
+            # committed index tree (mirrors stage0_sink's finally)
+            if state["writer"] is not None:
+                state["writer"].close()
+            if state["tmp"] and os.path.exists(state["tmp"]):
+                os.remove(state["tmp"])
         keys = sorted(stats)
         yield pa.RecordBatch.from_arrays([
             pa.array([k[0] for k in keys], type=pa.int64()),

@@ -13,16 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _cgroup_limit_bytes() -> float:
+    """Container memory limit (cgroup v2 then v1), inf if unlimited.
+    /proc/meminfo is NOT cgroup-aware — sizing from it alone would hand a
+    --memory=8g container a 24g heap that gets OOM-killed mid-job."""
+    for p in ("/sys/fs/cgroup/memory.max",
+              "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(p) as f:
+                v = f.read().strip()
+            if v != "max" and int(v) < (1 << 50):  # v1 reports ~2^63 for inf
+                return float(v)
+        except (OSError, ValueError):
+            continue
+    return float("inf")
+
+
 def _default_driver_mem() -> str:
-    """min(24g, ~70% of host MemAvailable), floor 4g: 32 task slots reading
-    list columns need GBs of columnar-reader vectors (8g OOMed a 9.6M-doc
-    build), but a fixed 24g would fail to start on smaller/cgroup-limited
-    hosts where 8g previously worked. SPARK_GRAFT_DRIVER_MEM overrides."""
+    """min(24g, ~70% of min(host MemAvailable, cgroup limit)), floor 4g:
+    32 task slots reading list columns need GBs of columnar-reader vectors
+    (8g OOMed a 9.6M-doc build), but a fixed 24g would fail on smaller or
+    cgroup-limited hosts where 8g previously worked. SPARK_GRAFT_DRIVER_MEM
+    overrides."""
     try:
         with open("/proc/meminfo") as f:
             kib = {l.split(":")[0]: int(l.split()[1]) for l in f
                    if l.split(":")[0] in ("MemTotal", "MemAvailable")}
-        avail_g = kib.get("MemAvailable", kib.get("MemTotal", 0)) / (1 << 20)
+        avail = kib.get("MemAvailable", kib.get("MemTotal", 0)) * 1024.0
+        avail_g = min(avail, _cgroup_limit_bytes()) / (1 << 30)
         return f"{max(4, min(24, int(avail_g * 0.7)))}g"
     except Exception:
         return "8g"

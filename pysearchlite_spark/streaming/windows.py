@@ -52,17 +52,22 @@ def streaming_exact_dedup(stream: DataFrame, id_col: str = "doc_id",
     text's sha256. State per hash group: one long."""
 
     def dedup_fn(key, pdfs, state: GroupState):
-        seen = state.get[0] if state.exists else None
+        # A group may arrive as MULTIPLE Arrow chunks within one micro-batch
+        # (group larger than maxRecordsPerBatch): decide keep_id from the
+        # min across ALL chunks + prior state BEFORE emitting, so the
+        # result matches batch exact_dedup's min-doc_id semantics and is
+        # partitioning-independent. Buffers only the int64 ids (8B each).
+        chunks = [pdf["doc_id"].to_numpy() for pdf in pdfs]
+        prior = state.get[0] if state.exists else None
+        batch_min = min(int(c.min()) for c in chunks if c.size)
+        # first-seen-batch wins across batches (append mode cannot rewrite
+        # already-emitted rows); min doc_id within the first batch
+        keep = batch_min if prior is None else prior
         out = []
-        for pdf in pdfs:
-            ids = sorted(int(i) for i in pdf["doc_id"])
-            for i in ids:
-                if seen is None:
-                    seen = i
-                    out.append((i, i, False))
-                else:
-                    out.append((i, seen, i != seen))
-        state.update((seen,))
+        for c in chunks:
+            for i in sorted(int(x) for x in c):
+                out.append((i, keep, i != keep))
+        state.update((keep,))
         yield pd.DataFrame(out, columns=["doc_id", "keep_id", "is_dup"])
 
     hashed = stream.select(

@@ -47,11 +47,14 @@ def test_quality_stats(df):
                 round(sum(map(len, toks)) / len(toks), 6))
         else:
             assert r["distinct_ratio"] == 0.0
-        # punct / stopword ratios vs pure-python spec
-        import re
+        # punct / stopword ratios vs pure-python spec: punctuation =
+        # neither Unicode letter/number (category L*/N*) nor ASCII ws
+        import unicodedata
 
         from pysearchlite_spark.functions.text import _STOPWORDS
-        n_punct = len(t) - len(re.sub(r"[^A-Za-z0-9\s]", "", t))
+        n_punct = sum(1 for ch in t
+                      if unicodedata.category(ch)[0] not in ("L", "N")
+                      and ch not in " \t\n\x0b\f\r")
         assert r["punct_ratio"] == pytest.approx(
             round(n_punct / len(t), 6) if t else 0.0)
         n_stop = sum(1 for x in toks if x in _STOPWORDS["en"])
@@ -60,14 +63,18 @@ def test_quality_stats(df):
 
 
 def test_quality_ratios_discriminate(spark):
-    """The ratios must actually separate clean prose from junk."""
+    """The ratios must actually separate clean prose from junk — and clean
+    NON-ENGLISH prose must not read as punctuation (umlauts/accents are
+    Unicode letters, not punct)."""
     rows = [(0, "the cat sat on the mat and it was a good day for all"),
             (1, "!!! ??? ### $$$ %%% @@@ ^^^ &&& *** ((()))"),
-            (2, "zxqj vvkp wmlr ttyn bgfd")]
+            (2, "zxqj vvkp wmlr ttyn bgfd"),
+            (3, "schöne Grüße für müde Bürger")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in quality_stats(df).collect()}
     assert got[0]["stopword_ratio"] > 0.4 > got[2]["stopword_ratio"]
     assert got[1]["punct_ratio"] > 0.5 > got[0]["punct_ratio"]
+    assert got[3]["punct_ratio"] == 0.0
 
 
 def test_lang_id(df):
@@ -128,9 +135,12 @@ def test_fingerprint_series_property(tokens, hash_fn):
     from pysearchlite_spark.functions.text import (_fingerprint_series,
                                                    fingerprint_tokens)
     text = " ".join(tokens)
-    got = _fingerprint_series(pd.Series([text, "", text]), hash_fn).tolist()
+    # trailing empty row included: a clipped reduceat boundary used to
+    # corrupt the LAST non-empty row's fingerprint
+    got = _fingerprint_series(pd.Series([text, "", text, ""]),
+                              hash_fn).tolist()
     want = fingerprint_tokens(normalized_tokens(text), hash_fn)
-    assert got == [want, 0, want]
+    assert got == [want, 0, want, 0]
 
 
 def test_bpe_token_counts(spark):
