@@ -43,13 +43,53 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _streams_for_ids(r: dict, ids: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a packed row's (docs, tfs, dls) for the blocks containing
+    `ids` only — contiguous block runs via bulk varbyte range decode. The
+    AND top-k hot path: scoring a 5-doc intersection against a df=10^6
+    term must not decode 10^6 x 3 streams (the block-selective decode the
+    intersection itself already used). Falls back to full decode when most
+    blocks are touched anyway."""
+    df = int(r["df"])
+    fd = np.asarray(r["first_docs"], dtype=np.int64)
+    if fd.size == 0 or ids.size == 0:
+        return (codec.unpack_docs(r["docs"], df),
+                codec.unpack_stream(r["tfs"], df),
+                codec.unpack_stream(r["dls"], df))
+    bidx = np.unique(np.clip(
+        np.searchsorted(fd, ids, side="right") - 1, 0, fd.size - 1))
+    if bidx.size >= max(1, fd.size // 2):
+        return (codec.unpack_docs(r["docs"], df),
+                codec.unpack_stream(r["tfs"], df),
+                codec.unpack_stream(r["dls"], df))
+    packed = codec.PackedPostings(
+        df, r["docs"], r["tfs"], r["dls"], fd,
+        np.asarray(r["doc_offs"], dtype=np.int32),
+        np.asarray(r["tf_offs"], dtype=np.int32),
+        np.asarray(r["dl_offs"], dtype=np.int32), None)
+    # contiguous runs of needed blocks → one bulk range decode per run;
+    # runs are ascending so the concatenated docs stay sorted
+    breaks = np.flatnonzero(np.diff(bidx) > 1) + 1
+    d_l, t_l, l_l = [], [], []
+    for run in np.split(bidx, breaks):
+        d, t, l = codec.unpack_block_range(packed, int(run[0]),
+                                           int(run[-1]) + 1)
+        d_l.append(d)
+        t_l.append(t)
+        l_l.append(l)
+    return np.concatenate(d_l), np.concatenate(t_l), np.concatenate(l_l)
+
+
 def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
                        n_query_terms: int, k: int, mode: str,
-                       use_blockmax, avgdl: float
+                       use_blockmax, avgdl: float,
+                       bound_scale: float = 1.0
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Score one segment's packed posting rows. Module-level (no engine
     state) so the distributed applyInPandas path serializes only plain
     values, never the SparkSession."""
+    zb = None
     if use_blockmax == "auto":
         # ADAPTIVE: a metadata-only probe (W.decide_blockmax) estimates the
         # zone-visit fraction. Head-term tie-heavy queries (nearly every doc
@@ -57,8 +97,12 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
         # by 8-25x on profiled Zipf workloads) choose the exhaustive
         # vectorized pass; selective queries (rare high-idf term, k <<
         # matches) choose pruned. Rank-identity between the two is
-        # test-enforced either way.
-        use_blockmax = mode != "and" and W.decide_blockmax(rows, idfs, k)
+        # test-enforced either way. The zone bounds are computed ONCE and
+        # shared with blockmax_topk when pruning is chosen.
+        use_blockmax = False
+        if mode != "and" and rows:
+            zb = W.zone_bounds(rows, idfs)
+            use_blockmax = W.decide_blockmax(rows, idfs, k, zb=zb)
     if mode == "and":
         if len(rows) < n_query_terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -67,15 +111,14 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
             return np.empty(0, np.int64), np.empty(0, np.float64)
         scores = np.zeros(ids.size, dtype=np.float64)
         for r in rows:
-            docs = codec.unpack_docs(r["docs"], int(r["df"]))
-            tfs = codec.unpack_stream(r["tfs"], int(r["df"]))
-            dls = codec.unpack_stream(r["dls"], int(r["df"]))
+            docs, tfs, dls = _streams_for_ids(r, ids)
             pos = np.searchsorted(docs, ids)
             scores += idfs[r["term"]] * codec.bm25_partial(
                 tfs[pos], dls[pos], avgdl)
-        return ids, scores
+        return _truncate_topk(ids, scores, k)
     if use_blockmax:
-        top = W.blockmax_topk(rows, idfs, avgdl, k)
+        top = W.blockmax_topk(rows, idfs, avgdl, k,
+                              bound_scale=bound_scale, zb=zb)
         if not top:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         d, s = zip(*top)
@@ -88,9 +131,16 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
         dl_l.append(codec.unpack_stream(r["dls"], df).astype(np.int64))
         idf_l.append(idfs[r["term"]])
     docs, scores = W.score_disjunctive(doc_l, tf_l, dl_l, idf_l, avgdl)
+    return _truncate_topk(docs, scores, k)
+
+
+def _truncate_topk(docs: np.ndarray, scores: np.ndarray, k: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-segment truncation to the tie-safe top-k boundary (keep every
+    doc scoring >= the k-th best so the global merge resolves ties by
+    doc_id) — the single site for this rule; the distributed path must not
+    re-implement it."""
     if docs.size > k:
-        # per-segment truncation to top-k is safe: the global merge only
-        # needs each segment's best k
         kth = np.partition(scores, docs.size - k)[docs.size - k]
         m = scores >= kth
         docs, scores = docs[m], scores[m]
@@ -126,6 +176,8 @@ class SearchIndex:
         self._docmap = (spark.read.schema(DOCMAP_SCHEMA)
                         .parquet(self.cat.docmap_dir())
                         .filter(F.col("seg").isin([int(s) for s in doc_segs])))
+        self.pack_avgdl = {int(k): float(v) for k, v in
+                           (self.stats.get("pack_avgdl") or {}).items()}
         self._term_cache: Dict[str, List[dict]] = {}
         self._cache_pdf: Optional[pd.DataFrame] = None
         self._cache_pos: Optional[dict] = None
@@ -286,6 +338,18 @@ class SearchIndex:
         return [name[int(i)] for i in ids]
 
     # ------------------------------------------------------------- BM25 --
+    def _bound_scale(self, seg: int) -> float:
+        """Block-max max_partial bounds are exact at the segment's PACK-time
+        avgdl; if streaming appends RAISED the global avgdl since, true
+        partials can exceed the baked bounds by at most the avgdl ratio
+        (worst case tf→0, dl→∞) — scale bounds up so pruning stays safe.
+        Segments without a recorded pack_avgdl (pre-upgrade snapshots) fall
+        back to 1.0 — matching their build-time behavior."""
+        pa = self.pack_avgdl.get(int(seg))
+        if not pa or pa <= 0:
+            return 1.0
+        return max(1.0, self.avgdl / pa)
+
     def _idfs(self, dfs: Dict[str, int]) -> Dict[str, float]:
         return {t: bm25_idf(self.n_docs, d) for t, d in dfs.items() if d > 0}
 
@@ -307,7 +371,8 @@ class SearchIndex:
         parts: List[Tuple[np.ndarray, np.ndarray]] = []
         for seg, rows in sorted(self._rows_by_seg(pdf).items()):
             parts.append(score_segment_rows(rows, idfs, len(terms), k, mode,
-                                            use_blockmax, self.avgdl))
+                                            use_blockmax, self.avgdl,
+                                            self._bound_scale(seg)))
         return W.topk_merge(parts, k)
 
     # ------------------------------------------------- distributed paths --
@@ -359,8 +424,8 @@ class SearchIndex:
         if any(dfs.get(t, 0) == 0 for t in terms):
             return np.empty(0, dtype=np.int64)
         out = (self._matching_ids_dist(terms, "and")
-               .orderBy("doc_id").collect())
-        return np.array([r["doc_id"] for r in out], dtype=np.int64)
+               .orderBy("doc_id").toPandas())  # Arrow path, not Row objects
+        return out["doc_id"].to_numpy(np.int64)
 
     def _search_or_ids_dist(self, terms: List[str]) -> np.ndarray:
         """Distributed OR: per-segment sorted union inside applyInPandas —
@@ -409,15 +474,16 @@ class SearchIndex:
             return []
         idfs = self._idfs(dfs)
         avgdl, uniq_terms = self.avgdl, len(set(terms))
+        scales = {int(s): self._bound_scale(s)
+                  for s in self.pack_avgdl} or {}
 
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # score_segment_rows already applies the tie-safe per-segment
+            # top-k truncation (_truncate_topk) for every mode
             rows = pdf.to_dict("records")
             d, s = score_segment_rows(rows, idfs, uniq_terms, k, mode,
-                                      use_blockmax, avgdl)
-            if d.size > k:
-                kth = np.partition(s, d.size - k)[d.size - k]
-                m = s >= kth
-                d, s = d[m], s[m]
+                                      use_blockmax, avgdl,
+                                      scales.get(int(key[0]), 1.0))
             return pd.DataFrame({"doc_id": d, "score": s})
 
         out = (self.postings_df(terms)

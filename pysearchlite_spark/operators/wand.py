@@ -108,57 +108,14 @@ def _term_last_doc(r: dict) -> int | None:
     return int(d[-1])
 
 
-def decide_blockmax(rows: List[dict], idfs: Dict[str, float], k: int,
-                    visit_frac_cutoff: float = 0.25) -> bool:
-    """Adaptive auto mode: choose pruned (True) vs exhaustive (False) from
-    METADATA ONLY (first_docs/max_partial — no posting decode).
-
-    Estimate how many zones block-max would visit: zones are ranked by their
-    upper bound; scoring stops once the k-th best real score beats the next
-    zone's ub. Real scores are unknown pre-decode, so assume pessimistically
-    the final threshold reaches only half the k-th-ranked zone ub — count
-    zones with ub >= that. Tie-heavy head-term queries (every zone's ub
-    comparable — the measured 8-25x-slower-than-exhaustive regime) estimate
-    ~all zones visited → exhaustive; selective queries (rare high-idf term
-    dominating few zones) estimate a small fraction → pruned."""
-    if not rows or k <= 0:
-        return False
-    big = max(rows, key=lambda r: r["df"])
-    Z = len(big["first_docs"])
-    if Z <= 8:  # tiny segment: exhaustive vector pass is trivially fast
-        return False
-    edges = np.asarray(big["first_docs"], dtype=np.int64).copy()
-    mins = [np.asarray(r["first_docs"], dtype=np.int64)[0]
-            for r in rows if len(r["first_docs"])]
-    edges[0] = min(int(edges[0]), min(mins) if mins else 0)
-    zone_edges = np.concatenate([edges, [np.iinfo(np.int64).max]])
-    ub = np.zeros(zone_edges.size - 1, dtype=np.float64)
-    for r in rows:
-        ub += idfs[r["term"]] * _zone_bounds_for_term(
-            zone_edges,
-            np.asarray(r["first_docs"], dtype=np.int64),
-            np.asarray(r["max_partial"], dtype=np.float64),
-            _term_last_doc(r))
-    # threshold estimate: one zone holds ~a skip block of docs (>= k for
-    # default k=10), so after the best zone the heap's k-th score is within
-    # a factor of that zone's bound — assume it reaches half (ub is an
-    # overestimate). Count zones whose bound survives that threshold: the
-    # tie-heavy regime (all bounds comparable) counts ~every zone →
-    # exhaustive; a dominant rare term counts a handful → pruned.
-    visited_est = int((ub >= 0.5 * ub.max()).sum())
-    return visited_est <= visit_frac_cutoff * ub.size
-
-
-def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
-                  k: int) -> List[Tuple[int, float]]:
-    """Block-max pruned top-k over one segment's packed posting rows
-    (each row: term/df/docs/tfs/dls/first_docs/*_offs/max_partial)."""
-    if not rows or k <= 0:
-        return []
-    # zones = skip blocks of the largest-df term (finest doc-density grid);
-    # the first zone is widened down to the GLOBAL minimum first_doc across
-    # all terms — otherwise docs of other terms below the big term's first
-    # block would fall outside every zone and never be scored
+def zone_bounds(rows: List[dict], idfs: Dict[str, float]):
+    """Shared zone construction for decide_blockmax / blockmax_topk:
+    (zone_edges, ub, per_term). Zones = skip blocks of the largest-df term
+    (finest doc-density grid); the first zone widens down to the GLOBAL
+    minimum first_doc across all terms — otherwise docs of other terms
+    below the big term's first block would fall outside every zone and
+    never be scored. Metadata-only (one final-block decode per term for
+    last-doc capping)."""
     big = max(rows, key=lambda r: r["df"])
     edges = np.asarray(big["first_docs"], dtype=np.int64)
     mins = [np.asarray(r["first_docs"], dtype=np.int64)[0]
@@ -170,16 +127,60 @@ def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
         edges = edges.copy()
         edges[0] = min(int(edges[0]), int(global_min))
     zone_edges = np.concatenate([edges, [np.iinfo(np.int64).max]])
-    Z = zone_edges.size - 1
-
-    ub = np.zeros(Z, dtype=np.float64)
+    ub = np.zeros(zone_edges.size - 1, dtype=np.float64)
     per_term = []
     for r in rows:
         fd = np.asarray(r["first_docs"], dtype=np.int64)
         mp = np.asarray(r["max_partial"], dtype=np.float64)
-        tb = _zone_bounds_for_term(zone_edges, fd, mp, _term_last_doc(r))
-        ub += idfs[r["term"]] * tb
+        ub += idfs[r["term"]] * _zone_bounds_for_term(
+            zone_edges, fd, mp, _term_last_doc(r))
         per_term.append((r, fd))
+    return zone_edges, ub, per_term
+
+
+def decide_blockmax(rows: List[dict], idfs: Dict[str, float], k: int,
+                    visit_frac_cutoff: float = 0.25, zb=None) -> bool:
+    """Adaptive auto mode: choose pruned (True) vs exhaustive (False) from
+    METADATA ONLY (first_docs/max_partial — no posting decode). Pass a
+    precomputed zone_bounds() result via zb to avoid recomputation when the
+    caller will also run blockmax_topk.
+
+    Estimate how many zones block-max would visit: zones are ranked by their
+    upper bound; scoring stops once the k-th best real score beats the next
+    zone's ub. Real scores are unknown pre-decode, so assume pessimistically
+    the final threshold reaches only half the best zone's ub — count zones
+    with ub >= that. Tie-heavy head-term queries (every zone's ub
+    comparable — the measured 8-25x-slower-than-exhaustive regime) estimate
+    ~all zones visited → exhaustive; selective queries (rare high-idf term
+    dominating few zones) estimate a small fraction → pruned."""
+    if not rows or k <= 0:
+        return False
+    big = max(rows, key=lambda r: r["df"])
+    if len(big["first_docs"]) <= 8:
+        return False  # tiny segment: exhaustive vector pass trivially fast
+    _, ub, _ = zb if zb is not None else zone_bounds(rows, idfs)
+    if ub.size == 0 or ub.max() <= 0:
+        return False
+    visited_est = int((ub >= 0.5 * ub.max()).sum())
+    return visited_est <= visit_frac_cutoff * ub.size
+
+
+def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
+                  k: int, bound_scale: float = 1.0,
+                  zb=None) -> List[Tuple[int, float]]:
+    """Block-max pruned top-k over one segment's packed posting rows
+    (each row: term/df/docs/tfs/dls/first_docs/*_offs/max_partial).
+    bound_scale >= 1 inflates the packed upper bounds when the CURRENT
+    avgdl exceeds the segment's pack-time avgdl (partial scores grow with
+    avgdl; worst-case growth is the avgdl ratio), keeping pruning safe
+    after streaming appends drift the global stat. zb: precomputed
+    zone_bounds() (shared with decide_blockmax in auto mode)."""
+    if not rows or k <= 0:
+        return []
+    zone_edges, ub, per_term = zb if zb is not None else zone_bounds(rows,
+                                                                     idfs)
+    if bound_scale != 1.0:
+        ub = ub * bound_scale
 
     zorder = np.argsort(-ub, kind="stable")
     heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k

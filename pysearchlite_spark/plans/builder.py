@@ -41,6 +41,7 @@ build_log/ with lineage.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import zlib
@@ -522,6 +523,43 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
     # term string per run instead of one string per occurrence.
     stage_dir = os.path.join(index_dir, "_stage", "runs")
     stage_marker = os.path.join(stage_dir, "_STAGED")
+    # the staged runs bake (segment_docs, n_buckets, lang_filter, columns)
+    # into their seg/tb values: a resume with DIFFERENT params must not
+    # reuse them (silently half-empty query results when n_buckets shrinks
+    # — term_bucket(t, new) would search tb ranges the data was not packed
+    # under), so the marker records the params and mismatches invalidate
+    build_params = {"segment_docs": int(segment_docs),
+                    "n_buckets": int(n_buckets),
+                    "lang_filter": lang_filter, "text_col": text_col,
+                    "id_col": id_col, "url_col": url_col,
+                    "html_col": html_col}
+    snap0 = cat.current_snapshot()
+    if snap0 is not None:
+        old = snap0["stats"]
+        if (int(old.get("n_buckets", n_buckets)) != int(n_buckets)
+                or int(old.get("segment_docs",
+                               segment_docs)) != int(segment_docs)):
+            raise ValueError(
+                f"index {index_dir} was committed with n_buckets="
+                f"{old.get('n_buckets')}, segment_docs="
+                f"{old.get('segment_docs')}; rebuilding with different "
+                "parameters over committed segments would corrupt query "
+                "routing — use a fresh directory (or compact, then match)")
+    if os.path.exists(stage_marker):
+        try:
+            with open(stage_marker) as fh:
+                prev = json.load(fh).get("params")
+        except (ValueError, OSError):
+            prev = None
+        if prev != build_params:
+            import shutil
+            shutil.rmtree(stage_dir)  # params changed → stale checkpoint
+            if snap0 is None:
+                # staged-but-uncommitted segments were built under the old
+                # params too (tb/seg baked in) — drop them with it
+                for table in ("docmap", "postings"):
+                    for s in cat.staged_segments(table):
+                        cat.drop_segment(table, s)
     if not os.path.exists(stage_marker):
         if os.path.isdir(stage_dir):
             import shutil
@@ -544,7 +582,7 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
                         n_buckets=n_buckets)
              .write.mode("overwrite").parquet(stage_dir))
         with open(stage_marker, "w") as fh:
-            fh.write(str(time.time()))
+            json.dump({"ts": time.time(), "params": build_params}, fh)
     runs = spark.read.schema(RUNS_SCHEMA).parquet(stage_dir)
     _mark("stage0(extract+doc_ids+tf+invert->runs)")
 
@@ -659,7 +697,11 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
     snapshot_id = -1
     if set(all_segs) <= staged_all:
         stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
-                 "segment_docs": segment_docs, "n_buckets": n_buckets}
+                 "segment_docs": segment_docs, "n_buckets": n_buckets,
+                 # per-segment pack-time avgdl: block-max max_partial bounds
+                 # are exact only at this avgdl; queries scale them by
+                 # current/pack when streaming appends drift the global stat
+                 "pack_avgdl": {str(s): avgdl for s in sorted(staged_all)}}
         snapshot_id = cat.commit_snapshot(
             sorted(staged_all), stats,
             lineage or {"source": "unknown", "built_at": time.time()})

@@ -140,6 +140,9 @@ def compact_segments(spark: SparkSession, index_dir: str,
     lineage = dict(snap.get("lineage") or {})
     lineage.update({"compaction_of": old_segs, "compacted_at": time.time(),
                     "group_size": group_size})
+    # repacked segments bake the CURRENT avgdl into their block-max bounds
+    stats = dict(stats)
+    stats["pack_avgdl"] = {str(s): avgdl for s in new_segs}
     return cat.commit_snapshot(
         snap.get("doc_segments", snap["segments"]), stats, lineage,
         posting_segments=new_segs,

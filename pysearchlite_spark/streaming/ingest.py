@@ -119,8 +119,11 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
 
     toks.unpersist()
 
+    pack_avgdl = dict(old_stats.get("pack_avgdl") or {})
+    pack_avgdl.update({str(s): avgdl for s in new_segs})
     stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
-             "segment_docs": segment_docs, "n_buckets": n_buckets}
+             "segment_docs": segment_docs, "n_buckets": n_buckets,
+             "pack_avgdl": pack_avgdl}
     lineage = {"job": "streaming.append_batch",
                "ingested_batches": done_batches + (
                    [batch_id] if batch_id is not None else []),

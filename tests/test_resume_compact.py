@@ -103,6 +103,35 @@ def test_compaction_preserves_results(spark, corpus, tmp_path):
         results_before["hot the"][2]
 
 
+def test_resume_with_changed_params_invalidates_checkpoint(spark, corpus,
+                                                           tmp_path):
+    """Regression: the stage-0 checkpoint bakes (segment_docs, n_buckets)
+    into its seg/tb values. A killed build resumed with DIFFERENT params
+    must rebuild from scratch — reusing the stale runs routed ~half the
+    vocabulary to term buckets the query side never searches (silent empty
+    results)."""
+    d = str(tmp_path / "idx")
+    r1 = build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                     segment_docs=100, n_buckets=16, max_segments=2)
+    assert r1.snapshot_id == -1  # killed mid-build, staged only
+    # resume with different n_buckets → checkpoint + staged segs discarded
+    r2 = build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                     segment_docs=100, n_buckets=8)
+    assert r2.snapshot_id == 1
+    idx = SearchIndex(spark, d)
+    assert idx.n_buckets == 8
+    oracle_counts = {"the": 400}
+    for q, want in oracle_counts.items():
+        assert idx.count(q) == want, q
+    # every vocabulary term resolves (no half-empty bucket routing)
+    assert idx.count("v1") > 0 and idx.count("v42") > 0
+
+    # rebuilding OVER a committed snapshot with different params must refuse
+    with pytest.raises(ValueError, match="committed with n_buckets"):
+        build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                    segment_docs=100, n_buckets=4)
+
+
 def test_compaction_rerun_drops_stale_attempt_files(spark, corpus, tmp_path):
     """Regression: a compaction attempt that crashed after writing part
     files (but before the manifest commit) leaves files under the NEW seg

@@ -58,6 +58,35 @@ def test_append_batches_match_full_oracle(spark, tmp_path):
                                    [s for _, s in want_named], rtol=1e-9)
 
 
+def test_blockmax_safe_after_avgdl_drift(spark, tmp_path):
+    """Regression: block-max max_partial bounds are exact only at pack-time
+    avgdl. Appending much longer docs raises the global avgdl, so true
+    partials on OLD segments can exceed their baked bounds — pruned top-k
+    silently dropped true winners. Bounds are now scaled by the
+    current/pack avgdl ratio per segment (snapshot stats pack_avgdl)."""
+    import numpy as np
+
+    d = str(tmp_path / "idx")
+    # batch 1: short docs (avgdl ~4); enough docs for multiple skip blocks
+    b1 = [(f"a{i:05d}", f"alpha w{i % 997} x{i % 89} y{i % 7}")
+          for i in range(2000)]
+    append_batch(spark, _df(spark, b1), d, segment_docs=1 << 20, batch_id=0)
+    # batch 2: few very LONG docs → avgdl jumps
+    b2 = [(f"b{i}", "beta " + " ".join(f"pad{j}" for j in range(400)))
+          for i in range(30)]
+    append_batch(spark, _df(spark, b2), d, segment_docs=1 << 20, batch_id=1)
+
+    idx = SearchIndex(spark, d)
+    assert idx._bound_scale(0) > 1.0  # old segment's bounds must inflate
+    for q in ["alpha w3", "alpha y1 w5", "alpha", "y2 x4"]:
+        for k in (5, 10, 50):
+            pruned = idx.topk(q, k=k, use_blockmax=True)
+            exact = idx.topk(q, k=k, use_blockmax=False)
+            assert [x[0] for x in pruned] == [x[0] for x in exact], (q, k)
+            np.testing.assert_allclose([s for _, s in pruned],
+                                       [s for _, s in exact], rtol=1e-9)
+
+
 def test_ingest_then_compact(spark, tmp_path):
     from pysearchlite_spark.plans.compaction import compact_segments
     d = str(tmp_path / "idx")
