@@ -100,9 +100,13 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
         # test-enforced either way. The zone bounds are computed ONCE and
         # shared with blockmax_topk when pruning is chosen.
         use_blockmax = False
-        if mode != "and" and rows:
-            zb = W.zone_bounds(rows, idfs)
-            use_blockmax = W.decide_blockmax(rows, idfs, k, zb=zb)
+        if mode != "and" and rows and k > 0:
+            # skip the probe entirely for tiny segments (decide's own
+            # early-exit) — don't pay zone_bounds to learn "exhaustive"
+            big = max(rows, key=lambda r: r["df"])
+            if len(big["first_docs"]) > 8:
+                zb = W.zone_bounds(rows, idfs)
+                use_blockmax = W.decide_blockmax(rows, idfs, k, zb=zb)
     if mode == "and":
         if len(rows) < n_query_terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
