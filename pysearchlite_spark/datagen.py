@@ -59,7 +59,11 @@ def page_text(seed: int, i: int) -> str:
     n = rng.randint(20, 200)
     # inverse-CDF sampling against the precomputed Zipf CDF
     us = [rng.random() for _ in range(n)]
-    idx = np.searchsorted(_CDF, us, side="left")
+    # clamp: float rounding leaves _CDF[-1] a hair under 1.0, so a draw in
+    # [_CDF[-1], 1.0) (~1.6e-15/token) would index past the vocabulary —
+    # at 10^13+ generated tokens that is an expected, not theoretical, crash
+    idx = np.minimum(np.searchsorted(_CDF, us, side="left"),
+                     len(_VOCAB) - 1)
     return " ".join(_VOCAB[j] for j in idx)
 
 

@@ -33,28 +33,40 @@ def _as_matrix(col: pd.Series) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+
+def _cosine_rerank_topk(cands: DataFrame, query_vec: Sequence[float],
+                        k: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        norm_col: str = None) -> DataFrame:
+    """Shared exact-rerank tail for every topk path: float64 cosine inside
+    mapInPandas (norms from norm_col when precomputed, else on the fly),
+    then Catalyst's TakeOrderedAndProject. THE single site for the
+    zero-norm guard and the round(6) cross-engine contract."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            norms = (pdf[norm_col].to_numpy(np.float64) if norm_col
+                     else np.linalg.norm(m, axis=1))
+            den = norms * qn
+            cos = np.where(den > 0, (m @ q) / np.where(den == 0, 1, den),
+                           0.0)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "cos": cos})
+
+    scored = cands.mapInPandas(rerank, "vec_id long, cos double")
+    return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+            .select("vec_id", F.round("cos", 6).alias("cos")))
+
 def brute_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding"
                       ) -> DataFrame:
     """Exact top-k by cosine similarity to query_vec.
     Returns (vec_id, cos) — cos rounded to 6 for cross-engine comparison."""
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    qn = np.linalg.norm(q)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = _as_matrix(pdf[vec_col])
-            norms = np.linalg.norm(m, axis=1)
-            denom = norms * qn
-            cos = np.where(denom > 0, (m @ q) / np.where(denom == 0, 1, denom),
-                           0.0)
-            yield pd.DataFrame({"vec_id": pdf[id_col], "cos": cos})
-
-    scored = df.mapInPandas(run, "vec_id long, cos double")
-    return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
-            .select("vec_id", F.round("cos", 6).alias("cos")))
+    return _cosine_rerank_topk(df, query_vec, k, id_col, vec_col)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -195,23 +207,8 @@ class AnnIndex:
     def topk(self, query_vec: Sequence[float], k: int = 10,
              probe_bits: int = 2) -> DataFrame:
         """(vec_id, cos) — approximate top-k via pruned scan + exact rerank."""
-        q = np.asarray(list(query_vec), dtype=np.float64)
-        qn = np.linalg.norm(q)
-
-        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                m = _as_matrix(pdf["embedding"])
-                den = pdf["norm"].to_numpy(np.float64) * qn
-                cos = np.where(den > 0, (m @ q) / np.where(den == 0, 1, den),
-                               0.0)
-                yield pd.DataFrame({"vec_id": pdf["vec_id"], "cos": cos})
-
-        scored = (self.candidates(query_vec, probe_bits)
-                  .mapInPandas(rerank, "vec_id long, cos double"))
-        return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
-                .select("vec_id", F.round("cos", 6).alias("cos")))
+        return _cosine_rerank_topk(self.candidates(query_vec, probe_bits),
+                                   query_vec, k, norm_col="norm")
 
 
 class IvfIndex:
@@ -265,7 +262,14 @@ class IvfIndex:
               train_sample: int = 100_000, iters: int = 5,
               seed: int = 17) -> "IvfIndex":
         if centroids is None:
-            samp = (df.select(vec_col).limit(train_sample).collect())
+            # seeded RANDOM sample — limit() would take the first rows of
+            # the first partitions, training k-means on whatever corpus
+            # slice happens to sort first (silent recall collapse on
+            # class/source-grouped tables)
+            n_total = df.count()
+            frac = min(1.0, 1.2 * train_sample / max(n_total, 1))
+            samp = (df.select(vec_col).sample(False, frac, seed)
+                    .limit(train_sample).collect())
             if not samp:
                 raise ValueError("cannot build IvfIndex over an empty table")
             m = np.vstack([np.asarray(r[0], dtype=np.float64) for r in samp])
@@ -325,23 +329,8 @@ class IvfIndex:
 
     def topk(self, query_vec: Sequence[float], k: int = 10,
              nprobe: int = 4) -> DataFrame:
-        q = np.asarray(list(query_vec), dtype=np.float64)
-        qn = np.linalg.norm(q)
-
-        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                m = _as_matrix(pdf["embedding"])
-                den = pdf["norm"].to_numpy(np.float64) * qn
-                cos = np.where(den > 0, (m @ q) / np.where(den == 0, 1, den),
-                               0.0)
-                yield pd.DataFrame({"vec_id": pdf["vec_id"], "cos": cos})
-
-        scored = (self.candidates(query_vec, nprobe)
-                  .mapInPandas(rerank, "vec_id long, cos double"))
-        return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
-                .select("vec_id", F.round("cos", 6).alias("cos")))
+        return _cosine_rerank_topk(self.candidates(query_vec, nprobe),
+                                   query_vec, k, norm_col="norm")
 
 
 def lsh_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
@@ -396,7 +385,9 @@ def pairwise_cosine_dups(df: DataFrame, tau: float = 0.95,
                                 vec_col: pdf[vec_col]})
 
     schema = f"vec_id long, bucket long, {vec_col} array<float>"
-    b = df.mapInPandas(bucketize, schema)
+    # persist: the self-join otherwise executes the full-corpus Python
+    # bucketize scan twice (once per join side)
+    b = df.mapInPandas(bucketize, schema).persist()
     pairs = (b.alias("x").join(b.alias("y"),
                                (F.col("x.bucket") == F.col("y.bucket")) &
                                (F.col("x.vec_id") < F.col("y.vec_id")))

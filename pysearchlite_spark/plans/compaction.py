@@ -93,7 +93,10 @@ def compact_segments(spark: SparkSession, index_dir: str,
         return int(snap["snapshot_id"])  # nothing to merge
     group_size = group_size or len(old_segs)
 
-    base = max(old_segs) + 1
+    # allocate from above EVERY id ever used (any snapshot, doc or posting,
+    # or staged) — base = max(current posting segs)+1 could collide with a
+    # doc segment id a later append derives, or with time-travel segments
+    base = cat.max_seg_id() + 1
     group_of = {s: base + i // group_size for i, s in enumerate(old_segs)}
     mapping = F.create_map(
         *[x for s, g in group_of.items() for x in (F.lit(s), F.lit(g))])

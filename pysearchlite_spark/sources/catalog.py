@@ -77,6 +77,56 @@ class IndexCatalog:
             return None
         return next(s for s in m["snapshots"] if s["snapshot_id"] == m["current"])
 
+    def committed_seg_ids(self) -> set:
+        """Every segment id referenced by ANY snapshot (doc or posting) —
+        ids whose on-disk dirs must never be dropped (time travel)."""
+        out: set = set()
+        for s in self.load_manifest()["snapshots"]:
+            for key in ("segments", "posting_segments", "doc_segments"):
+                out.update(int(x) for x in (s.get(key) or []))
+        return out
+
+    def drop_uncommitted_segments(self) -> List[int]:
+        """Remove every seg= dir (staged or partial) not referenced by any
+        snapshot. Crash-recovery for append-mode writers: a replayed batch
+        would otherwise append duplicate rows into the half-written dirs.
+        Returns the dropped ids."""
+        committed = self.committed_seg_ids()
+        dropped = []
+        for table in ("docmap", "postings"):
+            d = os.path.join(self.root, table)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                if name.startswith("seg="):
+                    seg = int(name.split("=", 1)[1])
+                    if seg not in committed:
+                        shutil.rmtree(os.path.join(d, name))
+                        dropped.append(seg)
+        return sorted(set(dropped))
+
+    def max_seg_id(self) -> int:
+        """Largest segment id EVER allocated — across every snapshot's doc
+        and posting segments AND staged-but-uncommitted dirs. New segment
+        ids must come from above this: compaction and append each allocate
+        ids, and deriving from only the current snapshot's own list let a
+        post-compaction append collide with the compacted posting segment
+        (overwriting committed files and its pack_avgdl). Returns -1 when
+        nothing exists."""
+        m = self.load_manifest()
+        mx = -1
+        for s in m["snapshots"]:
+            for key in ("segments", "posting_segments", "doc_segments"):
+                for seg in s.get(key) or []:
+                    mx = max(mx, int(seg))
+        for table in ("docmap", "postings"):
+            d = os.path.join(self.root, table)
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    if name.startswith("seg="):
+                        mx = max(mx, int(name.split("=", 1)[1]))
+        return mx
+
     def snapshot(self, snapshot_id: int) -> Optional[dict]:
         """Time travel: any committed snapshot by id (old segment files are
         never deleted by commits/compaction, so every snapshot in the
@@ -89,25 +139,41 @@ class IndexCatalog:
                         lineage: dict,
                         posting_segments: Optional[List[int]] = None,
                         doc_segments: Optional[List[int]] = None) -> int:
-        """Atomic commit: write manifest to a temp file, rename over.
+        """Atomic commit: write manifest to a temp file, rename over, under
+        an exclusive flock — atomic rename alone prevents torn writes but
+        NOT lost updates (two committers, e.g. a streaming append racing a
+        compaction, would both read current=N and the second rename would
+        erase the first's snapshot; real Iceberg does CAS-with-retry here).
         posting_segments / doc_segments may diverge from `segments` after
         compaction (postings rewritten, docmap untouched)."""
-        m = self.load_manifest()
-        sid = (m["current"] or 0) + 1
-        snap = Snapshot(sid, m["current"], sorted(segments), stats, lineage)
-        d = snap.__dict__
-        d["posting_segments"] = sorted(posting_segments
-                                       if posting_segments is not None
+        lock_path = os.path.join(self.root, ".manifest.lock")
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                import fcntl
+                fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: single-writer assumption holds
+                pass
+            m = self.load_manifest()  # re-read UNDER the lock
+            sid = (m["current"] or 0) + 1
+            snap = Snapshot(sid, m["current"], sorted(segments), stats,
+                            lineage)
+            d = snap.__dict__
+            d["posting_segments"] = sorted(posting_segments
+                                           if posting_segments is not None
+                                           else segments)
+            d["doc_segments"] = sorted(doc_segments
+                                       if doc_segments is not None
                                        else segments)
-        d["doc_segments"] = sorted(doc_segments if doc_segments is not None
-                                   else segments)
-        m["snapshots"].append(d)
-        m["current"] = sid
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path())
-        return sid
+            m["snapshots"].append(d)
+            m["current"] = sid
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+            with os.fdopen(fd, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path())
+            return sid
+        finally:
+            os.close(lock_fd)
 
     # ------------------------------------------------------------- paths --
     def docmap_dir(self) -> str:

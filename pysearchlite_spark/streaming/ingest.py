@@ -61,18 +61,30 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
             return int(snap["snapshot_id"])
 
     if snap is None:
-        next_doc = 0
         old_doc_segs: list = []
         old_post_segs: list = []
         old_stats = {"n_docs": 0, "sum_dl": 0}
         done_batches: list = []
     else:
-        next_doc = (max(snap["doc_segments"]) + 1) * segment_docs
-        old_doc_segs = list(snap["doc_segments"])
+        old_doc_segs = list(snap.get("doc_segments", snap["segments"]))
         old_post_segs = list(snap.get("posting_segments", snap["segments"]))
         old_stats = snap["stats"]
         done_batches = list(snap.get("lineage", {})
                             .get("ingested_batches", []))
+        # the committed snapshot pins segment_docs: the docID↔segment
+        # arithmetic of every existing doc depends on it, so a differing
+        # caller value would assign COLLIDING doc ids
+        segment_docs = int(old_stats.get("segment_docs", segment_docs))
+    # crash recovery: a replayed batch (driver died between the append-mode
+    # writes and the commit) must not append DUPLICATE rows into the
+    # half-written dirs — drop every uncommitted seg dir first
+    cat.drop_uncommitted_segments()
+    # new segment ids start above every id ever allocated (any snapshot,
+    # doc or posting): compaction allocates posting ids too, and reusing
+    # one would append into a committed seg dir and overwrite its
+    # pack_avgdl entry
+    next_seg = cat.max_seg_id() + 1
+    next_doc = next_seg * segment_docs
 
     if lang_filter and "lang" in batch.columns:
         batch = batch.filter(F.col("lang") == lang_filter)

@@ -58,6 +58,59 @@ def test_append_batches_match_full_oracle(spark, tmp_path):
                                    [s for _, s in want_named], rtol=1e-9)
 
 
+def test_append_after_compaction_no_seg_collision(spark, tmp_path):
+    """Regression: compaction allocates posting seg ids from the catalog's
+    global max; the NEXT append must not reuse the compacted segment's id
+    (it previously derived its id from doc_segments only, appending into
+    the committed postings/seg=<id> dir and overwriting its pack_avgdl —
+    silently corrupting counts and block-max safety)."""
+    from pysearchlite_spark.plans.compaction import compact_segments
+
+    d = str(tmp_path / "idx")
+    append_batch(spark, _df(spark, [(f"a{i}", f"x y t{i % 3}")
+                                    for i in range(40)]), d,
+                 segment_docs=16, batch_id=0)
+    append_batch(spark, _df(spark, [(f"b{i}", f"y z t{i % 4}")
+                                    for i in range(40)]), d,
+                 segment_docs=16, batch_id=1)
+    compact_segments(spark, d)
+    mid = SearchIndex(spark, d)
+    compacted = set(mid.snapshot["posting_segments"])
+
+    append_batch(spark, _df(spark, [(f"c{i}", f"z w t{i % 5}")
+                                    for i in range(40)]), d,
+                 segment_docs=16, batch_id=2)
+    idx = SearchIndex(spark, d)
+    new_post = set(idx.snapshot["posting_segments"]) - compacted
+    assert new_post and not (new_post & compacted)
+    # counts across all three batches are exact
+    assert idx.count("y") == 80
+    assert idx.count("z") == 80
+    assert idx.count("w") == 40
+    assert idx.count("x z") == 0
+    # every posting segment kept its own pack_avgdl entry
+    assert set(idx.pack_avgdl) == set(idx.snapshot["posting_segments"])
+    for q in ["y", "z w", "t1"]:
+        assert idx.topk(q, k=10, use_blockmax=True) == \
+            idx.topk(q, k=10, use_blockmax=False), q
+
+
+def test_append_ignores_mismatched_segment_docs(spark, tmp_path):
+    """The committed snapshot pins segment_docs — a caller passing a
+    different value must not mint colliding doc ids."""
+    d = str(tmp_path / "idx")
+    append_batch(spark, _df(spark, [(f"a{i}", f"x t{i % 3}")
+                                    for i in range(40)]), d,
+                 segment_docs=16, batch_id=0)
+    append_batch(spark, _df(spark, [(f"b{i}", f"y t{i % 3}")
+                                    for i in range(40)]), d,
+                 segment_docs=4096, batch_id=1)  # mismatched → ignored
+    idx = SearchIndex(spark, d)
+    ids = [r["doc_id"] for r in idx._docmap.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == 80  # no doc_id collisions
+    assert idx.count("x") == 40 and idx.count("y") == 40
+
+
 def test_blockmax_safe_after_avgdl_drift(spark, tmp_path):
     """Regression: block-max max_partial bounds are exact only at pack-time
     avgdl. Appending much longer docs raises the global avgdl, so true
