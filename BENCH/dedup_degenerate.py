@@ -84,6 +84,36 @@ def main() -> None:
     out["simhash_sec"] = round(time.monotonic() - t0, 2)
     out["simhash_pairs"] = sh_pairs
 
+    # embedding near-dup path: 75% of vectors bit-identical — the same ONE
+    # oversized LSH bucket; capped self-join must emit O(n) star pairs
+    from pysearchlite_spark.operators.ann import pairwise_cosine_dups
+
+    def gen_emb(it):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                i = int(i)
+                if i < 3 * n // 4:
+                    v = np.linspace(0.1, 1.6, 16, dtype=np.float32)
+                else:
+                    rng = np.random.default_rng(i)
+                    v = rng.standard_normal(16).astype(np.float32)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    emb = spark.range(n).mapInPandas(
+        gen_emb, "vec_id long, embedding array<float>").persist()
+    t0 = time.monotonic()
+    cd = pairwise_cosine_dups(emb, tau=0.999, max_bucket=1000)
+    cd_pairs = cd.count()
+    out["cosine_sec"] = round(time.monotonic() - t0, 2)
+    out["cosine_pairs"] = cd_pairs
+    out["cosine_cluster_star_edges"] = cd.filter(
+        f"a = 0 AND b < {n_cluster}").count()
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "dedup_degenerate.json")
     with open(path, "w") as f:

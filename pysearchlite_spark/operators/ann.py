@@ -10,7 +10,8 @@
   * lsh_cosine_topk   — one-shot variant of the same plan (bucketize +
     prune + rerank in a single job) for ad-hoc queries without an index.
   * pairwise_cosine_dups — embedding near-duplicate pairs (cos >= tau) via
-    the same LSH bucketing.
+    the same LSH bucketing, bucket-size HARD-CAPPED (dedup's
+    _capped_bucket_pairs) so degenerate corpora stay O(n).
 
 Cosine math is float64 numpy; the LSH planes are seeded (deterministic).
 """
@@ -366,14 +367,31 @@ def lsh_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
 
 def pairwise_cosine_dups(df: DataFrame, tau: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         n_planes: int = 10, seed: int = 99) -> DataFrame:
+                         n_planes: int = 10, seed: int = 99,
+                         max_bucket: int = 1000, planes=None) -> DataFrame:
     """Embedding near-dup pairs (a, b, cos) with cos >= tau: sign-LSH bucket
-    self-join then exact verification (near-identical vectors collide with
-    high probability; recall grows with fewer planes)."""
-    planes_b = None  # built per-partition from the seeded generator
+    join then exact verification (near-identical vectors collide with high
+    probability; recall grows with fewer planes).
+
+    The bucket self-join is HARD-BOUNDED by max_bucket via the same
+    _capped_bucket_pairs machinery as minhash/simhash: a degenerate corpus
+    (millions of near-identical embeddings in ONE bucket) emits
+    identical-embedding STAR pairs — O(n) — instead of O(n^2) candidates,
+    and the exact-verify pass still scores every emitted pair. The grouping
+    signature is the raw embedding array, so "identical" means bit-identical
+    float32 vectors (the boilerplate-degenerate mass). Audit oversized
+    buckets with dedup.lsh_oversize_stats over the bucketized frame.
+
+    planes: optional explicit (n_planes, dim) float64 hyperplanes (e.g.
+    data-derived, reproducible by an external oracle); default is the
+    seeded Gaussian set, built lazily from the first batch's dim."""
+    from pysearchlite_spark.operators.dedup import _capped_bucket_pairs
+
+    if planes is not None:
+        planes = np.asarray(planes, dtype=np.float64)
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nonlocal planes_b
+        planes_b = planes  # per-partition lazy default (needs dim)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -385,16 +403,19 @@ def pairwise_cosine_dups(df: DataFrame, tau: float = 0.95,
                                 vec_col: pdf[vec_col]})
 
     schema = f"vec_id long, bucket long, {vec_col} array<float>"
-    # persist: the self-join otherwise executes the full-corpus Python
-    # bucketize scan twice (once per join side)
+    # persist: candidate generation + the verify-side vector joins would
+    # otherwise each re-execute the full-corpus Python bucketize scan
     b = df.mapInPandas(bucketize, schema).persist()
-    pairs = (b.alias("x").join(b.alias("y"),
-                               (F.col("x.bucket") == F.col("y.bucket")) &
-                               (F.col("x.vec_id") < F.col("y.vec_id")))
-             .select(F.col("x.vec_id").alias("a"),
-                     F.col(f"x.{vec_col}").alias("va"),
-                     F.col("y.vec_id").alias("b"),
-                     F.col(f"y.{vec_col}").alias("vb")))
+    cand = _capped_bucket_pairs(
+        b.select(F.col("vec_id").alias("doc_id"), "bucket"), ["bucket"],
+        b.select(F.col("vec_id").alias("doc_id"),
+                 F.col(vec_col).alias("_sig")),
+        max_bucket)
+    pairs = (cand
+             .join(b.select(F.col("vec_id").alias("a"),
+                            F.col(vec_col).alias("va")), "a")
+             .join(b.select(F.col("vec_id").alias("b"),
+                            F.col(vec_col).alias("vb")), "b"))
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
