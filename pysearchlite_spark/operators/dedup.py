@@ -8,8 +8,9 @@ All four families, each as a DataFrame plan designed for 100-TB inputs:
                          rare tokens (no crossJoin anywhere).
   * minhash_lsh_pairs  — shingle → 64-perm MinHash → banded LSH bucket join →
                          exact-Jaccard verification of candidates.
-  * simhash_pairs      — 64-bit SimHash, pigeonhole banding (4×16-bit chunks)
-                         → hamming-distance verification.
+  * simhash_pairs      — 64-bit SimHash, HIERARCHICAL pigeonhole banding
+                         (4×16-bit chunks; oversized buckets re-band under
+                         32-bit two-chunk keys) → hamming verification.
 
 Hashing is blake2b/crc32-based (deterministic across processes — never
 Python's salted hash()). Heavy per-doc work is vectorized numpy inside
@@ -148,7 +149,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
-                         sig_df: DataFrame, max_bucket: int) -> DataFrame:
+                         sig_df: DataFrame, max_bucket: int,
+                         refine=None) -> DataFrame:
     """Candidate pairs (a, b) from LSH buckets with a HARD bucket-size bound.
 
     buckets: (doc_id, *key_cols) — one row per (doc, bucket). sig_df:
@@ -175,7 +177,16 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
     What is dropped (never silently — audit via lsh_oversize_stats): pair
     coverage inside buckets with > max_bucket DISTINCT signatures. Each true
     near-dup pair has `bands` independent chances to collide in a smaller
-    bucket elsewhere."""
+    bucket elsewhere.
+
+    refine: optional HIERARCHICAL-BANDING hook, refine(rep_rows) ->
+    (refined buckets DataFrame, refined key_cols). Called with one
+    REPRESENTATIVE row (doc_id, *key_cols) per (oversized bucket, distinct
+    signature); the refined (finer-keyed) buckets run through one recursive
+    capped pass (star/rep fallback still applies at the refined level),
+    recovering pair coverage that the star/rep fallback alone loses when
+    oversized buckets hold many DISTINCT signatures — the saturation regime
+    at 10^9+ docs where every coarse bucket is hot."""
     def pairwise(b: DataFrame) -> DataFrame:
         cond = None
         for kc in key_cols:
@@ -223,7 +234,18 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
                   .filter(F.col("_rsz") <= max_bucket).drop("_rsz"))
     pair_reps = pairwise(reps_small)
 
-    return pair_small.union(pair_star).union(pair_reps).distinct()
+    out = pair_small.union(pair_star).union(pair_reps)
+    if refine is not None:
+        # refine REPRESENTATIVES only (one doc per oversized-bucket ×
+        # distinct-signature): identical-sig members are already star-
+        # connected to their rep, and a rep shares the FULL signature with
+        # its group so it lands in exactly the same refined buckets —
+        # connected components are preserved while a boilerplate-degenerate
+        # bucket contributes 1 refinement row instead of millions.
+        refined, refined_keys = refine(rep_rows)
+        out = out.union(_capped_bucket_pairs(refined, refined_keys, sig_df,
+                                             max_bucket))
+    return out.distinct()
 
 
 def lsh_oversize_stats(buckets: DataFrame, key_cols: List[str],
@@ -391,44 +413,90 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(run, "doc_id long, simhash long")
 
 
+def _chunk_structs(col: str, c_name: str, v_name: str) -> List:
+    return [F.struct(F.lit(i).alias(c_name),
+                     F.shiftrightunsigned(col, 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias(v_name))
+            for i in range(4)]
+
+
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    hash_fn: str = "blake2b") -> DataFrame:
     """(doc_id, c, v, simhash) — exploded 4×16-bit pigeonhole chunks."""
-    sigs = simhash_signatures(df, id_col, text_col)
-    chunks = [F.struct(F.lit(i).alias("c"),
-                       F.shiftrightunsigned("simhash", 16 * i)
-                       .bitwiseAND(F.lit(0xFFFF)).alias("v"))
-              for i in range(4)]
+    sigs = simhash_signatures(df, id_col, text_col, hash_fn)
     return (sigs.select("doc_id", "simhash",
-                        F.explode(F.array(*chunks)).alias("ch"))
+                        F.explode(F.array(
+                            *_chunk_structs("simhash", "c", "v"))).alias("ch"))
             .select("doc_id", "simhash", "ch.c", "ch.v"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3,
-                  max_bucket: int = 1000) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
-    banding: 4 x 16-bit chunks — any pair within distance 3 agrees on >= 1
-    chunk, so the bucket join over chunks is a complete candidate set.
+def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) from a (doc_id, simhash) frame via
+    HIERARCHICAL pigeonhole banding.
 
-    Chunk values are only 16-bit, so at 10^9+ docs EVERY bucket is hot
-    (avg n/65536 members): the self-join is capped at max_bucket and
-    oversized buckets fall back to identical-simhash star pairs
-    (hamming 0 — the mass of a boilerplate-degenerate bucket), via
-    _capped_bucket_pairs. Audit with
-    lsh_oversize_stats(simhash_buckets(df), ["c", "v"], max_bucket)."""
-    b = simhash_buckets(df, id_col, text_col).persist()
-    cand = _capped_bucket_pairs(
-        b.select("doc_id", "c", "v"), ["c", "v"],
-        b.select("doc_id", F.col("simhash").alias("_sig")).distinct(),
-        max_bucket)
-    sigs = b.select("doc_id", "simhash").distinct()
+    Level 1: 4 × 16-bit chunks — any pair within hamming 3 agrees on >= 1
+    chunk, so the bucket join over chunks is a complete candidate set.
+    Chunk values are only 16-bit, so at 10^9+ docs EVERY level-1 bucket is
+    hot (avg n/65536 members) and the capped self-join alone would degrade
+    to identical-simhash star pairs. Level 2 (the refine hook): members of
+    an OVERSIZED (c, v) bucket re-bucket under (c, v, c2, v2) for every
+    second chunk c2 > c — 32-bit keys, avg n/2^32 members — before the
+    star/rep fallback applies at that finer level.
+
+    Coverage: hamming <= max_hamming pairs in healthy buckets (level 1);
+    pairs agreeing on >= 2 chunks (hamming <= 2 guaranteed by pigeonhole,
+    plus lucky hamming-3 splits) even when every level-1 bucket containing
+    them is oversized (level 2); identical-signature mass always (star
+    pairs). The one remaining drop: hamming-3 pairs with errors in 3
+    distinct chunks whose single clean chunk's bucket is oversized AND
+    whose 32-bit refined buckets exceed the cap too — audit via
+    lsh_oversize_stats at either key granularity."""
+    b = (sigs.select("doc_id", "simhash",
+                     F.explode(F.array(
+                         *_chunk_structs("simhash", "c", "v"))).alias("ch"))
+         .select("doc_id", "simhash", "ch.c", "ch.v").persist())
+    sig_df = b.select("doc_id", F.col("simhash").alias("_sig")).distinct()
+
+    def refine(big: DataFrame):
+        # oversized (c, v) members → (c, v, c2, v2) for each c2 > c. The
+        # c2 > c restriction is lossless: a pair clean on chunks {c, c2}
+        # (c < c2) is caught at level 1 when either bucket is small, else
+        # both are oversized and bucket c's refinement emits the shared
+        # (c, v, c2, v2) key.
+        withsig = big.join(sig_df, "doc_id")
+        return ((withsig.select(
+            "doc_id", "c", "v",
+            F.explode(F.array(
+                *_chunk_structs("_sig", "c2", "v2"))).alias("ch"))
+            .select("doc_id", "c", "v", "ch.c2", "ch.v2")
+            .filter(F.col("c2") > F.col("c"))),
+            ["c", "v", "c2", "v2"])
+
+    cand = _capped_bucket_pairs(b.select("doc_id", "c", "v"), ["c", "v"],
+                                sig_df, max_bucket, refine=refine)
+    s = b.select("doc_id", "simhash").distinct()
     cand = (cand
-            .join(sigs.select(F.col("doc_id").alias("a"),
-                              F.col("simhash").alias("sa")), "a")
-            .join(sigs.select(F.col("doc_id").alias("b"),
-                              F.col("simhash").alias("sb")), "b"))
+            .join(s.select(F.col("doc_id").alias("a"),
+                           F.col("simhash").alias("sa")), "a")
+            .join(s.select(F.col("doc_id").alias("b"),
+                           F.col("simhash").alias("sb")), "b"))
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  max_bucket: int = 1000,
+                  hash_fn: str = "blake2b") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming — SimHash over
+    tokens, then hierarchical banded candidate generation + exact hamming
+    verification (see simhash_pairs_from_sigs for the banding guarantees).
+    Audit with lsh_oversize_stats(simhash_buckets(df), ["c", "v"],
+    max_bucket)."""
+    return simhash_pairs_from_sigs(
+        simhash_signatures(df, id_col, text_col, hash_fn),
+        max_hamming, max_bucket)

@@ -173,3 +173,52 @@ def test_simhash_pairs_find_exact_dups(docs_df):
     assert all(h <= 3 for h in got.values())
     # (the one-token-changed near-dup (5, 63) may legitimately exceed
     # hamming 3 — simhash flips several bits per token change)
+
+
+def test_simhash_hierarchical_banding_saturated(spark):
+    """The 10^9-doc saturation regime in miniature: every 16-bit bucket
+    that contains the planted hamming-2 pair is oversized with MORE
+    DISTINCT signatures than the cap (so level-1 star pairs AND the
+    rep-level join both miss it — round 2's documented degradation).
+    Hierarchical level-2 banding (32-bit two-chunk keys) must still find
+    the pair, with bounded output."""
+    from pysearchlite_spark.operators.dedup import (lsh_oversize_stats,
+                                                    simhash_pairs_from_sigs)
+
+    S0, S1, S2, S3 = 0x1111, 0x2222, 0x3333, 0x4444
+
+    def sig(c0, c1, c2, c3):
+        return (c3 << 48) | (c2 << 32) | (c1 << 16) | c0
+
+    rows = []
+    # planted pair: clean on chunks 2 and 3, one bit flipped in each of 0, 1
+    rows.append((9000, sig(S0 ^ 1, S1, S2, S3)))       # A
+    rows.append((9001, sig(S0, S1 ^ 2, S2, S3)))       # B
+    # 30 noise docs per chunk index sharing that chunk's planted value but
+    # DISTINCT everywhere else -> every bucket holding A/B together
+    # ((2,S2), (3,S3)) has 32 docs and 32 distinct sigs > cap; chunks 0/1
+    # get their own oversized buckets so ALL FOUR chunk indexes saturate
+    for i in range(30):
+        u = 0x5000 + i  # unique filler, never equals S*/A/B chunk values
+        rows.append((i, sig(S0 ^ 1, u, u + 1, u + 2)))          # chunk0 = A's
+        rows.append((100 + i, sig(u, S1 ^ 2, u + 1, u + 2)))    # chunk1 = B's
+        rows.append((200 + i, sig(u, u + 1, S2, u + 2)))        # chunk2 hot
+        rows.append((300 + i, sig(u, u + 1, u + 2, S3)))        # chunk3 hot
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    cap = 10
+    # precondition: the pair's shared buckets are oversized with > cap
+    # distinct signatures (the regime where round 2 lost the pair)
+    chunks = df.selectExpr(
+        "doc_id",
+        "stack(2, 2L, shiftrightunsigned(simhash, 32) & 65535, "
+        "3L, shiftrightunsigned(simhash, 48) & 65535) as (c, v)")
+    over = lsh_oversize_stats(chunks, ["c", "v"], cap).collect()
+    assert {(r["c"], r["v"]) for r in over} >= {(2, S2), (3, S3)}
+
+    got = {(r["a"], r["b"]): r["hamming"] for r in
+           simhash_pairs_from_sigs(df, max_hamming=3,
+                                   max_bucket=cap).collect()}
+    assert got.get((9000, 9001)) == 2
+    # bounded: nothing quadratic leaked through (122 docs -> O(n) pairs)
+    assert len(got) < 4 * len(rows), len(got)
