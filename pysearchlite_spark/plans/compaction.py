@@ -93,6 +93,14 @@ def compact_segments(spark: SparkSession, index_dir: str,
         return int(snap["snapshot_id"])  # nothing to merge
     group_size = group_size or len(old_segs)
 
+    # Crash-safety: a previous compaction attempt over this snapshot may
+    # have died after writing part files but before the manifest commit.
+    # Those dirs are invisible (snapshot isolation) but would leak forever
+    # AND, if this rerun reused their ids with a different n_out_parts,
+    # become duplicate posting rows at commit. Drop them first (suspended-
+    # build staged segments are protected inside the call), THEN allocate —
+    # so reruns reuse the cleaned ids instead of drifting upward.
+    cat.drop_uncommitted_segments()
     # allocate from above EVERY id ever used (any snapshot, doc or posting,
     # or staged) — base = max(current posting segs)+1 could collide with a
     # doc segment id a later append derives, or with time-travel segments
@@ -114,16 +122,6 @@ def compact_segments(spark: SparkSession, index_dir: str,
     n_out_parts = max(1, min(len(set(group_of.values()))
                              * int(stats["n_buckets"]), 4 * par))
     new_segs = sorted(set(group_of.values()))
-    # Crash-safety: a previous compaction attempt over this same snapshot
-    # chose the same new seg ids (base = max committed + 1) but may have died
-    # after writing some part files and before the manifest commit. Those
-    # files are invisible (snapshot isolation) but would become DUPLICATE
-    # posting rows once we commit if this rerun writes a different
-    # n_out_parts (different part filenames). Drop any uncommitted seg dirs
-    # for the ids we are about to write — mirrors build_index's
-    # drop_segment pass for unstaged segments (builder.py:565).
-    for s in new_segs:
-        cat.drop_segment("postings", s)
     if "://" not in cat.postings_dir():
         metric_rows = _pack_runs(runs_like.drop("url"), avgdl=avgdl,
                                  n_out_parts=n_out_parts,

@@ -88,10 +88,21 @@ class IndexCatalog:
 
     def drop_uncommitted_segments(self) -> List[int]:
         """Remove every seg= dir (staged or partial) not referenced by any
-        snapshot. Crash-recovery for append-mode writers: a replayed batch
-        would otherwise append duplicate rows into the half-written dirs.
-        Returns the dropped ids."""
+        snapshot — crash-recovery housekeeping for append-mode writers and
+        compaction (orphaned attempt dirs never collide with new ids, since
+        max_seg_id counts them, but they'd leak disk forever).
+
+        EXCEPTION: while a live batch-build stage-0 checkpoint exists
+        (_stage/runs/_STAGED), seg dirs carrying a _STAGED marker are a
+        suspended build_index(max_segments=...) run's resumable work, not
+        crash debris — they are kept so compaction housekeeping doesn't
+        silently discard the suspended build (streaming append refuses
+        outright in that state — see ingest.append_batch — because the
+        suspended build's remaining ids derive from docID ranges, not
+        max_seg_id). Returns the dropped ids."""
         committed = self.committed_seg_ids()
+        protect_staged = os.path.exists(os.path.join(
+            self.root, "_stage", "runs", "_STAGED"))
         dropped = []
         for table in ("docmap", "postings"):
             d = os.path.join(self.root, table)
@@ -100,9 +111,13 @@ class IndexCatalog:
             for name in os.listdir(d):
                 if name.startswith("seg="):
                     seg = int(name.split("=", 1)[1])
-                    if seg not in committed:
-                        shutil.rmtree(os.path.join(d, name))
-                        dropped.append(seg)
+                    if seg in committed:
+                        continue
+                    if protect_staged and os.path.exists(
+                            os.path.join(d, name, "_STAGED")):
+                        continue
+                    shutil.rmtree(os.path.join(d, name))
+                    dropped.append(seg)
         return sorted(set(dropped))
 
     def max_seg_id(self) -> int:

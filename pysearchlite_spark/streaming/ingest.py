@@ -54,6 +54,19 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
     from pysearchlite_spark.plans.builder import build_index
 
     cat = IndexCatalog(index_dir)
+    # a SUSPENDED build_index(max_segments=...) run owns this dir's id
+    # space: its remaining segment ids are derived from docID ranges, not
+    # from max_seg_id, so an append's freshly allocated id WOULD collide
+    # with a not-yet-built segment and the resumed build would silently
+    # adopt the append's rows as its own. Refuse loudly instead.
+    import os
+    if os.path.exists(os.path.join(index_dir, "_stage", "runs", "_STAGED")):
+        raise RuntimeError(
+            f"index {index_dir} has a live batch-build stage checkpoint "
+            "(_stage/runs/_STAGED); appending would collide with the "
+            "suspended build's segment ids. Resume that build to "
+            "completion (same params) or delete its _stage dir and "
+            "staged segments first.")
     snap = cat.current_snapshot()
     if snap is not None and batch_id is not None:
         done = snap.get("lineage", {}).get("ingested_batches", [])
@@ -77,7 +90,8 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
         segment_docs = int(old_stats.get("segment_docs", segment_docs))
     # crash recovery: a replayed batch (driver died between the append-mode
     # writes and the commit) must not append DUPLICATE rows into the
-    # half-written dirs — drop every uncommitted seg dir first
+    # half-written dirs — drop every uncommitted seg dir first (the live-
+    # checkpoint guard above already excluded the suspended-build case)
     cat.drop_uncommitted_segments()
     # new segment ids start above every id ever allocated (any snapshot,
     # doc or posting): compaction allocates posting ids too, and reusing

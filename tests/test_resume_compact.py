@@ -166,6 +166,10 @@ def test_compaction_rerun_drops_stale_attempt_files(spark, corpus, tmp_path):
 
     sid = compact_segments(spark, d)  # rerun: all → seg 4
     assert sid == 2
+    # the rerun REUSED the crashed attempt's seg id (4) after dropping its
+    # stale files — ids must not drift upward across crash/rerun cycles
+    assert IndexCatalog(d).current_snapshot()["posting_segments"] == [4]
+    assert not os.path.exists(os.path.join(stale_dir, "part-99998.parquet"))
     after = SearchIndex(spark, d)
     for q in QUERIES:
         assert (after.count(q), after.topk(q, k=10)) == want[q], q
@@ -173,6 +177,45 @@ def test_compaction_rerun_drops_stale_attempt_files(spark, corpus, tmp_path):
     dup = (after._postings.filter("term = 'the'")
            .groupBy("seg", "tb", "term").count().filter("count > 1").count())
     assert dup == 0
+
+
+def test_append_batch_refuses_suspended_build_dir(spark, corpus, tmp_path):
+    """A streaming append into an index dir holding a SUSPENDED
+    build_index(max_segments=...) run must refuse loudly (the suspended
+    build's remaining segment ids derive from docID ranges and WOULD
+    collide with an appended segment) and must not discard the staged
+    resumable work; the resumed build then completes from the checkpoint
+    exactly as if the append was never attempted."""
+    import os
+
+    from pysearchlite_spark.streaming.ingest import append_batch
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                segment_docs=100, max_segments=2)  # suspended: segs 0,1
+    cat = IndexCatalog(d)
+    staged_before = cat.staged_segments("postings")
+    assert staged_before == [0, 1]
+
+    batch = spark.createDataFrame(
+        [(f"u{i}", f"appended fresh tokens {i}") for i in range(10)],
+        "url string, text string")
+    with pytest.raises(RuntimeError, match="stage checkpoint"):
+        append_batch(spark, batch, d, segment_docs=100, batch_id=1)
+
+    # staged work untouched by the refused append
+    assert cat.staged_segments("postings") == staged_before
+    for s in staged_before:
+        assert os.path.isdir(os.path.join(d, "postings", f"seg={s}"))
+
+    # resume completes; appends work once the checkpoint is gone
+    r = build_index(spark, corpus, d, id_col="doc_id", url_col="url",
+                    segment_docs=100)
+    assert r.segments == [0, 1, 2, 3]
+    sid = append_batch(spark, batch, d, batch_id=1)
+    snap = cat.snapshot(sid)
+    assert min(snap["posting_segments"]) >= 0 and snap["stats"][
+        "n_docs"] == 410
 
 
 def test_time_travel_snapshots(spark, corpus, tmp_path):
