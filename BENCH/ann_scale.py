@@ -54,9 +54,25 @@ def measure(idx, emb, qrows, n, exact_by_q, topk_kwargs):
         lat.append(time.monotonic() - t0)
         cand_frac.append(idx.candidates(qv, **topk_kwargs).count() / n)
         recalls.append(len(set(approx) & set(exact_by_q[qi])) / 10)
-    return {"query_ms_mean": round(1000 * float(np.mean(lat)), 1),
+    # batch path: the SAME queries in ONE job (topk_batch) — measures how
+    # much of single-query latency was per-job dispatch overhead
+    qvs = [list(r["embedding"]) for r in qrows]
+    t0 = time.monotonic()
+    brows = idx.topk_batch(qvs, k=10, **topk_kwargs).collect()
+    batch_sec = time.monotonic() - t0
+    by_q: dict = {}
+    for r in brows:
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    batch_rec = [len(set(by_q.get(qi, [])) & set(exact_by_q[qi])) / 10
+                 for qi in range(len(qrows))]
+    q_ms = round(1000 * float(np.mean(lat)), 1)
+    b_ms = round(1000 * batch_sec / len(qrows), 1)
+    return {"query_ms_mean": q_ms,
             "candidate_fraction_mean": round(float(np.mean(cand_frac)), 5),
-            "recall_at_10_mean": round(float(np.mean(recalls)), 3)}
+            "recall_at_10_mean": round(float(np.mean(recalls)), 3),
+            "batch_query_ms_per_query": b_ms,
+            "batch_recall_at_10_mean": round(float(np.mean(batch_rec)), 3),
+            "batch_speedup_per_query": round(q_ms / max(b_ms, 1e-9), 2)}
 
 
 def main() -> None:

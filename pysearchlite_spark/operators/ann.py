@@ -62,6 +62,65 @@ def _cosine_rerank_topk(cands: DataFrame, query_vec: Sequence[float],
     return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
             .select("vec_id", F.round("cos", 6).alias("cos")))
 
+def _batch_rerank_topk(cands: DataFrame, Q: np.ndarray, route_col: str,
+                       route2qids: dict, k: int) -> DataFrame:
+    """Shared batch-query rerank tail: ONE job for N queries. Each candidate
+    row is scored (exact float64 cosine, precomputed norms) against every
+    query probing its route bucket/cell; a per-batch tie-safe top-k
+    pre-truncation (the map-side combine) bounds the shuffle to
+    O(k · nq · partitions); a per-qid window takes the global top-k. Same
+    zero-norm guard, round(6) contract and (score desc, vec_id asc) ties as
+    the single-query path."""
+    from pyspark.sql.window import Window
+
+    qn = np.linalg.norm(Q, axis=1)
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf["embedding"])
+            norms = pdf["norm"].to_numpy(np.float64)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            codes, uniq = pd.factorize(pdf[route_col])
+            qs, vs, cs = [], [], []
+            for bi, b in enumerate(uniq):
+                qids = route2qids.get(int(b))
+                if not qids:
+                    continue
+                rows = np.flatnonzero(codes == bi)
+                sub = m[rows]
+                subn = norms[rows]
+                for qj in qids:
+                    den = subn * qn[qj]
+                    cos = np.where(den > 0,
+                                   (sub @ Q[qj]) / np.where(den == 0, 1, den),
+                                   0.0)
+                    qs.append(np.full(rows.size, qj, np.int32))
+                    vs.append(ids[rows])
+                    cs.append(cos)
+            if not qs:
+                continue
+            qa = np.concatenate(qs)
+            va = np.concatenate(vs)
+            ca = np.concatenate(cs)
+            keep = np.zeros(qa.size, bool)
+            for qj in np.unique(qa):
+                rows = np.flatnonzero(qa == qj)
+                if rows.size > k:
+                    kth = np.partition(ca[rows], rows.size - k)[rows.size - k]
+                    rows = rows[ca[rows] >= kth]  # tie-safe truncation
+                keep[rows] = True
+            yield pd.DataFrame({"qid": qa[keep], "vec_id": va[keep],
+                                "cos": ca[keep]})
+
+    scored = cands.mapInPandas(rerank, "qid int, vec_id long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("qid", "vec_id", F.round("cos", 6).alias("cos")))
+
+
 def brute_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding"
                       ) -> DataFrame:
@@ -173,14 +232,19 @@ class AnnIndex:
         vec_dir = os.path.join(root, "vectors")
         # repartition by pb so each partition dir is written by one task
         # (sorted within → one file per (task, pb)); without it every input
-        # task opens a writer per dir it touches
+        # task opens a writer per dir it touches. n_vectors comes from an
+        # observed metric on the write itself (exactly-once, no extra scan
+        # — re-reading the just-written index only for a count paid a full
+        # second job).
+        from pyspark.sql import Observation
+        obs = Observation()
         (df.select(F.col(id_col).alias(id_col), vec_col)
          .mapInPandas(bucketize, AnnIndex.VEC_SCHEMA)
+         .observe(obs, F.count(F.lit(1)).alias("n"))
          .repartition(F.col("pb"))
          .sortWithinPartitions("pb", "bucket")
          .write.partitionBy("pb").mode("overwrite").parquet(vec_dir))
-        n_vectors = (spark.read.schema(AnnIndex.VEC_SCHEMA)
-                     .parquet(vec_dir).count())
+        n_vectors = int(obs.get["n"])
         meta = {"n_planes": int(n_planes), "seed": seed, "dim": dim,
                 "n_vectors": n_vectors, "part_bits": int(part_bits),
                 "planes": (planes.tolist() if explicit else None)}
@@ -210,6 +274,28 @@ class AnnIndex:
         """(vec_id, cos) — approximate top-k via pruned scan + exact rerank."""
         return _cosine_rerank_topk(self.candidates(query_vec, probe_bits),
                                    query_vec, k, norm_col="norm")
+
+    def topk_batch(self, query_vecs: Sequence[Sequence[float]], k: int = 10,
+                   probe_bits: int = 2) -> DataFrame:
+        """(qid, vec_id, cos) — N queries in ONE Spark job (qid = position
+        in query_vecs). Per-query results are identical to topk(); the win
+        is amortization: one pruned scan over the UNION of all probe
+        buckets + one dispatch, instead of N jobs — the ~1-2s per-job
+        overhead dominated single-query latency at scale
+        (BENCH/ann_scale.json)."""
+        Q = np.asarray([list(q) for q in query_vecs], dtype=np.float64)
+        qb = _bucket_of(Q, self.planes)
+        route2qids: dict = {}
+        for qi in range(Q.shape[0]):
+            for t in _probe_targets(int(qb[qi]), self.n_planes, probe_bits):
+                route2qids.setdefault(t, []).append(qi)
+        shift = self.n_planes - self.part_bits
+        prefixes = sorted({t >> shift for t in route2qids})
+        cands = (self.spark.read.schema(self.VEC_SCHEMA)
+                 .parquet(os.path.join(self.root, "vectors"))
+                 .filter(F.col("pb").isin(prefixes))
+                 .filter(F.col("bucket").isin(sorted(route2qids))))
+        return _batch_rerank_topk(cands, Q, "bucket", route2qids, k)
 
 
 class IvfIndex:
@@ -296,13 +382,16 @@ class IvfIndex:
 
         os.makedirs(root, exist_ok=True)
         vec_dir = os.path.join(root, "vectors")
+        # n_vectors observed on the write action — no post-write count scan
+        from pyspark.sql import Observation
+        obs = Observation()
         (df.select(F.col(id_col).alias(id_col), vec_col)
          .mapInPandas(assign, IvfIndex.VEC_SCHEMA)
+         .observe(obs, F.count(F.lit(1)).alias("n"))
          .repartition(F.col("cid"))
          .sortWithinPartitions("cid")
          .write.partitionBy("cid").mode("overwrite").parquet(vec_dir))
-        n_vectors = (spark.read.schema(IvfIndex.VEC_SCHEMA)
-                     .parquet(vec_dir).count())
+        n_vectors = int(obs.get["n"])
         meta = {"n_centroids": int(cn.shape[0]), "dim": int(cn.shape[1]),
                 "n_vectors": n_vectors, "centroids": cn.tolist()}
         fd, tmp = tempfile.mkstemp(dir=root, suffix=".meta")
@@ -332,6 +421,21 @@ class IvfIndex:
              nprobe: int = 4) -> DataFrame:
         return _cosine_rerank_topk(self.candidates(query_vec, nprobe),
                                    query_vec, k, norm_col="norm")
+
+    def topk_batch(self, query_vecs: Sequence[Sequence[float]], k: int = 10,
+                   nprobe: int = 4) -> DataFrame:
+        """(qid, vec_id, cos) — N queries in ONE job over the union of all
+        probed cells; per-query results identical to topk() (see
+        AnnIndex.topk_batch for the amortization rationale)."""
+        Q = np.asarray([list(q) for q in query_vecs], dtype=np.float64)
+        route2qids: dict = {}
+        for qi in range(Q.shape[0]):
+            for cid in self.probe_cids(Q[qi], nprobe):
+                route2qids.setdefault(cid, []).append(qi)
+        cands = (self.spark.read.schema(self.VEC_SCHEMA)
+                 .parquet(os.path.join(self.root, "vectors"))
+                 .filter(F.col("cid").isin(sorted(route2qids))))
+        return _batch_rerank_topk(cands, Q, "cid", route2qids, k)
 
 
 def lsh_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,

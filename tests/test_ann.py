@@ -172,3 +172,36 @@ def test_pairwise_dups_capped_subset(emb):
               pairwise_cosine_dups(df, tau=0.999, max_bucket=20).collect()}
     assert capped <= base
     assert (7, 200) in {(a, b) for a, b, _ in base}
+
+
+def test_topk_batch_matches_single_queries(emb, spark, tmp_path_factory):
+    """topk_batch must return, per qid, exactly the single-query topk()
+    results — for both index families — in ONE job over the union scan."""
+    from pysearchlite_spark.operators.ann import AnnIndex, IvfIndex
+
+    df, rows = emb
+    qids = [0, 50, 123]
+    queries = [rows[i][1] for i in qids]
+
+    root = str(tmp_path_factory.mktemp("annb") / "idx")
+    idx = AnnIndex.build(spark, df, root, n_planes=10, seed=99)
+    batch = idx.topk_batch(queries, k=10, probe_bits=2).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["cos"]))
+    for qi, q in enumerate(queries):
+        single = [(r["vec_id"], r["cos"]) for r in
+                  idx.topk(list(q), k=10, probe_bits=2).collect()]
+        assert sorted(by_q.get(qi, []), key=lambda t: (-t[1], t[0])) == single
+
+    root2 = str(tmp_path_factory.mktemp("ivfb") / "idx")
+    ivf = IvfIndex.build(spark, df, root2, n_centroids=8, train_sample=500,
+                         seed=5)
+    batch = ivf.topk_batch(queries, k=10, nprobe=3).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["cos"]))
+    for qi, q in enumerate(queries):
+        single = [(r["vec_id"], r["cos"]) for r in
+                  ivf.topk(list(q), k=10, nprobe=3).collect()]
+        assert sorted(by_q.get(qi, []), key=lambda t: (-t[1], t[0])) == single
