@@ -23,9 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(spark, index_dir: str, lines, out=None, err=None,
-        distributed: bool = False) -> None:
+        distributed: bool = False, reference_protocol: bool = False) -> None:
     """Protocol core (testable without owning the SparkSession): one output
-    line per input line, matching do_query.py's line discipline."""
+    line per input line, matching do_query.py's line discipline.
+
+    reference_protocol=True reproduces do_query.py:9-24 byte-for-byte for
+    drop-in search-benchmark-game harness runs: TOP_10 executes the search
+    but prints the constant '1' (:15-17), unknown commands print '0' with
+    'UNSUPPORTED' on stderr (:20-22). Default mode keeps the richer output
+    (TOP_10 → doc:score pairs — the north-rule BM25 upgrade)."""
     from pysearchlite_spark.engine import SearchIndex
 
     out = out or sys.stdout
@@ -40,8 +46,15 @@ def run(spark, index_dir: str, lines, out=None, err=None,
         if cmd == "COUNT" or cmd == "TOP_10_COUNT":
             out.write(f"{idx.count(q, distributed=dist)}\n")
         elif cmd == "TOP_10":
-            top = idx.topk(q, k=10, distributed=dist)
-            out.write(" ".join(f"{d}:{s:.6f}" for d, s in top) + "\n")
+            if reference_protocol:
+                idx.search(q, distributed=dist)  # executed, not printed
+                out.write("1\n")
+            else:
+                top = idx.topk(q, k=10, distributed=dist)
+                out.write(" ".join(f"{d}:{s:.6f}" for d, s in top) + "\n")
+        elif reference_protocol:
+            err.write("UNSUPPORTED\n")
+            out.write("0\n")
         elif cmd == "AND":
             out.write(" ".join(map(str, idx.search_and_ids(
                 q, distributed=dist).tolist())) + "\n")
@@ -59,6 +72,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--reference-protocol", action="store_true",
+                    help="byte-identical do_query.py output (TOP_10 prints "
+                         "the constant 1; non-reference commands print 0 + "
+                         "UNSUPPORTED on stderr)")
     ap.add_argument("--queries", default="-",
                     help="query file; '-' = stdin (NOTE: spark-submit's "
                          "PythonRunner does not forward stdin to the app — "
@@ -69,7 +86,8 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("psl-query").getOrCreate()
     source = sys.stdin if args.queries == "-" else open(args.queries)
-    run(spark, args.index_dir, source, distributed=args.distributed)
+    run(spark, args.index_dir, source, distributed=args.distributed,
+        reference_protocol=args.reference_protocol)
     spark.stop()
 
 

@@ -71,3 +71,54 @@ def test_protocol_unknown_and_blank_lines(spark, idx_dir):
     out, err = _run(spark, idx_dir, ["", "BOGUS\tx", "COUNT\thello"])
     assert out == ["1"]
     assert err == ["ERR unknown command BOGUS"]
+
+
+def test_reference_protocol_byte_identical(spark, idx_dir):
+    """--reference-protocol must be a drop-in for the reference's
+    do_query loop: run the ACTUAL reference (imported read-only from
+    /root/reference, driven through its own commands.do_query.main) and
+    our run(reference_protocol=True) over the same corpus/queries and
+    compare stdout byte-for-byte."""
+    import os
+    import sys
+    import tempfile
+
+    if not os.path.isdir("/root/reference/pysearchlite"):
+        pytest.skip("reference engine not available")
+    sys.path.insert(0, "/root/reference")
+    try:
+        import pysearchlite as psl
+        from pysearchlite.commands import do_query
+    finally:
+        sys.path.pop(0)
+
+    lines = [
+        "COUNT\tthis test\n",
+        "TOP_10\tthis test\n",
+        "TOP_10_COUNT\tthat\n",
+        "TOP_10_COUNT\thello\n",
+        "BOGUS\tx\n",
+        "COUNT\thello\n",
+    ]
+
+    # reference side: index micro_corpus with its own API, run ITS loop
+    ref_dir = tempfile.mkdtemp(prefix="refproto_")
+    psl.init(ref_dir)
+    for name, text in micro_corpus():
+        psl.index(name, text)
+    psl.save_index()
+    psl.clear_index()
+    old_in, old_out, old_err = sys.stdin, sys.stdout, sys.stderr
+    sys.stdin = io.StringIO("".join(lines))
+    sys.stdout, sys.stderr = io.StringIO(), io.StringIO()
+    try:
+        do_query.main(ref_dir)
+        ref_out = sys.stdout.getvalue()
+        ref_err = sys.stderr.getvalue()
+    finally:
+        sys.stdin, sys.stdout, sys.stderr = old_in, old_out, old_err
+
+    out, err = io.StringIO(), io.StringIO()
+    run(spark, idx_dir, lines, out, err, reference_protocol=True)
+    assert out.getvalue() == ref_out
+    assert err.getvalue() == ref_err == "UNSUPPORTED\n"
