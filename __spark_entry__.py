@@ -94,6 +94,8 @@ def _ann_index(spark: SparkSession, sf_dir: str):
 
 N_IVF_CENTROIDS = 16
 IVF_NPROBE = 4
+N_DUP_PLANES = 10            # pairwise_cosine_dups planes = embeddings 1..10
+ANN_BATCH_QVIDS = (0, 13, 14)  # batch queries (outside the plane vectors)
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
@@ -131,7 +133,13 @@ def _bpe_pattern_sql() -> str:
 
 
 def _ids_df(spark: SparkSession, ids) -> DataFrame:
-    return spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    # Arrow path (one batch, no per-row Python tuples) — the engine's own
+    # idiom for id frames (engine.py search(), large-result branch)
+    import numpy as np
+    import pandas as pd
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.asarray(list(ids), dtype=np.int64)}),
+        schema="doc_id long")
 
 
 # DuckDB tokenizer expression — exact SQL equivalent of
@@ -160,6 +168,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def search_and(spark, sf):
         return _ids_df(spark, _index(spark, sf).search_and_ids(Q_AND))
+
+    def search_df_and(spark, sf):
+        # the lazy 10^12-doc surface: per-segment distributed kernels +
+        # docmap join, nothing collected until the driver's comparison
+        return _index(spark, sf).search_df(Q_AND).select("doc_id", "url")
 
     def search_or(spark, sf):
         return _ids_df(spark, _index(spark, sf).search_or_ids(Q_OR))
@@ -241,6 +254,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pysearchlite_spark.operators.dedup import simhash_signatures
         return simhash_signatures(_docs(spark, sf), hash_fn="md5")
 
+    def simhash_prs(spark, sf):
+        # full banded pipeline end-to-end (md5 token hash → signatures →
+        # hierarchical pigeonhole candidates → exact hamming verify); at
+        # oracle scale no bucket exceeds the cap, so output == ALL pairs
+        # with hamming <= 3, which SQL computes directly
+        from pysearchlite_spark.operators.dedup import simhash_pairs
+        return simhash_pairs(_docs(spark, sf), max_hamming=3, hash_fn="md5")
+
+    def cosine_dups(spark, sf):
+        # bucket-capped embedding near-dup pairs with DATA-DERIVED planes
+        # (embeddings of vec_id 1..10) so the oracle reproduces bucket
+        # equality as sign-bit parity + exact cosine verify
+        import numpy as np
+
+        from pysearchlite_spark.operators.ann import pairwise_cosine_dups
+        emb = _emb(spark, sf)
+        rows = (emb.filter(F.col("vec_id").between(1, N_DUP_PLANES))
+                .orderBy("vec_id").collect())
+        planes = np.asarray([list(r["embedding"]) for r in rows],
+                            dtype=np.float64)
+        # the synthetic embeddings are near-orthogonal (max same-bucket
+        # cos ~0.45 at sf0.01), so tau=0.4 exercises a non-empty verify
+        return pairwise_cosine_dups(emb.filter(F.col("vec_id") != 0),
+                                    tau=0.4, planes=planes)
+
+    def ann_lsh_batch(spark, sf):
+        # N queries in ONE job (qid = position): same per-query results as
+        # ann_lsh_topk, amortizing the per-job dispatch
+        idx = _ann_index(spark, sf)
+        emb = _emb(spark, sf)
+        qrows = (emb.filter(F.col("vec_id").isin(list(ANN_BATCH_QVIDS)))
+                 .orderBy("vec_id").collect())
+        return idx.topk_batch([list(r["embedding"]) for r in qrows], k=10,
+                              probe_bits=2)
+
     def ann_cosine(spark, sf):
         from pysearchlite_spark.operators.ann import brute_cosine_topk
         emb = _emb(spark, sf)
@@ -270,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "search_and": search_and,
+        "search_df_and": search_df_and,
         "search_or": search_or,
         "count_and": count_and,
         "term_df": term_df,
@@ -285,8 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_bounded": jaccard_bounded,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash_signatures": simhash_sigs,
+        "simhash_pairs": simhash_prs,
+        "cosine_dup_pairs": cosine_dups,
         "ann_cosine_topk": ann_cosine,
         "ann_lsh_topk": ann_lsh,
+        "ann_lsh_topk_batch": ann_lsh_batch,
         "ann_ivf_topk": ann_ivf,
         "events_hourly": events_hourly,
     }
@@ -409,13 +461,16 @@ FROM documents d LEFT JOIN val USING (doc_id)
 
     # ann_lsh_topk: planes = embeddings 1..N; candidate iff hamming between
     # sign-bit vectors <= 2 (== the engine's multi-probe 2-bit flips);
-    # exact float64 cosine rerank of candidates
-    ann_lsh_sql = f"""
+    # exact float64 cosine rerank of candidates. Parameterized by query
+    # vec_id (+ optional batch qid) so the batch entry reuses it verbatim.
+    def _ann_lsh_select(qvid: int, qid=None) -> str:
+        head = f"{qid} AS qid, " if qid is not None else ""
+        return f"""
 WITH p AS (
   SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings
   WHERE vec_id BETWEEN 1 AND {N_ANN_PLANES}
 ), q AS (
-  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qvid}
 ), vb AS (
   SELECT e.vec_id, p.pid,
          (list_dot_product(e.embedding::DOUBLE[], p.pv) > 0) AS s
@@ -430,11 +485,51 @@ WITH p AS (
 ), cand AS (
   SELECT vec_id FROM ham WHERE h <= 2
 )
-SELECT e.vec_id,
+SELECT {head}e.vec_id,
        round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
 FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT 10
+"""
+
+    ann_lsh_sql = _ann_lsh_select(0)
+    ann_lsh_batch_sql = "\nUNION ALL\n".join(
+        f"SELECT * FROM ({_ann_lsh_select(v, i)})"
+        for i, v in enumerate(ANN_BATCH_QVIDS))
+
+    # simhash_pairs (md5): at oracle scale no bucket exceeds the cap, so
+    # the banded pipeline's output == ALL pairs with hamming <= 3 — which
+    # SQL computes directly over the simhash values (bit_count/xor on
+    # BIGINT are two's-complement popcounts in both engines)
+    simhash_pairs_sql = f"""
+WITH sims AS ({simhash_sql})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+    # cosine_dup_pairs: planes = embeddings 1..N_DUP_PLANES; bucket equality
+    # == identical sign-bit words; exact float64 cosine verify >= tau
+    cosine_dups_sql = f"""
+WITH p AS (
+  SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {N_DUP_PLANES}
+), sig AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) > 0
+                  THEN 1 << (p.pid - 1)::INTEGER ELSE 0 END) AS bw
+  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(ex.embedding::DOUBLE[],
+                                    ey.embedding::DOUBLE[]), 6) AS cos
+FROM sig x JOIN sig y ON x.bw = y.bw AND x.vec_id < y.vec_id
+JOIN embeddings ex ON ex.vec_id = x.vec_id
+JOIN embeddings ey ON ey.vec_id = y.vec_id
+WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
+                             ey.embedding::DOUBLE[]) >= 0.4
 """
 
     # langid: occurrence counts per stopword set; first language in
@@ -497,6 +592,9 @@ LIMIT 10
         "ann_ivf_topk": ann_ivf_sql,
         "search_and": f"SELECT doc_id FROM documents WHERE {and_pred} "
                       f"ORDER BY doc_id",
+        # build_index(id_col='doc_id', url_col=None) derives url=str(doc_id)
+        "search_df_and": f"SELECT doc_id, CAST(doc_id AS VARCHAR) AS url "
+                         f"FROM documents WHERE {and_pred} ORDER BY doc_id",
         "search_or": f"SELECT doc_id FROM documents WHERE {or_pred} "
                      f"ORDER BY doc_id",
         "count_and": "SELECT count(*)::BIGINT AS cnt FROM documents WHERE "
@@ -554,7 +652,10 @@ LIMIT 10
         "minhash_lsh_pairs": minhash_oracle,
         "doc_fingerprint": fingerprint_sql,
         "simhash_signatures": simhash_sql,
+        "simhash_pairs": simhash_pairs_sql,
+        "cosine_dup_pairs": cosine_dups_sql,
         "ann_lsh_topk": ann_lsh_sql,
+        "ann_lsh_topk_batch": ann_lsh_batch_sql,
         "ann_cosine_topk": """
             -- DOUBLE[] casts force float64 math (DuckDB's native
             -- list_cosine_similarity on FLOAT[] computes in float32,
