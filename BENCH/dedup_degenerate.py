@@ -107,7 +107,7 @@ def main() -> None:
     emb = spark.range(n).mapInPandas(
         gen_emb, "vec_id long, embedding array<float>").persist()
     t0 = time.monotonic()
-    cd = pairwise_cosine_dups(emb, tau=0.999, max_bucket=1000)
+    cd = pairwise_cosine_dups(emb, tau=0.999, max_bucket=1000).persist()
     cd_pairs = cd.count()
     out["cosine_sec"] = round(time.monotonic() - t0, 2)
     out["cosine_pairs"] = cd_pairs

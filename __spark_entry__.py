@@ -284,9 +284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_lsh_topk, amortizing the per-job dispatch
         idx = _ann_index(spark, sf)
         emb = _emb(spark, sf)
-        qrows = (emb.filter(F.col("vec_id").isin(list(ANN_BATCH_QVIDS)))
-                 .orderBy("vec_id").collect())
-        return idx.topk_batch([list(r["embedding"]) for r in qrows], k=10,
+        qrows = {r["vec_id"]: list(r["embedding"]) for r in
+                 emb.filter(F.col("vec_id").isin(list(ANN_BATCH_QVIDS)))
+                 .collect()}
+        # qid = TUPLE position (the oracle's convention), independent of
+        # vec_id ordering
+        return idx.topk_batch([qrows[v] for v in ANN_BATCH_QVIDS], k=10,
                               probe_bits=2)
 
     def ann_cosine(spark, sf):

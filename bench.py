@@ -28,6 +28,10 @@ import sys
 import tempfile
 import time
 
+QSET = ["table part", "query value", "spark merge",
+        "key scan filter", "window group order"]
+WARM_REPS = 10  # preloaded-path repetitions per query
+
 
 def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
@@ -62,8 +66,7 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
             n_docs / timings["index_build"], 2)
 
         idx = SearchIndex(spark, idx_dir)
-        qset = ["table part", "query value", "spark merge",
-                "key scan filter", "window group order"]
+        qset = QSET
         with timed("count_and"):
             for q in qset:
                 idx.count(q)
@@ -84,11 +87,12 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
         # analogue) — no Spark dispatch per query
         idx.preload()
         with timed("bm25_top10_preloaded"):
-            for _ in range(10):
+            for _ in range(WARM_REPS):
                 for q in qset:
                     idx.topk(q, k=10)
         extras["query_latency_warm_ms"] = round(
-            1000 * timings["bm25_top10_preloaded"] / (10 * len(qset)), 3)
+            1000 * timings["bm25_top10_preloaded"]
+            / (WARM_REPS * len(qset)), 3)
 
         with timed("exact_dedup"):
             exact_dedup(docs).count()
@@ -129,7 +133,7 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
 
     from pysearchlite_spark.session import get_spark
 
@@ -157,9 +161,10 @@ def main() -> None:
     # derived rates recomputed from the best-of keys
     extras = dict(extras_last)
     extras["index_docs_per_sec"] = round(n_docs / best["index_build"], 2)
-    extras["query_latency_ms"] = round(1000 * best["bm25_top10"] / 5, 2)
+    extras["query_latency_ms"] = round(
+        1000 * best["bm25_top10"] / len(QSET), 2)
     extras["query_latency_warm_ms"] = round(
-        1000 * best["bm25_top10_preloaded"] / 50, 3)
+        1000 * best["bm25_top10_preloaded"] / (WARM_REPS * len(QSET)), 3)
     print(json.dumps({"metric": "e2e_bench_sec", "value": total,
                       "unit": "sec", "queries": best, "sf": sf_dir,
                       "n_docs": n_docs, "cpus": int(cpus),

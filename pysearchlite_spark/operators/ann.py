@@ -233,16 +233,19 @@ class AnnIndex:
         # repartition by pb so each partition dir is written by one task
         # (sorted within → one file per (task, pb)); without it every input
         # task opens a writer per dir it touches. n_vectors comes from an
-        # observed metric on the write itself (exactly-once, no extra scan
-        # — re-reading the just-written index only for a count paid a full
-        # second job).
+        # observed metric on the write itself (no extra scan — re-reading
+        # the just-written index only for a count paid a full second job).
+        # The observe node sits AFTER the exchange, in the RESULT stage:
+        # accumulator updates there are applied once per successful task,
+        # whereas a map-side placement can over-count under stage retry or
+        # speculative execution.
         from pyspark.sql import Observation
         obs = Observation()
         (df.select(F.col(id_col).alias(id_col), vec_col)
          .mapInPandas(bucketize, AnnIndex.VEC_SCHEMA)
-         .observe(obs, F.count(F.lit(1)).alias("n"))
          .repartition(F.col("pb"))
          .sortWithinPartitions("pb", "bucket")
+         .observe(obs, F.count(F.lit(1)).alias("n"))
          .write.partitionBy("pb").mode("overwrite").parquet(vec_dir))
         n_vectors = int(obs.get["n"])
         meta = {"n_planes": int(n_planes), "seed": seed, "dim": dim,
@@ -283,6 +286,9 @@ class AnnIndex:
         buckets + one dispatch, instead of N jobs — the ~1-2s per-job
         overhead dominated single-query latency at scale
         (BENCH/ann_scale.json)."""
+        if len(query_vecs) == 0:
+            return self.spark.createDataFrame(
+                [], "qid int, vec_id long, cos double")
         Q = np.asarray([list(q) for q in query_vecs], dtype=np.float64)
         qb = _bucket_of(Q, self.planes)
         route2qids: dict = {}
@@ -382,14 +388,16 @@ class IvfIndex:
 
         os.makedirs(root, exist_ok=True)
         vec_dir = os.path.join(root, "vectors")
-        # n_vectors observed on the write action — no post-write count scan
+        # n_vectors observed on the write action — no post-write count scan;
+        # result-stage placement (after the exchange) for exactly-once under
+        # retries, as in AnnIndex.build
         from pyspark.sql import Observation
         obs = Observation()
         (df.select(F.col(id_col).alias(id_col), vec_col)
          .mapInPandas(assign, IvfIndex.VEC_SCHEMA)
-         .observe(obs, F.count(F.lit(1)).alias("n"))
          .repartition(F.col("cid"))
          .sortWithinPartitions("cid")
+         .observe(obs, F.count(F.lit(1)).alias("n"))
          .write.partitionBy("cid").mode("overwrite").parquet(vec_dir))
         n_vectors = int(obs.get["n"])
         meta = {"n_centroids": int(cn.shape[0]), "dim": int(cn.shape[1]),
@@ -427,6 +435,9 @@ class IvfIndex:
         """(qid, vec_id, cos) — N queries in ONE job over the union of all
         probed cells; per-query results identical to topk() (see
         AnnIndex.topk_batch for the amortization rationale)."""
+        if len(query_vecs) == 0:
+            return self.spark.createDataFrame(
+                [], "qid int, vec_id long, cos double")
         Q = np.asarray([list(q) for q in query_vecs], dtype=np.float64)
         route2qids: dict = {}
         for qi in range(Q.shape[0]):

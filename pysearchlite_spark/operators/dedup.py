@@ -243,6 +243,10 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
         # connected components are preserved while a boilerplate-degenerate
         # bucket contributes 1 refinement row instead of millions.
         refined, refined_keys = refine(rep_rows)
+        # persist: the recursive pass consumes the refined frame >= 3 times
+        # (fast-path probe, annotate join, both self-join sides) and its
+        # lineage re-runs the rep join + explode otherwise
+        refined = refined.persist()
         out = out.union(_capped_bucket_pairs(refined, refined_keys, sig_df,
                                              max_bucket))
     return out.distinct()
@@ -457,7 +461,10 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3,
                      F.explode(F.array(
                          *_chunk_structs("simhash", "c", "v"))).alias("ch"))
          .select("doc_id", "simhash", "ch.c", "ch.v").persist())
-    sig_df = b.select("doc_id", F.col("simhash").alias("_sig")).distinct()
+    # persisted: consumed by the capped pass (oversized join + refine hook)
+    # and twice more as the verify-side signature lookup
+    sig_df = (b.select("doc_id", F.col("simhash").alias("_sig"))
+              .distinct().persist())
 
     def refine(big: DataFrame):
         # oversized (c, v) members → (c, v, c2, v2) for each c2 > c. The
@@ -476,7 +483,8 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3,
 
     cand = _capped_bucket_pairs(b.select("doc_id", "c", "v"), ["c", "v"],
                                 sig_df, max_bucket, refine=refine)
-    s = b.select("doc_id", "simhash").distinct()
+    # reuse sig_df (same distinct aggregation, different column name)
+    s = sig_df.select("doc_id", F.col("_sig").alias("simhash"))
     cand = (cand
             .join(s.select(F.col("doc_id").alias("a"),
                            F.col("simhash").alias("sa")), "a")
