@@ -60,6 +60,32 @@ def _index(spark: SparkSession, sf_dir: str):
     return _IDX_CACHE[sf_dir]
 
 
+DELETE_MOD = 7  # search_and_deleted tombstones doc_id % 7 == 0
+
+
+def _index_deleted(spark: SparkSession, sf_dir: str):
+    """Index over documents with doc_id % DELETE_MOD == 0 tombstoned via
+    plans.deletes.delete_docs — exercises delete-file commit + query-time
+    masking (the Iceberg equality-delete shape); built separately so the
+    shared _index stays delete-free."""
+    from pysearchlite_spark.engine import SearchIndex
+    from pysearchlite_spark.plans.builder import build_index
+    from pysearchlite_spark.plans.deletes import delete_docs
+
+    key = ("deleted", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="pslspark_delidx_")
+        _TMP_DIRS.append(d)
+        docs = _docs(spark, sf_dir)
+        build_index(spark, docs, d, id_col="doc_id", segment_docs=256,
+                    lineage={"source": f"{sf_dir}/documents.parquet"})
+        delete_docs(spark, d,
+                    docs.filter(F.col("doc_id") % DELETE_MOD == 0)
+                    .select("doc_id"))
+        _IDX_CACHE[key] = SearchIndex(spark, d)
+    return _IDX_CACHE[key]
+
+
 N_ANN_PLANES = 12
 
 
@@ -173,6 +199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lazy 10^12-doc surface: per-segment distributed kernels +
         # docmap join, nothing collected until the driver's comparison
         return _index(spark, sf).search_df(Q_AND).select("doc_id", "url")
+
+    def search_and_deleted(spark, sf):
+        # tombstone masking on the DISTRIBUTED path (cogrouped per-segment
+        # delete rows), post-delete snapshot
+        return _ids_df(spark, _index_deleted(spark, sf)
+                       .search_and_ids(Q_AND, distributed=True))
 
     def search_or(spark, sf):
         return _ids_df(spark, _index(spark, sf).search_or_ids(Q_OR))
@@ -321,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "search_and": search_and,
+        "search_and_deleted": search_and_deleted,
         "search_df_and": search_df_and,
         "search_or": search_or,
         "count_and": count_and,
@@ -595,6 +628,9 @@ LIMIT 10
         "ann_ivf_topk": ann_ivf_sql,
         "search_and": f"SELECT doc_id FROM documents WHERE {and_pred} "
                       f"ORDER BY doc_id",
+        "search_and_deleted": f"SELECT doc_id FROM documents WHERE "
+                              f"{and_pred} AND doc_id % {DELETE_MOD} <> 0 "
+                              f"ORDER BY doc_id",
         # build_index(id_col='doc_id', url_col=None) derives url=str(doc_id)
         "search_df_and": f"SELECT doc_id, CAST(doc_id AS VARCHAR) AS url "
                          f"FROM documents WHERE {and_pred} ORDER BY doc_id",

@@ -43,6 +43,15 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _mask_deleted(ids: np.ndarray, deleted: Optional[np.ndarray]
+                  ) -> np.ndarray:
+    """Drop ids present in the SORTED deleted array (tombstone mask)."""
+    if deleted is None or deleted.size == 0 or ids.size == 0:
+        return ids
+    pos = np.clip(np.searchsorted(deleted, ids), 0, deleted.size - 1)
+    return ids[deleted[pos] != ids]
+
+
 def _streams_for_ids(r: dict, ids: np.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a packed row's (docs, tfs, dls) for the blocks containing
@@ -84,12 +93,22 @@ def _streams_for_ids(r: dict, ids: np.ndarray
 def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
                        n_query_terms: int, k: int, mode: str,
                        use_blockmax, avgdl: float,
-                       bound_scale: float = 1.0
+                       bound_scale: float = 1.0,
+                       deleted: Optional[np.ndarray] = None
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Score one segment's packed posting rows. Module-level (no engine
     state) so the distributed applyInPandas path serializes only plain
-    values, never the SparkSession."""
+    values, never the SparkSession.
+
+    deleted: SORTED doc_ids tombstoned by pending delete files. Masked
+    BEFORE top-k truncation (a deleted doc must not occupy a result slot
+    or a tie boundary). Segments carrying live tombstones score on the
+    exhaustive vectorized path — block-max pruning bounds include the
+    deleted docs' partials, so its heap could fill with ghosts;
+    compaction applies the deletes and restores pruning."""
     zb = None
+    if deleted is not None and deleted.size:
+        use_blockmax = False
     if use_blockmax == "auto":
         # ADAPTIVE: a metadata-only probe (W.decide_blockmax) estimates the
         # zone-visit fraction. Head-term tie-heavy queries (nearly every doc
@@ -110,7 +129,7 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
     if mode == "and":
         if len(rows) < n_query_terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        ids = I.intersect_packed(rows)
+        ids = _mask_deleted(I.intersect_packed(rows), deleted)
         if ids.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         scores = np.zeros(ids.size, dtype=np.float64)
@@ -130,9 +149,20 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
     doc_l, tf_l, dl_l, idf_l = [], [], [], []
     for r in rows:
         df = int(r["df"])
-        doc_l.append(codec.unpack_docs(r["docs"], df))
-        tf_l.append(codec.unpack_stream(r["tfs"], df).astype(np.int64))
-        dl_l.append(codec.unpack_stream(r["dls"], df).astype(np.int64))
+        docs = codec.unpack_docs(r["docs"], df)
+        tfs = codec.unpack_stream(r["tfs"], df).astype(np.int64)
+        dls = codec.unpack_stream(r["dls"], df).astype(np.int64)
+        if deleted is not None and deleted.size:
+            # drop tombstoned entries from the decoded streams — scoring
+            # then behaves exactly as if the docs were never indexed
+            # (except the documented pre-compaction idf/avgdl semantics)
+            pos = np.clip(np.searchsorted(deleted, docs), 0,
+                          deleted.size - 1)
+            keep = deleted[pos] != docs
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        doc_l.append(docs)
+        tf_l.append(tfs)
+        dl_l.append(dls)
         idf_l.append(idfs[r["term"]])
     docs, scores = W.score_disjunctive(doc_l, tf_l, dl_l, idf_l, avgdl)
     return _truncate_topk(docs, scores, k)
@@ -182,6 +212,15 @@ class SearchIndex:
                         .filter(F.col("seg").isin([int(s) for s in doc_segs])))
         self.pack_avgdl = {int(k): float(v) for k, v in
                            (self.stats.get("pack_avgdl") or {}).items()}
+        # tombstones (plans/deletes.py): PENDING files mask postings AND
+        # docmap; APPLIED files (compaction already rewrote the postings
+        # without those docs) mask docmap reads only
+        self.delete_files = [int(x) for x in
+                             (snap.get("delete_files") or [])]
+        self.applied_delete_files = [int(x) for x in
+                                     (snap.get("applied_delete_files")
+                                      or [])]
+        self._deleted_np: Optional[np.ndarray] = None
         self._term_cache: Dict[str, List[dict]] = {}
         self._cache_pdf: Optional[pd.DataFrame] = None
         self._cache_pos: Optional[dict] = None
@@ -238,6 +277,36 @@ class SearchIndex:
                     self._cache_pdf.iloc[pos].to_dict("records"))
             self._term_cache[term] = rows
         return rows
+
+    # ------------------------------------------------------- tombstones ---
+    def _pending_deletes_df(self) -> DataFrame:
+        from pysearchlite_spark.plans.deletes import deletes_df
+        return deletes_df(self.spark, self.cat, self.delete_files)
+
+    def _deleted(self) -> Optional[np.ndarray]:
+        """SORTED pending-tombstone doc_ids for the driver paths (loaded
+        once per SearchIndex; None when the snapshot has none). The
+        distributed paths never call this — they cogroup the delete rows
+        per posting segment instead."""
+        if not self.delete_files:
+            return None
+        if self._deleted_np is None:
+            pdf = self._pending_deletes_df().select("doc_id").toPandas()
+            self._deleted_np = np.unique(pdf["doc_id"].to_numpy(np.int64))
+        return self._deleted_np
+
+    def docmap_df(self, live: bool = True) -> DataFrame:
+        """The snapshot's docmap (doc_id, url, doc_len, seg). live=True
+        (default) masks every tombstoned doc — pending AND applied files:
+        compaction rewrites postings but leaves docmap rows on disk."""
+        if not live:
+            return self._docmap
+        files = self.delete_files + self.applied_delete_files
+        if not files:
+            return self._docmap
+        from pysearchlite_spark.plans.deletes import deletes_df
+        dels = deletes_df(self.spark, self.cat, files).select("doc_id")
+        return self._docmap.join(dels, "doc_id", "left_anti")
 
     # ------------------------------------------------------------ scan ----
     def postings_df(self, terms: List[str]) -> DataFrame:
@@ -297,7 +366,8 @@ class SearchIndex:
             parts.append(I.intersect_packed(rows))
         if not parts:
             return np.empty(0, dtype=np.int64)
-        return np.concatenate(parts)  # segments are disjoint ascending ranges
+        # segments are disjoint ascending ranges
+        return _mask_deleted(np.concatenate(parts), self._deleted())
 
     def search_or_ids(self, query: str, distributed: bool = False
                       ) -> np.ndarray:
@@ -313,7 +383,7 @@ class SearchIndex:
                 [codec.unpack_docs(r["docs"], int(r["df"])) for r in rows]))
         if not parts:
             return np.empty(0, dtype=np.int64)
-        return np.concatenate(parts)
+        return _mask_deleted(np.concatenate(parts), self._deleted())
 
     def count(self, query: str, distributed: bool = False) -> int:
         if distributed:
@@ -372,21 +442,34 @@ class SearchIndex:
         if mode == "and" and any(dfs[t] == 0 for t in terms):
             return []
         idfs = self._idfs(dfs)
+        deleted = self._deleted()
         parts: List[Tuple[np.ndarray, np.ndarray]] = []
         for seg, rows in sorted(self._rows_by_seg(pdf).items()):
             parts.append(score_segment_rows(rows, idfs, len(terms), k, mode,
                                             use_blockmax, self.avgdl,
-                                            self._bound_scale(seg)))
+                                            self._bound_scale(seg),
+                                            deleted=deleted))
         return W.topk_merge(parts, k)
 
     # ------------------------------------------------- distributed paths --
+    def _seg_deletes_grouped(self):
+        """Pending tombstones keyed by POSTING segment, grouped for
+        cogrouping with the per-segment postings kernels — each segment's
+        task sees only its own delete rows (partition-pruned scan of
+        deletes/del=*/pseg=<seg>), never a broadcast global set."""
+        return (self._pending_deletes_df()
+                .select(F.col("pseg").alias("seg"), "doc_id")
+                .groupBy("seg"))
+
     def _matching_ids_dist(self, terms: List[str], mode: str) -> DataFrame:
         """Per-segment boolean kernel as a DataFrame of matching doc_ids —
         the building block every distributed path (and the scalable
-        search_df surface) shares; nothing is collected here."""
+        search_df surface) shares; nothing is collected here. Pending
+        tombstones are masked inside the kernel via cogroup."""
         n_terms = len(set(terms))
 
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def match(pdf: pd.DataFrame, ddf: Optional[pd.DataFrame]
+                  ) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             if mode == "and":
                 if len(rows) < n_terms:
@@ -397,10 +480,17 @@ class SearchIndex:
                 ids = I.union_sorted(
                     [codec.unpack_docs(r["docs"], int(r["df"]))
                      for r in rows])
+            if ddf is not None and len(ddf):
+                ids = _mask_deleted(
+                    ids, np.unique(ddf["doc_id"].to_numpy(np.int64)))
             return pd.DataFrame({"doc_id": ids})
 
-        return (self.postings_df(terms)
-                .groupBy("seg").applyInPandas(run, "doc_id long"))
+        grouped = self.postings_df(terms).groupBy("seg")
+        if not self.delete_files:
+            return grouped.applyInPandas(
+                lambda key, pdf: match(pdf, None), "doc_id long")
+        return grouped.cogroup(self._seg_deletes_grouped()).applyInPandas(
+            lambda key, pdf, ddf: match(pdf, ddf), "doc_id long")
 
     def search_df(self, query: str, mode: str = "and") -> DataFrame:
         """The 10^12-doc search surface: matching (doc_id, url) as a LAZY
@@ -456,16 +546,29 @@ class SearchIndex:
             return 0
         n_terms = len(set(terms))
 
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def cnt(pdf: pd.DataFrame, ddf: Optional[pd.DataFrame]
+                ) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             if len(rows) < n_terms:
                 return pd.DataFrame({"cnt": pd.Series([0], dtype="int64")})
             ids = I.intersect_packed(rows)
-            return pd.DataFrame({"cnt": pd.Series([ids.size], dtype="int64")})
+            if ddf is not None and len(ddf):
+                ids = _mask_deleted(
+                    ids, np.unique(ddf["doc_id"].to_numpy(np.int64)))
+            return pd.DataFrame({"cnt": pd.Series([ids.size],
+                                                  dtype="int64")})
 
-        out = (self.postings_df(terms)
-               .groupBy("seg").applyInPandas(run, "cnt long")
-               .agg(F.sum("cnt").alias("total")).collect())
+        grouped = self.postings_df(terms).groupBy("seg")
+        if not self.delete_files:
+            counted = grouped.applyInPandas(
+                lambda key, pdf: cnt(pdf, None), "cnt long")
+        else:
+            # per-segment sizes stay the ONLY thing collected: the
+            # tombstone mask runs inside the cogrouped kernel
+            counted = grouped.cogroup(
+                self._seg_deletes_grouped()).applyInPandas(
+                lambda key, pdf, ddf: cnt(pdf, ddf), "cnt long")
+        out = counted.agg(F.sum("cnt").alias("total")).collect()
         return int(out[0]["total"] or 0)
 
     def _topk_dist(self, terms: List[str], k: int, mode: str,
@@ -481,19 +584,32 @@ class SearchIndex:
         scales = {int(s): self._bound_scale(s)
                   for s in self.pack_avgdl} or {}
 
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def run(key, pdf: pd.DataFrame,
+                ddf: Optional[pd.DataFrame] = None) -> pd.DataFrame:
             # score_segment_rows already applies the tie-safe per-segment
-            # top-k truncation (_truncate_topk) for every mode
+            # top-k truncation (_truncate_topk) for every mode, and masks
+            # tombstones BEFORE it (a deleted doc must not hold a slot)
             rows = pdf.to_dict("records")
+            deleted = (np.unique(ddf["doc_id"].to_numpy(np.int64))
+                       if ddf is not None and len(ddf) else None)
             d, s = score_segment_rows(rows, idfs, uniq_terms, k, mode,
                                       use_blockmax, avgdl,
-                                      scales.get(int(key[0]), 1.0))
+                                      scales.get(int(key[0]), 1.0),
+                                      deleted=deleted)
             return pd.DataFrame({"doc_id": d, "score": s})
 
-        out = (self.postings_df(terms)
-               .groupBy("seg")
-               .applyInPandas(run, "doc_id long, score double")
-               .toPandas())
+        grouped = self.postings_df(terms).groupBy("seg")
+        if not self.delete_files:
+            # 2-arg wrapper: applyInPandas rejects 3-arg callables even
+            # when the third argument is defaulted
+            scored = grouped.applyInPandas(
+                lambda key, pdf: run(key, pdf, None),
+                "doc_id long, score double")
+        else:
+            scored = grouped.cogroup(
+                self._seg_deletes_grouped()).applyInPandas(
+                run, "doc_id long, score double")
+        out = scored.toPandas()
         if out.empty:
             return []
         return W.topk_merge(

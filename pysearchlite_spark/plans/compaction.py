@@ -36,43 +36,110 @@ from pysearchlite_spark.plans.builder import (RUNS_SCHEMA, _pack_runs,
 from pysearchlite_spark.sources.catalog import POSTINGS_SCHEMA, IndexCatalog
 
 
-def _decode_stage(batches):
-    """Packed posting rows → RUNS-shaped array rows (seg already remapped).
-    Output built as ListArrays over flat decoded arrays (no per-row Python
-    objects on the output path)."""
-    import pyarrow as pa
-    out_schema = pa.schema([
-        ("seg", pa.int64()), ("tb", pa.int32()), ("term", pa.string()),
-        ("doc_ids", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int64())),
-        ("dls", pa.list_(pa.int64())), ("url", pa.string())])
-    for batch in batches:
-        n = batch.num_rows
-        if n == 0:
-            continue
-        cols = {name: batch.column(i)
-                for i, name in enumerate(batch.schema.names)}
-        dfs = cols["df"].to_numpy()
-        doc_parts, tf_parts, dl_parts = [], [], []
-        for docs_b, tfs_b, dls_b, df in zip(
-                cols["docs"].to_pylist(), cols["tfs"].to_pylist(),
-                cols["dls"].to_pylist(), dfs):
-            df = int(df)
-            doc_parts.append(codec.unpack_docs(docs_b, df))
-            tf_parts.append(codec.unpack_stream(tfs_b, df).astype(np.int64))
-            dl_parts.append(codec.unpack_stream(dls_b, df).astype(np.int64))
-        offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(dfs, out=offs[1:])
-        offs32 = pa.array(offs.astype(np.int32))
-        yield pa.RecordBatch.from_arrays([
-            cols["seg"], cols["tb"], cols["term"],
-            pa.ListArray.from_arrays(
-                offs32, pa.array(np.concatenate(doc_parts))),
-            pa.ListArray.from_arrays(
-                offs32, pa.array(np.concatenate(tf_parts))),
-            pa.ListArray.from_arrays(
-                offs32, pa.array(np.concatenate(dl_parts))),
-            pa.nulls(n, pa.string()),
-        ], schema=out_schema)
+def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
+                       delete_file_ids: tuple = (),
+                       deleted_global=None):
+    """Factory: packed posting rows → RUNS-shaped array rows, with the seg
+    remapped via group_map INSIDE the UDF (the pre-remap seg is needed to
+    locate the segment's tombstone files) and pending deletes dropped from
+    the decoded streams. Output built as ListArrays over flat decoded
+    arrays (no per-row Python objects on the output path).
+
+    Tombstone source, in order: `deleted_global` (a pre-collected sorted
+    numpy array — the scheme'd-path fallback where tasks can't read the
+    local deletes dir), else worker-direct parquet reads of
+    deletes/del=<f>/pseg=<old seg> per segment (partition-pruned, loaded
+    once per task via a cache — the local/cluster-filesystem path)."""
+    def decode(batches):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        out_schema = pa.schema([
+            ("seg", pa.int64()), ("tb", pa.int32()), ("term", pa.string()),
+            ("doc_ids", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int64())),
+            ("dls", pa.list_(pa.int64())), ("url", pa.string())])
+        tomb_cache: dict = {}
+
+        def tombs(old_seg: int) -> np.ndarray:
+            if deleted_global is not None:
+                return deleted_global
+            if old_seg not in tomb_cache:
+                parts = []
+                for fid in delete_file_ids:
+                    d = os.path.join(deletes_root, f"del={fid}",
+                                     f"pseg={old_seg}")
+                    if os.path.isdir(d):
+                        parts.append(pq.read_table(
+                            d, columns=["doc_id"]).column(
+                            "doc_id").to_numpy())
+                tomb_cache[old_seg] = (np.unique(np.concatenate(parts))
+                                       if parts else
+                                       np.empty(0, dtype=np.int64))
+            return tomb_cache[old_seg]
+
+        masking = bool(delete_file_ids) or deleted_global is not None
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {name: batch.column(i)
+                    for i, name in enumerate(batch.schema.names)}
+            segs = cols["seg"].to_numpy()
+            dfs = cols["df"].to_numpy()
+            doc_parts, tf_parts, dl_parts = [], [], []
+            sizes = np.empty(n, dtype=np.int64)
+            for i, (docs_b, tfs_b, dls_b, df) in enumerate(zip(
+                    cols["docs"].to_pylist(), cols["tfs"].to_pylist(),
+                    cols["dls"].to_pylist(), dfs)):
+                df = int(df)
+                docs = codec.unpack_docs(docs_b, df)
+                tfs = codec.unpack_stream(tfs_b, df).astype(np.int64)
+                dls = codec.unpack_stream(dls_b, df).astype(np.int64)
+                if masking:
+                    t = tombs(int(segs[i]))
+                    if t.size and docs.size:
+                        pos = np.clip(np.searchsorted(t, docs), 0,
+                                      t.size - 1)
+                        keep = t[pos] != docs
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                sizes[i] = docs.size
+                doc_parts.append(docs)
+                tf_parts.append(tfs)
+                dl_parts.append(dls)
+            # rows whose postings were deleted away vanish (df would be 0)
+            rkeep = sizes > 0
+            if not rkeep.all():
+                idx = np.flatnonzero(rkeep)
+                segs = segs[idx]
+                doc_parts = [doc_parts[i] for i in idx]
+                tf_parts = [tf_parts[i] for i in idx]
+                dl_parts = [dl_parts[i] for i in idx]
+                sizes = sizes[idx]
+                tb_arr = cols["tb"].take(pa.array(idx))
+                term_arr = cols["term"].take(pa.array(idx))
+            else:
+                tb_arr, term_arr = cols["tb"], cols["term"]
+            m = len(sizes)
+            if m == 0:
+                continue
+            new_segs = np.asarray(
+                [group_map[int(s)] for s in segs], dtype=np.int64)
+            offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(sizes, out=offs[1:])
+            offs32 = pa.array(offs.astype(np.int32))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(new_segs), tb_arr, term_arr,
+                pa.ListArray.from_arrays(
+                    offs32, pa.array(np.concatenate(doc_parts))),
+                pa.ListArray.from_arrays(
+                    offs32, pa.array(np.concatenate(tf_parts))),
+                pa.ListArray.from_arrays(
+                    offs32, pa.array(np.concatenate(dl_parts))),
+                pa.nulls(m, pa.string()),
+            ], schema=out_schema)
+
+    return decode
 
 
 def compact_segments(spark: SparkSession, index_dir: str,
@@ -89,8 +156,9 @@ def compact_segments(spark: SparkSession, index_dir: str,
     stats = snap["stats"]
     avgdl = float(stats["avgdl"])
     old_segs = sorted(snap.get("posting_segments", snap["segments"]))
-    if len(old_segs) <= 1:
-        return int(snap["snapshot_id"])  # nothing to merge
+    has_pending = bool(snap.get("delete_files"))
+    if len(old_segs) <= 1 and not has_pending:
+        return int(snap["snapshot_id"])  # nothing to merge or apply
     group_size = group_size or len(old_segs)
 
     # Crash-safety: a previous compaction attempt over this snapshot may
@@ -106,17 +174,50 @@ def compact_segments(spark: SparkSession, index_dir: str,
     # doc segment id a later append derives, or with time-travel segments
     base = cat.max_seg_id() + 1
     group_of = {s: base + i // group_size for i, s in enumerate(old_segs)}
-    mapping = F.create_map(
-        *[x for s, g in group_of.items() for x in (F.lit(s), F.lit(g))])
+
+    # ---- pending tombstones: applied physically by this merge ------------
+    pending = [int(x) for x in (snap.get("delete_files") or [])]
+    deleted_global = None
+    if pending and "://" in cat.deletes_dir():
+        # object-store path: tasks can't list local dirs — ship the
+        # collected sorted id set in the closure (compact often enough
+        # that the pending set stays driver-sized; the local path below
+        # streams per-segment instead)
+        from pysearchlite_spark.plans.deletes import deletes_df
+        pdf = deletes_df(spark, cat, pending).select("doc_id").toPandas()
+        deleted_global = np.unique(pdf["doc_id"].to_numpy(np.int64))
+    if pending:
+        # stats refresh BEFORE packing: repacked block-max bounds and the
+        # recorded avgdl must describe the post-delete corpus
+        from pysearchlite_spark.plans.deletes import deletes_df
+        from pysearchlite_spark.sources.catalog import DOCMAP_SCHEMA
+        doc_segs = [int(s) for s in snap.get("doc_segments",
+                                             snap["segments"])]
+        all_files = pending + [int(x) for x in
+                               (snap.get("applied_delete_files") or [])]
+        live = (spark.read.schema(DOCMAP_SCHEMA)
+                .parquet(cat.docmap_dir())
+                .filter(F.col("seg").isin(doc_segs))
+                .join(deletes_df(spark, cat, all_files).select("doc_id"),
+                      "doc_id", "left_anti")
+                .agg(F.count("*").alias("n"),
+                     F.sum("doc_len").alias("sdl")).collect()[0])
+        n_docs_live = int(live["n"] or 0)
+        sum_dl_live = int(live["sdl"] or 0)
+        avgdl = (sum_dl_live / n_docs_live) if n_docs_live else 0.0
 
     t0 = time.time()
     postings = (spark.read.schema(POSTINGS_SCHEMA)
                 .parquet(cat.postings_dir())
                 .filter(F.col("seg").isin(old_segs)))
+    decode = _make_decode_stage(
+        {int(s): int(g) for s, g in group_of.items()},
+        deletes_root=cat.deletes_dir(),
+        delete_file_ids=tuple(pending) if deleted_global is None else (),
+        deleted_global=deleted_global)
     runs_like = (postings
-                 .withColumn("seg", mapping[F.col("seg")].cast("long"))
                  .select("seg", "tb", "term", "df", "docs", "tfs", "dls")
-                 .mapInArrow(_decode_stage, RUNS_SCHEMA))
+                 .mapInArrow(decode, RUNS_SCHEMA))
 
     par = spark.sparkContext.defaultParallelism
     n_out_parts = max(1, min(len(set(group_of.values()))
@@ -144,7 +245,32 @@ def compact_segments(spark: SparkSession, index_dir: str,
     # repacked segments bake the CURRENT avgdl into their block-max bounds
     stats = dict(stats)
     stats["pack_avgdl"] = {str(s): avgdl for s in new_segs}
+    doc_segs_out = snap.get("doc_segments", snap["segments"])
+    # doc-seg → posting-seg routing for FUTURE delete_docs calls: compose
+    # the previous map with this merge's grouping (identity where absent)
+    old_pseg_of = {int(k): int(v)
+                   for k, v in (stats.get("pseg_of") or {}).items()}
+    new_pseg_of = {}
+    for d in doc_segs_out:
+        p = old_pseg_of.get(int(d), int(d))
+        new_pseg_of[int(d)] = int(group_of.get(p, p))
+    stats["pseg_of"] = {str(k): v for k, v in new_pseg_of.items()}
+    applied = [int(x) for x in (snap.get("applied_delete_files") or [])]
+    if pending:
+        # deletes are now physically absent from the postings: stats
+        # describe the live corpus, and the files move to applied (docmap
+        # rows still exist on disk, so docmap-level reads keep masking)
+        stats["n_docs"] = n_docs_live
+        stats["sum_dl"] = sum_dl_live
+        stats["avgdl"] = avgdl
+        stats["n_deleted_applied"] = int(
+            stats.get("n_deleted_applied", 0)) + int(
+            stats.pop("n_deleted_pending", 0))
+        applied = sorted(applied + pending)
+        lineage["applied_delete_files"] = pending
     return cat.commit_snapshot(
-        snap.get("doc_segments", snap["segments"]), stats, lineage,
+        doc_segs_out, stats, lineage,
         posting_segments=new_segs,
-        doc_segments=snap.get("doc_segments", snap["segments"]))
+        doc_segments=doc_segs_out,
+        delete_files=[],
+        applied_delete_files=applied)

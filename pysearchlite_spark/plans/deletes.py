@@ -1,0 +1,133 @@
+"""Document deletion — Iceberg-style equality-delete files over the index.
+
+The reference engine is append-only (no delete anywhere in
+/root/reference/pysearchlite — verified in SURVEY.md §2); a 100-TB
+training-data pipeline is not: dedup/quality passes produce doc-id lists
+that must disappear from retrieval without rewriting a petabyte index.
+This module adds the Lucene/Iceberg shape for that:
+
+  * `delete_docs(...)` commits a DELETE FILE — parquet rows
+    (doc_id, dseg), hive-partitioned by the POSTING segment (`pseg`) that
+    currently holds each doc — plus a new snapshot whose `delete_files`
+    list includes it. Nothing else is touched: O(deletes), not O(index).
+  * Query time (engine.SearchIndex): pending delete files are masked out
+    of every result — numpy searchsorted mask on the driver paths, a
+    per-segment cogroup on the distributed paths (the 10^12-doc route:
+    delete rows are keyed by posting segment, so each segment kernel sees
+    only its own tombstones — no broadcast of a global delete set).
+  * Compaction (plans.compaction) APPLIES pending deletes physically:
+    the decode stage drops tombstoned doc_ids before repacking, global
+    BM25 stats (n_docs, avgdl) are recomputed over the live docmap, and
+    the files move to `applied_delete_files` (docmap rows still exist on
+    disk, so docmap-level reads keep masking them; postings no longer
+    need to).
+
+BM25 semantics (documented, Lucene-identical): PENDING deletes hide
+documents from results but do NOT change n_docs/avgdl/df — scores of the
+surviving docs are unchanged until a compaction folds the deletes in and
+refreshes the stats. Time travel: a snapshot taken before the delete
+still returns the deleted docs (delete files are snapshot-scoped).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysearchlite_spark.sources.catalog import IndexCatalog
+
+DELETES_SCHEMA = "doc_id long, dseg long"
+
+
+def deletes_df(spark: SparkSession, cat: IndexCatalog,
+               file_ids: Iterable[int]) -> DataFrame:
+    """(doc_id, dseg, pseg, del) rows of the given delete files; empty
+    frame when there are none. pseg/del come back as hive partition
+    columns — partition pruning applies when a caller filters pseg."""
+    import os
+    ids = [int(i) for i in file_ids]
+    if not ids or not os.path.isdir(cat.deletes_dir()):
+        return spark.createDataFrame(
+            [], DELETES_SCHEMA + ", pseg long, del long")
+    return (spark.read.option("basePath", cat.deletes_dir())
+            .schema(DELETES_SCHEMA + ", pseg long, del long")
+            .parquet(*[os.path.join(cat.deletes_dir(), f"del={i}")
+                       for i in ids]))
+
+
+def delete_docs(spark: SparkSession, index_dir: str,
+                ids: Union[DataFrame, Iterable[int]],
+                id_col: str = "doc_id") -> int:
+    """Commit a delete of the given doc_ids against the CURRENT snapshot.
+    Returns the new snapshot id.
+
+    ids: a DataFrame with an id column (the scale path — e.g. the output
+    of a dedup pass) or a plain iterable of ints. Ids are validated
+    against the live docmap (unknown or already-deleted ids are ignored,
+    making repeated deletes idempotent); each surviving row is routed to
+    the posting segment that currently holds it via the snapshot's
+    `pseg_of` map (identity until a compaction diverges doc segments
+    from posting segments)."""
+    cat = IndexCatalog(index_dir)
+    snap = cat.current_snapshot()
+    if snap is None:
+        raise ValueError(f"no committed snapshot in {index_dir}")
+
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(id_col).cast("long").alias("doc_id"))
+    else:
+        import pandas as pd
+        ids_df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [int(i) for i in ids]}), "doc_id long")
+    ids_df = ids_df.distinct()
+
+    from pysearchlite_spark.sources.catalog import DOCMAP_SCHEMA
+    doc_segs = [int(s) for s in snap.get("doc_segments", snap["segments"])]
+    docmap = (spark.read.schema(DOCMAP_SCHEMA).parquet(cat.docmap_dir())
+              .filter(F.col("seg").isin(doc_segs)))
+    already = [int(i) for i in (snap.get("delete_files") or [])] + \
+              [int(i) for i in (snap.get("applied_delete_files") or [])]
+    prior = deletes_df(spark, cat, already).select("doc_id")
+    rows = (docmap.join(ids_df, "doc_id", "left_semi")
+            .join(prior, "doc_id", "left_anti")
+            .select("doc_id", F.col("seg").alias("dseg")))
+
+    pseg_of = {int(k): int(v)
+               for k, v in (snap["stats"].get("pseg_of") or {}).items()}
+    if pseg_of:
+        mapping = F.create_map(*[x for k, v in pseg_of.items()
+                                 for x in (F.lit(k), F.lit(v))])
+        rows = rows.withColumn(
+            "pseg", F.coalesce(mapping[F.col("dseg")],
+                               F.col("dseg")).cast("long"))
+    else:
+        rows = rows.withColumn("pseg", F.col("dseg"))
+
+    did = cat.max_delete_file_id() + 1
+    import os
+    out = os.path.join(cat.deletes_dir(), f"del={did}")
+    # ≤1 writer task per pseg partition dir, like the docmap writer
+    n_pseg = max(1, len(set(pseg_of.values()) or doc_segs))
+    (rows.repartition(n_pseg, F.col("pseg"))
+     .write.partitionBy("pseg").mode("overwrite").parquet(out))
+
+    # explicit schema: an idempotent re-delete writes ZERO part files and
+    # schema inference would fail on the empty dir
+    n_new = (spark.read.option("basePath", out)
+             .schema(DELETES_SCHEMA + ", pseg long")
+             .parquet(out).count())
+    stats = dict(snap["stats"])
+    stats["n_deleted_pending"] = int(
+        stats.get("n_deleted_pending", 0)) + int(n_new)
+    lineage = dict(snap.get("lineage") or {})
+    lineage.update({"op": "delete_docs", "delete_file": did,
+                    "n_deleted": int(n_new), "deleted_at": time.time()})
+    return cat.commit_snapshot(
+        snap["segments"], stats, lineage,
+        posting_segments=snap.get("posting_segments", snap["segments"]),
+        doc_segments=snap.get("doc_segments", snap["segments"]),
+        delete_files=(snap.get("delete_files") or []) + [did],
+        applied_delete_files=snap.get("applied_delete_files") or [])

@@ -92,4 +92,14 @@ def get_spark(app: str = "pysearchlite_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # shuffle/spill scratch space. On a real cluster each executor has its
+    # own local disks, so aggregate shuffle bandwidth scales with the node
+    # count; this single-VM sandbox has ONE virtual disk shared by all 32
+    # task slots, which caps the write phase's parallel speedup. Pointing
+    # local.dir at a RAM-backed path (e.g. /dev/shm/spark-local) restores
+    # the per-core-balanced I/O assumption for scaling measurements.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     return b.getOrCreate()

@@ -153,14 +153,25 @@ class IndexCatalog:
     def commit_snapshot(self, segments: List[int], stats: dict,
                         lineage: dict,
                         posting_segments: Optional[List[int]] = None,
-                        doc_segments: Optional[List[int]] = None) -> int:
+                        doc_segments: Optional[List[int]] = None,
+                        delete_files: Optional[List[int]] = None,
+                        applied_delete_files: Optional[List[int]] = None
+                        ) -> int:
         """Atomic commit: write manifest to a temp file, rename over, under
         an exclusive flock — atomic rename alone prevents torn writes but
         NOT lost updates (two committers, e.g. a streaming append racing a
         compaction, would both read current=N and the second rename would
         erase the first's snapshot; real Iceberg does CAS-with-retry here).
         posting_segments / doc_segments may diverge from `segments` after
-        compaction (postings rewritten, docmap untouched)."""
+        compaction (postings rewritten, docmap untouched).
+
+        delete_files: PENDING delete-file ids (Iceberg equality-delete
+        shape) — their doc_ids must be masked out of every postings AND
+        docmap read. applied_delete_files: ids a compaction has already
+        applied to the postings (rewritten without those docs) but whose
+        docmap rows still exist on disk — masked on docmap reads only.
+        Callers carry both lists forward explicitly; omitting them means
+        the snapshot has none (build from scratch)."""
         lock_path = os.path.join(self.root, ".manifest.lock")
         lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
         try:
@@ -180,6 +191,8 @@ class IndexCatalog:
             d["doc_segments"] = sorted(doc_segments
                                        if doc_segments is not None
                                        else segments)
+            d["delete_files"] = sorted(delete_files or [])
+            d["applied_delete_files"] = sorted(applied_delete_files or [])
             m["snapshots"].append(d)
             m["current"] = sid
             fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
@@ -199,6 +212,25 @@ class IndexCatalog:
 
     def build_log_dir(self) -> str:
         return os.path.join(self.root, "build_log")
+
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def max_delete_file_id(self) -> int:
+        """Largest delete-file id ever allocated — across every snapshot
+        (pending or applied) and on-disk del= dirs (a crashed delete_docs
+        may have written files without committing). -1 when none."""
+        mx = -1
+        for s in self.load_manifest()["snapshots"]:
+            for key in ("delete_files", "applied_delete_files"):
+                for i in s.get(key) or []:
+                    mx = max(mx, int(i))
+        d = self.deletes_dir()
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("del="):
+                    mx = max(mx, int(name.split("=", 1)[1]))
+        return mx
 
     # -------------------------------------------------------- resumability --
     def staged_segments(self, table: str) -> List[int]:

@@ -157,7 +157,11 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
     return cat.commit_snapshot(
         sorted(old_doc_segs + new_segs), stats, lineage,
         posting_segments=sorted(old_post_segs + new_segs),
-        doc_segments=sorted(old_doc_segs + new_segs))
+        doc_segments=sorted(old_doc_segs + new_segs),
+        # tombstones carry forward untouched: appended docs get fresh ids
+        delete_files=(snap.get("delete_files") if snap else None) or [],
+        applied_delete_files=(snap.get("applied_delete_files")
+                              if snap else None) or [])
 
 
 def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,

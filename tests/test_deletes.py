@@ -1,0 +1,182 @@
+"""Document deletion (plans/deletes.py): snapshot-scoped tombstones,
+query-time masking on every path, physical apply at compaction, time
+travel. The oracle is a rebuild-from-scratch index over the surviving
+docs — deletes must be indistinguishable from never having indexed the
+docs, except the documented pre-compaction BM25 stats semantics."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pysearchlite_spark.engine import SearchIndex
+from pysearchlite_spark.plans.builder import build_index
+from pysearchlite_spark.plans.compaction import compact_segments
+from pysearchlite_spark.plans.deletes import delete_docs
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+Q = "table part"
+QTERMS = ("table", "part")
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):  # noqa: F811
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs_df, tmp_path_factory):  # noqa: F811
+    idx_dir = str(tmp_path_factory.mktemp("del_idx") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    idx = SearchIndex(spark, idx_dir)
+    base_ids = idx.search_and_ids(Q)
+    assert base_ids.size > 4, "need a few matches to delete"
+    # delete half the matching docs plus some non-matching ids
+    victims = [int(x) for x in base_ids[::2]]
+    extra = [int(docs_df.agg(F.max("doc_id")).collect()[0][0]) + 1000]
+    sid = delete_docs(spark, idx_dir, victims + extra)
+    return idx_dir, set(victims), base_ids, sid
+
+
+def test_masked_everywhere(spark, built):  # noqa: F811
+    idx_dir, victims, base_ids, _ = built
+    idx = SearchIndex(spark, idx_dir)
+    want = np.asarray(sorted(set(int(x) for x in base_ids) - victims),
+                      dtype=np.int64)
+
+    assert np.array_equal(idx.search_and_ids(Q), want)
+    assert np.array_equal(idx.search_and_ids(Q, distributed=True), want)
+    assert idx.count(Q) == want.size
+    assert idx.count(Q, distributed=True) == want.size
+
+    or_ids = idx.search_or_ids(Q)
+    assert not (set(or_ids.tolist()) & victims)
+    assert np.array_equal(or_ids, idx.search_or_ids(Q, distributed=True))
+
+    got_df = set(r["doc_id"] for r in
+                 idx.search_df(Q).select("doc_id").collect())
+    assert got_df == set(want.tolist())
+
+    live = set(r["doc_id"] for r in
+               idx.docmap_df().select("doc_id").collect())
+    assert not (live & victims)
+
+
+def test_topk_excludes_and_keeps_k(spark, built):  # noqa: F811
+    idx_dir, victims, _, _ = built
+    idx = SearchIndex(spark, idx_dir)
+    n_and = idx.count(Q)
+    n_or = int(idx.search_or_ids(Q).size)
+    for mode, n_match in (("or", n_or), ("and", n_and)):
+        top = idx.topk(Q, k=5, mode=mode)
+        assert not ({d for d, _ in top} & victims)
+        # deleted docs must not consume result slots
+        assert len(top) == min(5, n_match)
+        dist = idx.topk(Q, k=5, mode=mode, distributed=True)
+        assert [d for d, _ in top] == [d for d, _ in dist]
+        assert [s for _, s in top] == pytest.approx(
+            [s for _, s in dist])
+
+
+def test_time_travel_sees_pre_delete(spark, built):  # noqa: F811
+    idx_dir, victims, base_ids, sid = built
+    old = SearchIndex(spark, idx_dir, snapshot_id=sid - 1)
+    assert np.array_equal(old.search_and_ids(Q), base_ids)
+
+
+def test_delete_is_idempotent(spark, built):  # noqa: F811
+    idx_dir, victims, _, _ = built
+    before = SearchIndex(spark, idx_dir).count(Q)
+    delete_docs(spark, idx_dir, sorted(victims))  # same ids again
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.count(Q) == before
+    # second file records zero new tombstones
+    assert idx.snapshot["lineage"]["n_deleted"] == 0
+
+
+def test_compaction_applies_physically(spark, docs_df,  # noqa: F811
+                                       tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("del_apply") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    idx0 = SearchIndex(spark, idx_dir)
+    base_ids = idx0.search_and_ids(Q)
+    victims = [int(x) for x in base_ids[1::2]]
+    delete_docs(spark, idx_dir, victims)
+    pre = SearchIndex(spark, idx_dir)
+    pre_ids = pre.search_and_ids(Q)
+    pre_or = pre.search_or_ids(Q)
+
+    compact_segments(spark, idx_dir, group_size=2)
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.delete_files == [] and idx.applied_delete_files
+    # postings physically exclude the victims: raw scan, no masking
+    assert np.array_equal(idx.search_and_ids(Q), pre_ids)
+    assert np.array_equal(idx.search_or_ids(Q), pre_or)
+    raw = idx.postings_df(list(QTERMS)).select("df").agg(
+        F.sum("df")).collect()[0][0]
+    # sum of dfs == sum of live postings for the two terms
+    oracle_df = sum(int(idx.count(t)) for t in QTERMS)
+    assert int(raw) == oracle_df
+
+    # stats describe the live corpus now
+    n_live = idx0.n_docs - len(victims)
+    assert idx.n_docs == n_live
+    # docmap stays masked through the applied files
+    live = set(r["doc_id"] for r in
+               idx.docmap_df().select("doc_id").collect())
+    assert not (live & set(victims)) and len(live) == n_live
+
+
+def test_post_compaction_scores_match_fresh_build(spark, docs_df,  # noqa: F811
+                                                  tmp_path_factory):
+    """After compaction the index must be indistinguishable from one built
+    on the surviving docs — same top-k ids AND scores (stats refreshed)."""
+    root = tmp_path_factory.mktemp("del_oracle")
+    a_dir, b_dir = str(root / "a"), str(root / "b")
+    build_index(spark, docs_df, a_dir, id_col="doc_id", segment_docs=128)
+    ia = SearchIndex(spark, a_dir)
+    base_ids = ia.search_and_ids(Q)
+    victims = [int(x) for x in base_ids[::3]]
+    delete_docs(spark, a_dir, victims)
+    compact_segments(spark, a_dir)
+
+    survivors = docs_df.filter(~F.col("doc_id").isin(victims))
+    build_index(spark, survivors, b_dir, id_col="doc_id", segment_docs=128)
+
+    ia, ib = SearchIndex(spark, a_dir), SearchIndex(spark, b_dir)
+    assert ia.n_docs == ib.n_docs
+    assert ia.avgdl == pytest.approx(ib.avgdl)
+    for mode in ("or", "and"):
+        ta = ia.topk(Q, k=10, mode=mode)
+        tb = ib.topk(Q, k=10, mode=mode)
+        assert [d for d, _ in ta] == [d for d, _ in tb]
+        assert [s for _, s in ta] == pytest.approx([s for _, s in tb])
+
+
+def test_delete_after_compaction_routes_by_pseg(spark, docs_df,  # noqa: F811
+                                                tmp_path_factory):
+    """pseg_of composition: deletes issued AFTER a compaction must route
+    to the merged posting segments and still mask distributed kernels."""
+    idx_dir = str(tmp_path_factory.mktemp("del_pseg") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    compact_segments(spark, idx_dir, group_size=2)
+    idx = SearchIndex(spark, idx_dir)
+    base_ids = idx.search_and_ids(Q)
+    victims = [int(x) for x in base_ids[::2]]
+    delete_docs(spark, idx_dir, victims)
+
+    idx = SearchIndex(spark, idx_dir)
+    want = np.asarray([x for x in base_ids if int(x) not in set(victims)],
+                      dtype=np.int64)
+    assert np.array_equal(idx.search_and_ids(Q, distributed=True), want)
+    assert idx.count(Q, distributed=True) == want.size
+    # the delete file's pseg partition keys are merged segment ids
+    psegs = set()
+    droot = os.path.join(idx_dir, "deletes")
+    for d in os.listdir(droot):
+        for p in os.listdir(os.path.join(droot, d)):
+            if p.startswith("pseg="):
+                psegs.add(int(p.split("=", 1)[1]))
+    assert psegs <= set(int(s) for s in
+                        idx.snapshot["posting_segments"])
