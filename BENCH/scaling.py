@@ -57,6 +57,9 @@ def main() -> None:
                          "(the sandbox host is shared — single runs vary up "
                          "to 3x, best-of-N isolates the engine's capability)")
     ap.add_argument("--corpus", default="/tmp/scaling_pages_big.parquet")
+    ap.add_argument("--out", default="scaling.json",
+                    help="artifact filename under BENCH/ (so a second "
+                         "level-pair run doesn't clobber the primary)")
     ap.add_argument("--append", action="store_true",
                     help="merge this run's trials into the existing "
                          "scaling.json (same corpus + levels only): the "
@@ -74,7 +77,7 @@ def main() -> None:
         generate_corpus(args.n_docs, args.corpus)
 
     trials: dict = {c: [] for c in levels}
-    out_path = os.path.join(REPO, "BENCH", "scaling.json")
+    out_path = os.path.join(REPO, "BENCH", args.out)
     if args.append and os.path.exists(out_path):
         with open(out_path) as f:
             prev = json.load(f)

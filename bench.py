@@ -153,6 +153,11 @@ def main() -> None:
         for _ in range(trials):
             t, extras_last = run_trial(spark, docs, emb, events, n_docs)
             all_trials.append(t)
+            # dedup/ANN operators persist() intermediates their returned
+            # frames consume lazily; drop them between trials so cached
+            # blocks from trial N don't occupy executor storage (or skew
+            # timings) in trial N+1
+            spark.catalog.clearCache()
     finally:
         spark.stop()
 

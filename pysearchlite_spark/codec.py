@@ -31,6 +31,15 @@ from typing import NamedTuple
 
 import numpy as np
 
+
+def tombstone_keep_mask(docs: np.ndarray, deleted: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask: True where `docs` is NOT in the SORTED `deleted`
+    array. The single implementation of the searchsorted/clip/compare idiom
+    (engine masking, segment scoring, compaction apply) — the clip handles
+    ids above deleted[-1] mapping to the last slot without a false hit."""
+    pos = np.clip(np.searchsorted(deleted, docs), 0, deleted.size - 1)
+    return deleted[pos] != docs
+
 BLOCK_DOCS = 128  # postings per skip block
 K1 = 1.2
 B = 0.75

@@ -48,8 +48,7 @@ def _mask_deleted(ids: np.ndarray, deleted: Optional[np.ndarray]
     """Drop ids present in the SORTED deleted array (tombstone mask)."""
     if deleted is None or deleted.size == 0 or ids.size == 0:
         return ids
-    pos = np.clip(np.searchsorted(deleted, ids), 0, deleted.size - 1)
-    return ids[deleted[pos] != ids]
+    return ids[codec.tombstone_keep_mask(ids, deleted)]
 
 
 def _streams_for_ids(r: dict, ids: np.ndarray
@@ -156,9 +155,7 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
             # drop tombstoned entries from the decoded streams — scoring
             # then behaves exactly as if the docs were never indexed
             # (except the documented pre-compaction idf/avgdl semantics)
-            pos = np.clip(np.searchsorted(deleted, docs), 0,
-                          deleted.size - 1)
-            keep = deleted[pos] != docs
+            keep = codec.tombstone_keep_mask(docs, deleted)
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         doc_l.append(docs)
         tf_l.append(tfs)
@@ -443,21 +440,43 @@ class SearchIndex:
             return []
         idfs = self._idfs(dfs)
         deleted = self._deleted()
+        seg_rows = sorted(self._rows_by_seg(pdf).items())
+        # slice the tombstone set per segment: segments partition the docID
+        # space into disjoint ascending ranges, so tombstones outside
+        # [this segment's first doc, next segment's first doc) can't match
+        # its postings — clean segments get deleted=None and KEEP block-max
+        # pruning (one stale doc in segment 0 must not force the exhaustive
+        # path on 999 clean segments)
+        seg_lo = [min((int(r["first_docs"][0]) for r in rows
+                       if len(r["first_docs"])), default=0)
+                  for _, rows in seg_rows]
         parts: List[Tuple[np.ndarray, np.ndarray]] = []
-        for seg, rows in sorted(self._rows_by_seg(pdf).items()):
+        for i, (seg, rows) in enumerate(seg_rows):
+            d = None
+            if deleted is not None and deleted.size:
+                lo = np.searchsorted(deleted, seg_lo[i])
+                hi = (np.searchsorted(deleted, seg_lo[i + 1])
+                      if i + 1 < len(seg_rows) else deleted.size)
+                d = deleted[lo:hi] if hi > lo else None
             parts.append(score_segment_rows(rows, idfs, len(terms), k, mode,
                                             use_blockmax, self.avgdl,
                                             self._bound_scale(seg),
-                                            deleted=deleted))
+                                            deleted=d))
         return W.topk_merge(parts, k)
 
     # ------------------------------------------------- distributed paths --
     def _seg_deletes_grouped(self):
         """Pending tombstones keyed by POSTING segment, grouped for
         cogrouping with the per-segment postings kernels — each segment's
-        task sees only its own delete rows (partition-pruned scan of
-        deletes/del=*/pseg=<seg>), never a broadcast global set."""
+        task sees only its own delete rows, never a broadcast global set.
+        The scan is restricted to the snapshot's posting segments (pseg is
+        a hive partition column, so the filter prunes stale directories);
+        finer per-query pruning isn't available driver-side because which
+        segments hold the query's terms is only known inside the job."""
+        psegs = [int(s) for s in self.snapshot.get(
+            "posting_segments", self.snapshot["segments"])]
         return (self._pending_deletes_df()
+                .filter(F.col("pseg").isin(psegs))
                 .select(F.col("pseg").alias("seg"), "doc_id")
                 .groupBy("seg"))
 

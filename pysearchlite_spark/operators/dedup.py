@@ -15,6 +15,13 @@ All four families, each as a DataFrame plan designed for 100-TB inputs:
 Hashing is blake2b/crc32-based (deterministic across processes — never
 Python's salted hash()). Heavy per-doc work is vectorized numpy inside
 mapInPandas; joins/groupBys stay JVM-side.
+
+Persist lifecycle: these operators persist() intermediates (signatures,
+bucket frames) that the RETURNED lazy frame consumes multiple times; the
+cache must outlive the return, so release is the caller's: unpersist via
+spark.catalog.clearCache() (or targeted .unpersist()) after materializing
+results when running many dedup passes in one long-lived session — the
+bench harness does this between trials.
 """
 
 from __future__ import annotations

@@ -23,6 +23,7 @@ results before/after compaction are identical (tested).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -99,9 +100,7 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
                 if masking:
                     t = tombs(int(segs[i]))
                     if t.size and docs.size:
-                        pos = np.clip(np.searchsorted(t, docs), 0,
-                                      t.size - 1)
-                        keep = t[pos] != docs
+                        keep = codec.tombstone_keep_mask(docs, t)
                         docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 sizes[i] = docs.size
                 doc_parts.append(docs)
@@ -178,11 +177,18 @@ def compact_segments(spark: SparkSession, index_dir: str,
     # ---- pending tombstones: applied physically by this merge ------------
     pending = [int(x) for x in (snap.get("delete_files") or [])]
     deleted_global = None
-    if pending and "://" in cat.deletes_dir():
-        # object-store path: tasks can't list local dirs — ship the
-        # collected sorted id set in the closure (compact often enough
-        # that the pending set stays driver-sized; the local path below
-        # streams per-segment instead)
+    master = spark.sparkContext.master or ""
+    worker_direct_deletes = pending and "://" not in cat.deletes_dir() and (
+        master.startswith("local")
+        or os.environ.get("PSL_DELETES_WORKER_READ") == "1")
+    if pending and not worker_direct_deletes:
+        # executors can't be assumed to see the driver's local deletes dir
+        # (a plain path on a multi-node cluster, or an object store): ship
+        # the collected sorted id set in the closure instead of silently
+        # applying NOTHING while still marking the files applied. Compact
+        # often enough that the pending set stays driver-sized; set
+        # PSL_DELETES_WORKER_READ=1 on shared-filesystem clusters (NFS/
+        # Lustre) to stream tombstones per segment inside the tasks.
         from pysearchlite_spark.plans.deletes import deletes_df
         pdf = deletes_df(spark, cat, pending).select("doc_id").toPandas()
         deleted_global = np.unique(pdf["doc_id"].to_numpy(np.int64))

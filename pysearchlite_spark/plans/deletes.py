@@ -119,6 +119,13 @@ def delete_docs(spark: SparkSession, index_dir: str,
     n_new = (spark.read.option("basePath", out)
              .schema(DELETES_SCHEMA + ", pseg long")
              .parquet(out).count())
+    if n_new == 0:
+        # fully idempotent no-op: registering an empty delete file would
+        # permanently grow the pending list (every distributed query scans
+        # it, every compaction carries it) for zero information
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        return int(snap["snapshot_id"])
     stats = dict(snap["stats"])
     stats["n_deleted_pending"] = int(
         stats.get("n_deleted_pending", 0)) + int(n_new)

@@ -147,9 +147,15 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
 
     pack_avgdl = dict(old_stats.get("pack_avgdl") or {})
     pack_avgdl.update({str(s): avgdl for s in new_segs})
-    stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
-             "segment_docs": segment_docs, "n_buckets": n_buckets,
-             "pack_avgdl": pack_avgdl}
+    # START from the old stats: keys this function doesn't own (pseg_of
+    # delete routing, n_deleted_* counters, future additions) must survive
+    # an append — dropping pseg_of after a compaction would mis-route every
+    # later delete_docs call and silently resurrect docs at the NEXT
+    # compaction
+    stats = dict(old_stats)
+    stats.update({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+                  "segment_docs": segment_docs, "n_buckets": n_buckets,
+                  "pack_avgdl": pack_avgdl})
     lineage = {"job": "streaming.append_batch",
                "ingested_batches": done_batches + (
                    [batch_id] if batch_id is not None else []),

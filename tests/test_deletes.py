@@ -87,12 +87,15 @@ def test_time_travel_sees_pre_delete(spark, built):  # noqa: F811
 
 def test_delete_is_idempotent(spark, built):  # noqa: F811
     idx_dir, victims, _, _ = built
-    before = SearchIndex(spark, idx_dir).count(Q)
-    delete_docs(spark, idx_dir, sorted(victims))  # same ids again
+    pre = SearchIndex(spark, idx_dir)
+    before = pre.count(Q)
+    sid = delete_docs(spark, idx_dir, sorted(victims))  # same ids again
     idx = SearchIndex(spark, idx_dir)
     assert idx.count(Q) == before
-    # second file records zero new tombstones
-    assert idx.snapshot["lineage"]["n_deleted"] == 0
+    # a fully-validated-away delete is a NO-OP: no new snapshot, no new
+    # pending file for every future query to scan
+    assert sid == pre.snapshot["snapshot_id"]
+    assert idx.delete_files == pre.delete_files
 
 
 def test_compaction_applies_physically(spark, docs_df,  # noqa: F811
@@ -152,6 +155,41 @@ def test_post_compaction_scores_match_fresh_build(spark, docs_df,  # noqa: F811
         tb = ib.topk(Q, k=10, mode=mode)
         assert [d for d, _ in ta] == [d for d, _ in tb]
         assert [s for _, s in ta] == pytest.approx([s for _, s in tb])
+
+
+def test_delete_after_compact_then_append(spark, docs_df,  # noqa: F811
+                                          tmp_path_factory):
+    """Regression: append_batch must PRESERVE stats['pseg_of'] — rebuilding
+    stats from scratch dropped the routing map, so a delete issued after
+    compact→append landed under the pre-compaction pseg and the distributed
+    kernels (which cogroup by pseg) never saw the tombstone."""
+    from pysearchlite_spark.streaming.ingest import append_batch
+
+    idx_dir = str(tmp_path_factory.mktemp("del_ca") / "idx")
+    half = docs_df.filter(F.col("doc_id") % 2 == 0)
+    build_index(spark, half.select(
+        F.col("doc_id").cast("string").alias("url"), "text"),
+        idx_dir, id_col=None, url_col="url", segment_docs=128)
+    compact_segments(spark, idx_dir, group_size=2)
+    snap_mid = SearchIndex(spark, idx_dir)
+    assert snap_mid.stats.get("pseg_of"), "compaction records the map"
+    append_batch(spark, docs_df.filter(F.col("doc_id") % 2 == 1).select(
+        F.concat(F.lit("b-"), F.col("doc_id")).alias("url"), "text"),
+        idx_dir, segment_docs=128)
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.stats.get("pseg_of") == snap_mid.stats.get("pseg_of"), \
+        "append must carry the delete-routing map forward"
+
+    base = idx.search_and_ids(Q)
+    assert base.size > 2
+    victims = [int(base[0]), int(base[-1])]
+    delete_docs(spark, idx_dir, victims)
+    idx2 = SearchIndex(spark, idx_dir)
+    want = np.asarray([x for x in base if int(x) not in set(victims)],
+                      dtype=np.int64)
+    # the distributed path is the one that depends on correct pseg routing
+    assert np.array_equal(idx2.search_and_ids(Q, distributed=True), want)
+    assert np.array_equal(idx2.search_and_ids(Q), want)
 
 
 def test_delete_after_compaction_routes_by_pseg(spark, docs_df,  # noqa: F811
