@@ -170,19 +170,66 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
                               if snap else None) or [])
 
 
+def upsert_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
+                 text_col: str = "text", html_col: Optional[str] = None,
+                 url_col: str = "url", lang_filter: Optional[str] = None,
+                 segment_docs: int = 1 << 20,
+                 batch_id: Optional[int] = None) -> int:
+    """Re-crawl semantics: pages whose url is already indexed REPLACE the
+    old version (the previous doc_id is tombstoned via plans.deletes, the
+    new page appends with a fresh id); unseen urls plain-append. This is
+    the Common-Crawl shape — the same url re-fetched at a later warc_ts
+    supersedes the earlier capture.
+
+    Cost is O(batch + tombstones), never O(index): the old docs' postings
+    stay on disk masked until the next compaction folds them out. Returns
+    the new snapshot id. Within-batch duplicate urls are the caller's to
+    resolve (e.g. keep max(warc_ts)) — both rows would be indexed.
+
+    Idempotent per batch_id like append_batch: a replayed batch is skipped
+    BEFORE the delete commit, so crash-replay can't tombstone the rows the
+    first (committed) attempt appended. Note the latest capture governs
+    even when lang_filter drops it: a url whose re-crawl no longer passes
+    the filter is removed and not re-added."""
+    cat = IndexCatalog(index_dir)
+    snap = cat.current_snapshot()
+    if snap is not None:
+        if batch_id is not None and batch_id in snap.get(
+                "lineage", {}).get("ingested_batches", []):
+            return int(snap["snapshot_id"])
+        from pysearchlite_spark.engine import SearchIndex
+        from pysearchlite_spark.plans.deletes import delete_docs
+        idx = SearchIndex(spark, index_dir)
+        old = (idx.docmap_df()  # live: already-deleted urls don't re-match
+               .join(batch.select(F.col(url_col).alias("url")).distinct(),
+                     "url", "left_semi")
+               .select("doc_id"))
+        delete_docs(spark, index_dir, old)
+    return append_batch(spark, batch, index_dir, text_col=text_col,
+                        html_col=html_col, url_col=url_col,
+                        lang_filter=lang_filter, segment_docs=segment_docs,
+                        batch_id=batch_id)
+
+
 def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,
                   checkpoint_dir: str, *, html_col: Optional[str] = None,
                   lang_filter: Optional[str] = None,
-                  segment_docs: int = 1 << 20, trigger_seconds: int = 30):
-    """Attach append_batch to a streaming DataFrame via foreachBatch.
-    Returns the StreamingQuery (caller awaits/stops it)."""
+                  segment_docs: int = 1 << 20, trigger_seconds: int = 30,
+                  mode: str = "append"):
+    """Attach append_batch (mode='append') or upsert_batch
+    (mode='upsert' — re-crawled urls replace their earlier capture) to a
+    streaming DataFrame via foreachBatch. Returns the StreamingQuery
+    (caller awaits/stops it)."""
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be append|upsert, got {mode!r}")
+    ingest = append_batch if mode == "append" else upsert_batch
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_batch(spark, batch_df, index_dir, html_col=html_col,
-                     lang_filter=lang_filter, segment_docs=segment_docs,
-                     batch_id=int(batch_id))
+        ingest(spark, batch_df, index_dir, html_col=html_col,
+               lang_filter=lang_filter, segment_docs=segment_docs,
+               batch_id=int(batch_id))
 
     return (stream_df.writeStream
             .foreachBatch(sink)
