@@ -154,8 +154,72 @@ def _probe_targets(qb: int, n_planes: int, probe_bits: int) -> List[int]:
     return sorted(out)
 
 
+def _sign_bucketize_fn(planes: np.ndarray, shift: int,
+                       id_col: str, vec_col: str):
+    """mapInPandas fn: (id, vec) → VEC_SCHEMA rows bucketized under the
+    given hyperplanes — shared by AnnIndex.build and AnnIndex.append so
+    appended vectors land in exactly the buckets a rebuild would put them."""
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            b = _bucket_of(m, planes)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col],
+                "embedding": pdf[vec_col],
+                "norm": np.linalg.norm(m, axis=1),
+                "bucket": b,
+                "pb": (b >> shift).astype(np.int32)})
+    return bucketize
+
+
+def _ivf_assign_fn(cn: np.ndarray, id_col: str, vec_col: str):
+    """mapInPandas fn: (id, vec) → IvfIndex.VEC_SCHEMA rows assigned to
+    the given (normalized) centroids — shared by build and append."""
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            norm = np.linalg.norm(m, axis=1)
+            mn = m / np.maximum(norm, 1e-12)[:, None]
+            # argmax picks the FIRST max → ties break by ascending cid
+            cid = np.argmax(mn @ cn.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf[id_col],
+                                "embedding": pdf[vec_col],
+                                "norm": norm, "cid": cid})
+    return assign
+
+
+def _write_vectors(df: DataFrame, fn, schema: str, part_col: str,
+                   sort_cols, vec_dir: str, mode: str,
+                   id_col: str, vec_col: str) -> int:
+    """The shared vectors-write pipeline: one Arrow hop → repartition by the
+    partition column (one writer task per dir) → sorted parquet. Returns the
+    row count from an Observation on the write itself — result-stage
+    placement (after the exchange) is exactly-once under task retries; no
+    post-write rescan."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    (df.select(F.col(id_col).alias(id_col), vec_col)
+     .mapInPandas(fn, schema)
+     .repartition(F.col(part_col))
+     .sortWithinPartitions(*sort_cols)
+     .observe(obs, F.count(F.lit(1)).alias("n"))
+     .write.partitionBy(part_col).mode(mode).parquet(vec_dir))
+    return int(obs.get["n"])
+
+
+def _commit_meta(root: str, meta: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".meta")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "meta.json"))  # atomic commit
+
+
 class AnnIndex:
-    """Build-once bucketed sign-LSH index over an embedding table.
+    """Bucketed sign-LSH index over an embedding table (build + append).
 
     Layout under <root>/:
       meta.json                     — atomic-rename committed parameters
@@ -214,48 +278,35 @@ class AnnIndex:
         part_bits = min(part_bits, n_planes)
         shift = n_planes - part_bits
 
-        def bucketize(batches: Iterator[pd.DataFrame]
-                      ) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                m = _as_matrix(pdf[vec_col])
-                b = _bucket_of(m, planes)
-                yield pd.DataFrame({
-                    "vec_id": pdf[id_col],
-                    "embedding": pdf[vec_col],
-                    "norm": np.linalg.norm(m, axis=1),
-                    "bucket": b,
-                    "pb": (b >> shift).astype(np.int32)})
-
         os.makedirs(root, exist_ok=True)
-        vec_dir = os.path.join(root, "vectors")
-        # repartition by pb so each partition dir is written by one task
-        # (sorted within → one file per (task, pb)); without it every input
-        # task opens a writer per dir it touches. n_vectors comes from an
-        # observed metric on the write itself (no extra scan — re-reading
-        # the just-written index only for a count paid a full second job).
-        # The observe node sits AFTER the exchange, in the RESULT stage:
-        # accumulator updates there are applied once per successful task,
-        # whereas a map-side placement can over-count under stage retry or
-        # speculative execution.
-        from pyspark.sql import Observation
-        obs = Observation()
-        (df.select(F.col(id_col).alias(id_col), vec_col)
-         .mapInPandas(bucketize, AnnIndex.VEC_SCHEMA)
-         .repartition(F.col("pb"))
-         .sortWithinPartitions("pb", "bucket")
-         .observe(obs, F.count(F.lit(1)).alias("n"))
-         .write.partitionBy("pb").mode("overwrite").parquet(vec_dir))
-        n_vectors = int(obs.get["n"])
-        meta = {"n_planes": int(n_planes), "seed": seed, "dim": dim,
-                "n_vectors": n_vectors, "part_bits": int(part_bits),
-                "planes": (planes.tolist() if explicit else None)}
-        fd, tmp = tempfile.mkstemp(dir=root, suffix=".meta")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(root, "meta.json"))  # atomic commit
+        n_vectors = _write_vectors(
+            df, _sign_bucketize_fn(planes, shift, id_col, vec_col),
+            AnnIndex.VEC_SCHEMA, "pb", ("pb", "bucket"),
+            os.path.join(root, "vectors"), "overwrite", id_col, vec_col)
+        _commit_meta(root, {
+            "n_planes": int(n_planes), "seed": seed, "dim": dim,
+            "n_vectors": n_vectors, "part_bits": int(part_bits),
+            "planes": (planes.tolist() if explicit else None)})
         return AnnIndex(spark, root)
+
+    def append(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> int:
+        """Incrementally add vectors: bucketized under the INDEX'S planes
+        (identical buckets to a from-scratch rebuild) and appended as new
+        parquet files inside the same pb= partition dirs — O(batch), no
+        rewrite of existing files, queries see old+new immediately. The
+        streaming-embeddings path: each micro-batch of freshly embedded
+        docs appends here while the text side appends index segments.
+        Returns the new total n_vectors. Caller owns vec_id uniqueness
+        (a duplicate id would simply surface twice as a candidate)."""
+        shift = self.n_planes - self.part_bits
+        n_new = _write_vectors(
+            df, _sign_bucketize_fn(self.planes, shift, id_col, vec_col),
+            AnnIndex.VEC_SCHEMA, "pb", ("pb", "bucket"),
+            os.path.join(self.root, "vectors"), "append", id_col, vec_col)
+        self.meta["n_vectors"] = int(self.meta["n_vectors"]) + n_new
+        _commit_meta(self.root, self.meta)
+        return int(self.meta["n_vectors"])
 
     def candidates(self, query_vec: Sequence[float],
                    probe_bits: int = 2) -> DataFrame:
@@ -372,41 +423,31 @@ class IvfIndex:
         cn = centroids / np.maximum(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
-        def assign(batches: Iterator[pd.DataFrame]
-                   ) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                m = _as_matrix(pdf[vec_col])
-                norm = np.linalg.norm(m, axis=1)
-                mn = m / np.maximum(norm, 1e-12)[:, None]
-                # argmax picks the FIRST max → ties break by ascending cid
-                cid = np.argmax(mn @ cn.T, axis=1).astype(np.int32)
-                yield pd.DataFrame({"vec_id": pdf[id_col],
-                                    "embedding": pdf[vec_col],
-                                    "norm": norm, "cid": cid})
-
         os.makedirs(root, exist_ok=True)
-        vec_dir = os.path.join(root, "vectors")
-        # n_vectors observed on the write action — no post-write count scan;
-        # result-stage placement (after the exchange) for exactly-once under
-        # retries, as in AnnIndex.build
-        from pyspark.sql import Observation
-        obs = Observation()
-        (df.select(F.col(id_col).alias(id_col), vec_col)
-         .mapInPandas(assign, IvfIndex.VEC_SCHEMA)
-         .repartition(F.col("cid"))
-         .sortWithinPartitions("cid")
-         .observe(obs, F.count(F.lit(1)).alias("n"))
-         .write.partitionBy("cid").mode("overwrite").parquet(vec_dir))
-        n_vectors = int(obs.get["n"])
-        meta = {"n_centroids": int(cn.shape[0]), "dim": int(cn.shape[1]),
-                "n_vectors": n_vectors, "centroids": cn.tolist()}
-        fd, tmp = tempfile.mkstemp(dir=root, suffix=".meta")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(root, "meta.json"))
+        n_vectors = _write_vectors(
+            df, _ivf_assign_fn(cn, id_col, vec_col), IvfIndex.VEC_SCHEMA,
+            "cid", ("cid",), os.path.join(root, "vectors"), "overwrite",
+            id_col, vec_col)
+        _commit_meta(root, {
+            "n_centroids": int(cn.shape[0]), "dim": int(cn.shape[1]),
+            "n_vectors": n_vectors, "centroids": cn.tolist()})
         return IvfIndex(spark, root)
+
+    def append(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> int:
+        """Incrementally add vectors, assigned to the FROZEN centroids
+        (identical cells to a rebuild with the same centroids) and appended
+        inside the existing cid= partition dirs — O(batch). Centroids are
+        NOT retrained: cell balance can drift if the appended distribution
+        shifts; rebuild when recall degrades (the IVF analogue of segment
+        compaction). Returns the new total n_vectors."""
+        n_new = _write_vectors(
+            df, _ivf_assign_fn(self.centroids, id_col, vec_col),
+            IvfIndex.VEC_SCHEMA, "cid", ("cid",),
+            os.path.join(self.root, "vectors"), "append", id_col, vec_col)
+        self.meta["n_vectors"] = int(self.meta["n_vectors"]) + n_new
+        _commit_meta(self.root, self.meta)
+        return int(self.meta["n_vectors"])
 
     def probe_cids(self, query_vec: Sequence[float],
                    nprobe: int) -> List[int]:

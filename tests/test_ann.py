@@ -205,3 +205,46 @@ def test_topk_batch_matches_single_queries(emb, spark, tmp_path_factory):
         single = [(r["vec_id"], r["cos"]) for r in
                   ivf.topk(list(q), k=10, nprobe=3).collect()]
         assert sorted(by_q.get(qi, []), key=lambda t: (-t[1], t[0])) == single
+
+
+def test_append_matches_full_rebuild(emb, spark, tmp_path_factory):
+    """Incremental append: build over the first half, append the second —
+    queries must answer IDENTICALLY to an index built over everything at
+    once (same planes/centroids ⇒ same buckets/cells), and meta n_vectors
+    must track the total."""
+    from pyspark.sql import functions as F
+
+    from pysearchlite_spark.operators.ann import AnnIndex, IvfIndex
+
+    df, rows = emb
+    first = df.filter(F.col("vec_id") < 100)
+    rest = df.filter(F.col("vec_id") >= 100)
+    q = np.asarray(rows[0][1], dtype=np.float64).tolist()
+
+    a_root = str(tmp_path_factory.mktemp("ann_app") / "a")
+    b_root = str(tmp_path_factory.mktemp("ann_app") / "b")
+    idx = AnnIndex.build(spark, first, a_root, n_planes=10, seed=99)
+    total = idx.append(rest)
+    assert total == len(rows)
+    full = AnnIndex.build(spark, df, b_root, n_planes=10, seed=99)
+    got = [(r["vec_id"], round(r["cos"], 12)) for r in
+           idx.topk(q, k=10).collect()]
+    want = [(r["vec_id"], round(r["cos"], 12)) for r in
+            full.topk(q, k=10).collect()]
+    assert got == want
+    # restore-from-disk sees the appended count
+    assert AnnIndex(spark, a_root).meta["n_vectors"] == len(rows)
+
+    # IVF: frozen centroids (fixed, so build(first) == build(all) cells)
+    cents = np.vstack([np.asarray(rows[i][1], np.float64)
+                       for i in range(8)])
+    ia_root = str(tmp_path_factory.mktemp("ivf_app") / "a")
+    ib_root = str(tmp_path_factory.mktemp("ivf_app") / "b")
+    ivf = IvfIndex.build(spark, first, ia_root, centroids=cents)
+    assert ivf.append(rest) == len(rows)
+    ivf_full = IvfIndex.build(spark, df, ib_root, centroids=cents)
+    got = [(r["vec_id"], round(r["cos"], 12)) for r in
+           ivf.topk(q, k=10, nprobe=3).collect()]
+    want = [(r["vec_id"], round(r["cos"], 12)) for r in
+            ivf_full.topk(q, k=10, nprobe=3).collect()]
+    assert got == want
