@@ -96,7 +96,7 @@ def main() -> None:
             out["compaction_counts_preserved"] = True
 
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bigscale_r2.json")
+                            os.environ.get("PSL_BIGSCALE_OUT", "bigscale_r2.json"))
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps(out))

@@ -45,7 +45,17 @@ def main() -> None:
     c = sub.add_parser("compact", help="merge segments, apply deletes")
     c.add_argument("--group-size", type=int, default=None)
 
+    e = sub.add_parser("expire", help="expire old snapshots, free disk")
+    e.add_argument("--keep-last", type=int, default=1)
+
     args = ap.parse_args()
+
+    if args.cmd == "expire":
+        # pure catalog metadata + file ops — no Spark session needed
+        from pysearchlite_spark.sources.catalog import IndexCatalog
+        res = IndexCatalog(args.index_dir).expire_snapshots(args.keep_last)
+        print(json.dumps({"cmd": "expire", **res}))
+        return
 
     from pyspark.sql import SparkSession
 

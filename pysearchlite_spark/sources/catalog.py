@@ -258,6 +258,84 @@ class IndexCatalog:
         if os.path.isdir(d):
             shutil.rmtree(d)
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg-style snapshot expiration: keep the newest `keep_last`
+        snapshots (the current one always survives), drop the rest from
+        the manifest, and delete every segment dir and delete-file dir
+        referenced ONLY by dropped snapshots. This is the op that frees
+        the disk time travel pins — without it every compaction's
+        pre-merge segments live forever.
+
+        Runs under the manifest flock (same lost-update protection as
+        commit_snapshot); the manifest rewrite is atomic-rename, and files
+        are removed AFTER the new manifest is visible, so a crash mid-way
+        leaves at worst orphaned-but-unreferenced dirs (re-running expire
+        or drop_uncommitted_segments reclaims them). Returns counts."""
+        lock_fd = os.open(os.path.join(self.root, ".manifest.lock"),
+                          os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                import fcntl
+                fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            except ImportError:
+                pass
+            m = self.load_manifest()
+            snaps = sorted(m["snapshots"], key=lambda s: s["snapshot_id"])
+            keep_last = max(1, int(keep_last))
+            kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+            if not dropped:
+                return {"dropped_snapshots": 0, "dropped_segments": 0,
+                        "dropped_delete_files": 0}
+
+            def segs(ss, kind):
+                # per-TABLE references: after a compaction the current
+                # snapshot's doc_segments still point at the pre-merge seg
+                # ids (docmap untouched) while its posting_segments moved
+                # on — the old POSTINGS dirs are dead but the docmap dirs
+                # are live, so the two tables expire independently. The
+                # legacy `segments` key is only a FALLBACK for snapshots
+                # written before the split (it equals doc_segments after a
+                # compaction and would wrongly pin dead postings dirs).
+                out = set()
+                for s in ss:
+                    v = s.get(kind)
+                    if v is None:
+                        v = s.get("segments") or []
+                    out.update(int(x) for x in v)
+                return out
+
+            def dels(ss):
+                out = set()
+                for s in ss:
+                    for key in ("delete_files", "applied_delete_files"):
+                        out.update(int(x) for x in (s.get(key) or []))
+                return out
+
+            post_rm = (segs(dropped, "posting_segments")
+                       - segs(kept, "posting_segments"))
+            doc_rm = (segs(dropped, "doc_segments")
+                      - segs(kept, "doc_segments"))
+            del_rm = dels(dropped) - dels(kept)
+            m["snapshots"] = kept
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+            with os.fdopen(fd, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path())
+            for seg in post_rm:
+                self.drop_segment("postings", seg)
+            for seg in doc_rm:
+                self.drop_segment("docmap", seg)
+            for i in del_rm:
+                d = os.path.join(self.deletes_dir(), f"del={i}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            return {"dropped_snapshots": len(dropped),
+                    "dropped_posting_segments": len(post_rm),
+                    "dropped_doc_segments": len(doc_rm),
+                    "dropped_delete_files": len(del_rm)}
+        finally:
+            os.close(lock_fd)
+
     def destroy(self) -> None:
         if os.path.isdir(self.root):
             shutil.rmtree(self.root)

@@ -218,3 +218,51 @@ def test_delete_after_compaction_routes_by_pseg(spark, docs_df,  # noqa: F811
                 psegs.add(int(p.split("=", 1)[1]))
     assert psegs <= set(int(s) for s in
                         idx.snapshot["posting_segments"])
+
+
+def test_expire_snapshots_frees_dropped_segments(spark, docs_df,  # noqa: F811
+                                                 tmp_path_factory):
+    """Snapshot expiration: after delete+compact, expiring to keep_last=1
+    removes the pre-merge POSTING segment dirs. Docmap dirs and APPLIED
+    delete files stay — the current snapshot still references both (docmap
+    untouched by compaction; applied files mask it). The current snapshot
+    answers identically; time travel to an expired snapshot raises."""
+    import os
+
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+
+    idx_dir = str(tmp_path_factory.mktemp("expire") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    base = SearchIndex(spark, idx_dir)
+    ids = base.search_and_ids(Q)
+    delete_docs(spark, idx_dir, [int(x) for x in ids[:3]])
+    compact_segments(spark, idx_dir)
+    idx = SearchIndex(spark, idx_dir)
+    want = idx.search_and_ids(Q)
+    old_sid = base.snapshot["snapshot_id"]
+    old_segs = set(int(s) for s in base.snapshot["posting_segments"])
+    new_segs = set(int(s) for s in idx.snapshot["posting_segments"])
+
+    cat = IndexCatalog(idx_dir)
+    res = cat.expire_snapshots(keep_last=1)
+    assert res["dropped_snapshots"] == 2  # build, delete (compact kept)
+    # pre-merge POSTING dirs go; docmap segs stay (current snapshot's
+    # doc_segments still reference them — compaction leaves docmap alone)
+    assert res["dropped_posting_segments"] == len(old_segs - new_segs)
+    assert res["dropped_doc_segments"] == 0
+    # applied delete file survives (current snapshot masks docmap with it)
+    assert res["dropped_delete_files"] == 0
+    assert os.path.isdir(os.path.join(idx_dir, "deletes", "del=0"))
+    for s in old_segs - new_segs:
+        assert not os.path.isdir(
+            os.path.join(idx_dir, "postings", f"seg={s}"))
+        assert os.path.isdir(
+            os.path.join(idx_dir, "docmap", f"seg={s}"))
+
+    cur = SearchIndex(spark, idx_dir)
+    assert np.array_equal(cur.search_and_ids(Q), want)
+    assert cur.count(Q, distributed=True) == want.size
+    with pytest.raises(ValueError):
+        SearchIndex(spark, idx_dir, snapshot_id=old_sid)
+    # idempotent: nothing further to drop
+    assert cat.expire_snapshots(1)["dropped_snapshots"] == 0

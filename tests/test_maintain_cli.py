@@ -46,3 +46,8 @@ def test_delete_then_compact_cli(spark, tmp_path):
     assert res2["n_docs"] == base.n_docs - 5
     final = SearchIndex(spark, idx_dir)
     assert final.count("table part") == ids.size - 5
+
+    res3 = _cli("--index-dir", idx_dir, "expire", "--keep-last", "1")
+    assert res3["dropped_snapshots"] == 2
+    assert res3["dropped_posting_segments"] > 0
+    assert SearchIndex(spark, idx_dir).count("table part") == ids.size - 5
