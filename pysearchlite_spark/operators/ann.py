@@ -18,11 +18,12 @@ Cosine math is float64 numpy; the LSH planes are seeded (deterministic).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
 from itertools import combinations
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -218,6 +219,92 @@ def _commit_meta(root: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(root, "meta.json"))  # atomic commit
 
 
+@contextlib.contextmanager
+def _meta_locked(root: str):
+    """Exclusive flock over meta.json mutations — append's read-modify-
+    write would otherwise lose one of two concurrent updates."""
+    fd = os.open(os.path.join(root, ".meta.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            import fcntl
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except ImportError:
+            pass
+        yield
+    finally:
+        os.close(fd)
+
+
+def _next_add_id(vec_dir: str, committed: set) -> int:
+    """Allocate the next add-generation id above every committed AND
+    on-disk id (crash debris never gets reused), sweeping debris dirs —
+    on-disk, uncommitted, BELOW the max committed id (an id above it may
+    be a concurrent in-flight append)."""
+    on_disk = set()
+    if os.path.isdir(vec_dir):
+        for name in os.listdir(vec_dir):
+            if name.startswith("add="):
+                on_disk.add(int(name.split("=", 1)[1]))
+    if committed:
+        import shutil
+        for i in sorted(on_disk - committed):
+            if i < max(committed):
+                shutil.rmtree(os.path.join(vec_dir, f"add={i}"),
+                              ignore_errors=True)
+    return max(on_disk | committed, default=-1) + 1
+
+
+def _append_generation(index, df: DataFrame, fn, schema: str,
+                       part_col: str, sort_cols, id_col: str, vec_col: str,
+                       batch_id) -> int:
+    """Shared append tail for AnnIndex/IvfIndex: allocate a generation id
+    (sweeping crash debris), write it, and commit it into meta.json under
+    the meta flock — idempotent per batch_id, exactly like the text side's
+    append_batch lineage check."""
+    done = index.meta.get("ingested_batches") or {}
+    if batch_id is not None and str(batch_id) in done:
+        return int(index.meta["n_vectors"])
+    if index.meta.get("adds") is None:
+        raise ValueError(
+            "this index predates the generation-dir layout — rebuild it "
+            "with .build() before appending")
+    vec_dir = os.path.join(index.root, "vectors")
+    with _meta_locked(index.root):
+        with open(os.path.join(index.root, "meta.json")) as f:
+            index.meta = json.load(f)  # re-read under the lock
+        done = index.meta.get("ingested_batches") or {}
+        if batch_id is not None and str(batch_id) in done:
+            return int(index.meta["n_vectors"])
+        g = _next_add_id(vec_dir, {int(a) for a in index.meta["adds"]})
+        n_new = _write_vectors(
+            df, fn, schema, part_col, sort_cols,
+            os.path.join(vec_dir, f"add={g}"), "overwrite", id_col,
+            vec_col)
+        index.meta["adds"] = sorted(
+            {int(a) for a in index.meta["adds"]} | {g})
+        if batch_id is not None:
+            done[str(batch_id)] = g
+            index.meta["ingested_batches"] = done
+        index.meta["n_vectors"] = int(index.meta["n_vectors"]) + n_new
+        _commit_meta(index.root, index.meta)
+    return int(index.meta["n_vectors"])
+
+
+def _vectors_read(spark: SparkSession, root: str, schema: str,
+                  meta: dict) -> DataFrame:
+    """Committed-adds-only vectors scan. Indexes are written in add=<g>
+    GENERATION dirs; only generations recorded in meta.json are visible,
+    so a crash between a parquet append and its meta commit leaves
+    invisible debris instead of duplicate query results (the same
+    staged-then-committed shape as the posting catalog). Pre-generation
+    (legacy flat) layouts read as before."""
+    vec_dir = os.path.join(root, "vectors")
+    if meta.get("adds") is None:
+        return spark.read.schema(schema).parquet(vec_dir)
+    return (spark.read.schema(schema + ", add int").parquet(vec_dir)
+            .filter(F.col("add").isin([int(a) for a in meta["adds"]])))
+
+
 class AnnIndex:
     """Bucketed sign-LSH index over an embedding table (build + append).
 
@@ -279,34 +366,39 @@ class AnnIndex:
         shift = n_planes - part_bits
 
         os.makedirs(root, exist_ok=True)
+        vec_dir = os.path.join(root, "vectors")
+        import shutil
+        shutil.rmtree(vec_dir, ignore_errors=True)  # rebuild clears adds
         n_vectors = _write_vectors(
             df, _sign_bucketize_fn(planes, shift, id_col, vec_col),
             AnnIndex.VEC_SCHEMA, "pb", ("pb", "bucket"),
-            os.path.join(root, "vectors"), "overwrite", id_col, vec_col)
+            os.path.join(vec_dir, "add=0"), "overwrite", id_col, vec_col)
         _commit_meta(root, {
             "n_planes": int(n_planes), "seed": seed, "dim": dim,
             "n_vectors": n_vectors, "part_bits": int(part_bits),
-            "planes": (planes.tolist() if explicit else None)})
+            "planes": (planes.tolist() if explicit else None),
+            "adds": [0], "ingested_batches": {}})
         return AnnIndex(spark, root)
 
     def append(self, df: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> int:
+               vec_col: str = "embedding",
+               batch_id: Optional[int] = None) -> int:
         """Incrementally add vectors: bucketized under the INDEX'S planes
-        (identical buckets to a from-scratch rebuild) and appended as new
-        parquet files inside the same pb= partition dirs — O(batch), no
-        rewrite of existing files, queries see old+new immediately. The
-        streaming-embeddings path: each micro-batch of freshly embedded
-        docs appends here while the text side appends index segments.
-        Returns the new total n_vectors. Caller owns vec_id uniqueness
-        (a duplicate id would simply surface twice as a candidate)."""
+        (identical buckets to a from-scratch rebuild), written as a new
+        add=<g> GENERATION dir (same pb= sub-partitioning) that becomes
+        visible only at the meta.json commit — O(batch), no rewrite of
+        existing files. The streaming-embeddings path: each micro-batch
+        of freshly embedded docs appends here while the text side appends
+        index segments. Idempotent per batch_id (a foreachBatch replay of
+        a committed batch is skipped; a replay of a crashed one leaves
+        the half-written generation invisible and re-appends under a
+        fresh id — debris is swept on later appends). Returns the new
+        total n_vectors."""
         shift = self.n_planes - self.part_bits
-        n_new = _write_vectors(
-            df, _sign_bucketize_fn(self.planes, shift, id_col, vec_col),
-            AnnIndex.VEC_SCHEMA, "pb", ("pb", "bucket"),
-            os.path.join(self.root, "vectors"), "append", id_col, vec_col)
-        self.meta["n_vectors"] = int(self.meta["n_vectors"]) + n_new
-        _commit_meta(self.root, self.meta)
-        return int(self.meta["n_vectors"])
+        return _append_generation(
+            self, df, _sign_bucketize_fn(self.planes, shift, id_col,
+                                         vec_col), AnnIndex.VEC_SCHEMA,
+            "pb", ("pb", "bucket"), id_col, vec_col, batch_id)
 
     def candidates(self, query_vec: Sequence[float],
                    probe_bits: int = 2) -> DataFrame:
@@ -318,8 +410,8 @@ class AnnIndex:
         targets = _probe_targets(qb, self.n_planes, probe_bits)
         shift = self.n_planes - self.part_bits
         prefixes = sorted({t >> shift for t in targets})
-        return (self.spark.read.schema(self.VEC_SCHEMA)
-                .parquet(os.path.join(self.root, "vectors"))
+        return (_vectors_read(self.spark, self.root, self.VEC_SCHEMA,
+                              self.meta)
                 .filter(F.col("pb").isin(prefixes))
                 .filter(F.col("bucket").isin(targets)))
 
@@ -348,8 +440,8 @@ class AnnIndex:
                 route2qids.setdefault(t, []).append(qi)
         shift = self.n_planes - self.part_bits
         prefixes = sorted({t >> shift for t in route2qids})
-        cands = (self.spark.read.schema(self.VEC_SCHEMA)
-                 .parquet(os.path.join(self.root, "vectors"))
+        cands = (_vectors_read(self.spark, self.root, self.VEC_SCHEMA,
+                               self.meta)
                  .filter(F.col("pb").isin(prefixes))
                  .filter(F.col("bucket").isin(sorted(route2qids))))
         return _batch_rerank_topk(cands, Q, "bucket", route2qids, k)
@@ -424,30 +516,33 @@ class IvfIndex:
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
         os.makedirs(root, exist_ok=True)
+        vec_dir = os.path.join(root, "vectors")
+        import shutil
+        shutil.rmtree(vec_dir, ignore_errors=True)  # rebuild clears adds
         n_vectors = _write_vectors(
             df, _ivf_assign_fn(cn, id_col, vec_col), IvfIndex.VEC_SCHEMA,
-            "cid", ("cid",), os.path.join(root, "vectors"), "overwrite",
+            "cid", ("cid",), os.path.join(vec_dir, "add=0"), "overwrite",
             id_col, vec_col)
         _commit_meta(root, {
             "n_centroids": int(cn.shape[0]), "dim": int(cn.shape[1]),
-            "n_vectors": n_vectors, "centroids": cn.tolist()})
+            "n_vectors": n_vectors, "centroids": cn.tolist(),
+            "adds": [0], "ingested_batches": {}})
         return IvfIndex(spark, root)
 
     def append(self, df: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> int:
+               vec_col: str = "embedding",
+               batch_id: Optional[int] = None) -> int:
         """Incrementally add vectors, assigned to the FROZEN centroids
-        (identical cells to a rebuild with the same centroids) and appended
-        inside the existing cid= partition dirs — O(batch). Centroids are
-        NOT retrained: cell balance can drift if the appended distribution
-        shifts; rebuild when recall degrades (the IVF analogue of segment
+        (identical cells to a rebuild with the same centroids), committed
+        as a new add=<g> generation (see AnnIndex.append for the
+        visibility/idempotency contract). Centroids are NOT retrained:
+        cell balance can drift if the appended distribution shifts;
+        rebuild when recall degrades (the IVF analogue of segment
         compaction). Returns the new total n_vectors."""
-        n_new = _write_vectors(
-            df, _ivf_assign_fn(self.centroids, id_col, vec_col),
-            IvfIndex.VEC_SCHEMA, "cid", ("cid",),
-            os.path.join(self.root, "vectors"), "append", id_col, vec_col)
-        self.meta["n_vectors"] = int(self.meta["n_vectors"]) + n_new
-        _commit_meta(self.root, self.meta)
-        return int(self.meta["n_vectors"])
+        return _append_generation(
+            self, df, _ivf_assign_fn(self.centroids, id_col, vec_col),
+            IvfIndex.VEC_SCHEMA, "cid", ("cid",), id_col, vec_col,
+            batch_id)
 
     def probe_cids(self, query_vec: Sequence[float],
                    nprobe: int) -> List[int]:
@@ -462,8 +557,8 @@ class IvfIndex:
                    nprobe: int = 4) -> DataFrame:
         """Pruned scan: PartitionFilters on cid IN probe set."""
         cids = self.probe_cids(query_vec, nprobe)
-        return (self.spark.read.schema(self.VEC_SCHEMA)
-                .parquet(os.path.join(self.root, "vectors"))
+        return (_vectors_read(self.spark, self.root, self.VEC_SCHEMA,
+                              self.meta)
                 .filter(F.col("cid").isin(cids)))
 
     def topk(self, query_vec: Sequence[float], k: int = 10,
@@ -484,8 +579,8 @@ class IvfIndex:
         for qi in range(Q.shape[0]):
             for cid in self.probe_cids(Q[qi], nprobe):
                 route2qids.setdefault(cid, []).append(qi)
-        cands = (self.spark.read.schema(self.VEC_SCHEMA)
-                 .parquet(os.path.join(self.root, "vectors"))
+        cands = (_vectors_read(self.spark, self.root, self.VEC_SCHEMA,
+                               self.meta)
                  .filter(F.col("cid").isin(sorted(route2qids))))
         return _batch_rerank_topk(cands, Q, "cid", route2qids, k)
 

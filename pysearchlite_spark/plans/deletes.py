@@ -60,7 +60,8 @@ def deletes_df(spark: SparkSession, cat: IndexCatalog,
 
 def delete_docs(spark: SparkSession, index_dir: str,
                 ids: Union[DataFrame, Iterable[int]],
-                id_col: str = "doc_id") -> int:
+                id_col: str = "doc_id",
+                prevalidated: bool = False) -> int:
     """Commit a delete of the given doc_ids against the CURRENT snapshot.
     Returns the new snapshot id.
 
@@ -70,30 +71,43 @@ def delete_docs(spark: SparkSession, index_dir: str,
     making repeated deletes idempotent); each surviving row is routed to
     the posting segment that currently holds it via the snapshot's
     `pseg_of` map (identity until a compaction diverges doc segments
-    from posting segments)."""
+    from posting segments).
+
+    prevalidated=True: `ids` is a DataFrame of (doc_id, dseg) rows the
+    caller already derived from the LIVE docmap (e.g. upsert_batch's url
+    semi-join) — skips the validating docmap scan and prior-tombstone
+    anti-join instead of repeating them."""
     cat = IndexCatalog(index_dir)
     snap = cat.current_snapshot()
     if snap is None:
         raise ValueError(f"no committed snapshot in {index_dir}")
-
-    if isinstance(ids, DataFrame):
-        ids_df = ids.select(F.col(id_col).cast("long").alias("doc_id"))
-    else:
-        import pandas as pd
-        ids_df = spark.createDataFrame(
-            pd.DataFrame({"doc_id": [int(i) for i in ids]}), "doc_id long")
-    ids_df = ids_df.distinct()
-
-    from pysearchlite_spark.sources.catalog import DOCMAP_SCHEMA
     doc_segs = [int(s) for s in snap.get("doc_segments", snap["segments"])]
-    docmap = (spark.read.schema(DOCMAP_SCHEMA).parquet(cat.docmap_dir())
-              .filter(F.col("seg").isin(doc_segs)))
-    already = [int(i) for i in (snap.get("delete_files") or [])] + \
-              [int(i) for i in (snap.get("applied_delete_files") or [])]
-    prior = deletes_df(spark, cat, already).select("doc_id")
-    rows = (docmap.join(ids_df, "doc_id", "left_semi")
-            .join(prior, "doc_id", "left_anti")
-            .select("doc_id", F.col("seg").alias("dseg")))
+
+    if prevalidated:
+        assert isinstance(ids, DataFrame) and "dseg" in ids.columns
+        rows = ids.select(F.col(id_col).cast("long").alias("doc_id"),
+                          F.col("dseg").cast("long")).distinct()
+    else:
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(id_col).cast("long").alias("doc_id"))
+        else:
+            import pandas as pd
+            ids_df = spark.createDataFrame(
+                pd.DataFrame({"doc_id": [int(i) for i in ids]}),
+                "doc_id long")
+        ids_df = ids_df.distinct()
+
+        from pysearchlite_spark.sources.catalog import DOCMAP_SCHEMA
+        docmap = (spark.read.schema(DOCMAP_SCHEMA)
+                  .parquet(cat.docmap_dir())
+                  .filter(F.col("seg").isin(doc_segs)))
+        already = [int(i) for i in (snap.get("delete_files") or [])] + \
+                  [int(i) for i in (snap.get("applied_delete_files")
+                                    or [])]
+        prior = deletes_df(spark, cat, already).select("doc_id")
+        rows = (docmap.join(ids_df, "doc_id", "left_semi")
+                .join(prior, "doc_id", "left_anti")
+                .select("doc_id", F.col("seg").alias("dseg")))
 
     pseg_of = {int(k): int(v)
                for k, v in (snap["stats"].get("pseg_of") or {}).items()}

@@ -19,6 +19,7 @@ lists staged-but-uncommitted segment dirs and skips rebuilding them.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -63,6 +64,29 @@ class IndexCatalog:
     # ---------------------------------------------------------- manifest --
     def _manifest_path(self) -> str:
         return os.path.join(self.root, MANIFEST)
+
+    @contextlib.contextmanager
+    def _manifest_lock(self):
+        """Exclusive flock over manifest mutations — the ONE lock every
+        committer (commit_snapshot, expire_snapshots) must hold; atomic
+        rename alone prevents torn writes but not lost updates."""
+        fd = os.open(os.path.join(self.root, ".manifest.lock"),
+                     os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                import fcntl
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: single-writer assumption holds
+                pass
+            yield
+        finally:
+            os.close(fd)
+
+    def _write_manifest(self, m: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
 
     def load_manifest(self) -> dict:
         p = self._manifest_path()
@@ -172,14 +196,7 @@ class IndexCatalog:
         docmap rows still exist on disk — masked on docmap reads only.
         Callers carry both lists forward explicitly; omitting them means
         the snapshot has none (build from scratch)."""
-        lock_path = os.path.join(self.root, ".manifest.lock")
-        lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
-        try:
-            try:
-                import fcntl
-                fcntl.flock(lock_fd, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: single-writer assumption holds
-                pass
+        with self._manifest_lock():
             m = self.load_manifest()  # re-read UNDER the lock
             sid = (m["current"] or 0) + 1
             snap = Snapshot(sid, m["current"], sorted(segments), stats,
@@ -195,13 +212,8 @@ class IndexCatalog:
             d["applied_delete_files"] = sorted(applied_delete_files or [])
             m["snapshots"].append(d)
             m["current"] = sid
-            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
-            with os.fdopen(fd, "w") as f:
-                json.dump(m, f, indent=1)
-            os.replace(tmp, self._manifest_path())
+            self._write_manifest(m)
             return sid
-        finally:
-            os.close(lock_fd)
 
     # ------------------------------------------------------------- paths --
     def docmap_dir(self) -> str:
@@ -269,23 +281,45 @@ class IndexCatalog:
         Runs under the manifest flock (same lost-update protection as
         commit_snapshot); the manifest rewrite is atomic-rename, and files
         are removed AFTER the new manifest is visible, so a crash mid-way
-        leaves at worst orphaned-but-unreferenced dirs (re-running expire
-        or drop_uncommitted_segments reclaims them). Returns counts."""
-        lock_fd = os.open(os.path.join(self.root, ".manifest.lock"),
-                          os.O_CREAT | os.O_RDWR)
-        try:
-            try:
-                import fcntl
-                fcntl.flock(lock_fd, fcntl.LOCK_EX)
-            except ImportError:
-                pass
+        leaves at worst orphaned-but-unreferenced dirs: seg= orphans are
+        reclaimed by drop_uncommitted_segments, and del= orphans by the
+        sweep at the START of the next expire run (safe because an
+        in-flight delete_docs always allocates ABOVE every referenced and
+        on-disk id, so unreferenced dirs BELOW the max referenced id can
+        only be crash debris). Returns counts."""
+        with self._manifest_lock():
             m = self.load_manifest()
             snaps = sorted(m["snapshots"], key=lambda s: s["snapshot_id"])
             keep_last = max(1, int(keep_last))
             kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+
+            # orphan sweep: del= dirs no snapshot references, left by a
+            # crash between a previous expire's manifest rewrite and its
+            # rmtree loop (or a crashed delete_docs before its commit).
+            # Only ids strictly below the max referenced id are swept —
+            # an id above it may be an in-flight delete_docs write.
+            all_ref = set()
+            for s in snaps:
+                for key in ("delete_files", "applied_delete_files"):
+                    all_ref.update(int(x) for x in (s.get(key) or []))
+            swept = 0
+            droot = self.deletes_dir()
+            if all_ref and os.path.isdir(droot):
+                mx = max(all_ref)
+                for name in os.listdir(droot):
+                    if not name.startswith("del="):
+                        continue
+                    i = int(name.split("=", 1)[1])
+                    if i < mx and i not in all_ref:
+                        shutil.rmtree(os.path.join(droot, name))
+                        swept += 1
+
             if not dropped:
-                return {"dropped_snapshots": 0, "dropped_segments": 0,
-                        "dropped_delete_files": 0}
+                return {"dropped_snapshots": 0,
+                        "dropped_posting_segments": 0,
+                        "dropped_doc_segments": 0,
+                        "dropped_delete_files": 0,
+                        "swept_orphan_delete_files": swept}
 
             def segs(ss, kind):
                 # per-TABLE references: after a compaction the current
@@ -317,10 +351,7 @@ class IndexCatalog:
                       - segs(kept, "doc_segments"))
             del_rm = dels(dropped) - dels(kept)
             m["snapshots"] = kept
-            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
-            with os.fdopen(fd, "w") as f:
-                json.dump(m, f, indent=1)
-            os.replace(tmp, self._manifest_path())
+            self._write_manifest(m)
             for seg in post_rm:
                 self.drop_segment("postings", seg)
             for seg in doc_rm:
@@ -332,9 +363,8 @@ class IndexCatalog:
             return {"dropped_snapshots": len(dropped),
                     "dropped_posting_segments": len(post_rm),
                     "dropped_doc_segments": len(doc_rm),
-                    "dropped_delete_files": len(del_rm)}
-        finally:
-            os.close(lock_fd)
+                    "dropped_delete_files": len(del_rm),
+                    "swept_orphan_delete_files": swept}
 
     def destroy(self) -> None:
         if os.path.isdir(self.root):

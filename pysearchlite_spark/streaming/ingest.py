@@ -42,6 +42,22 @@ from pysearchlite_spark.extract import make_extract_udf
 from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA, IndexCatalog)
 
 
+def _refuse_if_suspended_build(index_dir: str) -> None:
+    """A SUSPENDED build_index(max_segments=...) run owns this dir's id
+    space: its remaining segment ids are derived from docID ranges, not
+    from max_seg_id, so an append's freshly allocated id WOULD collide
+    with a not-yet-built segment and the resumed build would silently
+    adopt the append's rows as its own. Refuse loudly instead."""
+    import os
+    if os.path.exists(os.path.join(index_dir, "_stage", "runs", "_STAGED")):
+        raise RuntimeError(
+            f"index {index_dir} has a live batch-build stage checkpoint "
+            "(_stage/runs/_STAGED); appending would collide with the "
+            "suspended build's segment ids. Resume that build to "
+            "completion (same params) or delete its _stage dir and "
+            "staged segments first.")
+
+
 def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
                  text_col: str = "text", html_col: Optional[str] = None,
                  url_col: str = "url", lang_filter: Optional[str] = None,
@@ -54,19 +70,7 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
     from pysearchlite_spark.plans.builder import build_index
 
     cat = IndexCatalog(index_dir)
-    # a SUSPENDED build_index(max_segments=...) run owns this dir's id
-    # space: its remaining segment ids are derived from docID ranges, not
-    # from max_seg_id, so an append's freshly allocated id WOULD collide
-    # with a not-yet-built segment and the resumed build would silently
-    # adopt the append's rows as its own. Refuse loudly instead.
-    import os
-    if os.path.exists(os.path.join(index_dir, "_stage", "runs", "_STAGED")):
-        raise RuntimeError(
-            f"index {index_dir} has a live batch-build stage checkpoint "
-            "(_stage/runs/_STAGED); appending would collide with the "
-            "suspended build's segment ids. Resume that build to "
-            "completion (same params) or delete its _stage dir and "
-            "staged segments first.")
+    _refuse_if_suspended_build(index_dir)
     snap = cat.current_snapshot()
     if snap is not None and batch_id is not None:
         done = snap.get("lineage", {}).get("ingested_batches", [])
@@ -192,6 +196,12 @@ def upsert_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
     even when lang_filter drops it: a url whose re-crawl no longer passes
     the filter is removed and not re-added."""
     cat = IndexCatalog(index_dir)
+    # the suspended-build guard must fire BEFORE the tombstone commit: if
+    # append_batch were left to raise it after delete_docs, a refused
+    # upsert would have already deleted the re-crawled urls without
+    # indexing their replacements (and every replay would re-raise,
+    # leaving them lost)
+    _refuse_if_suspended_build(index_dir)
     snap = cat.current_snapshot()
     if snap is not None:
         if batch_id is not None and batch_id in snap.get(
@@ -203,8 +213,15 @@ def upsert_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
         old = (idx.docmap_df()  # live: already-deleted urls don't re-match
                .join(batch.select(F.col(url_col).alias("url")).distinct(),
                      "url", "left_semi")
-               .select("doc_id"))
-        delete_docs(spark, index_dir, old)
+               .select("doc_id", F.col("seg").alias("dseg")))
+        old = old.persist()
+        try:
+            # mostly-new-url batches skip the delete commit entirely (and
+            # the rows are passed prevalidated — no second docmap scan)
+            if old.limit(1).count():
+                delete_docs(spark, index_dir, old, prevalidated=True)
+        finally:
+            old.unpersist()
     return append_batch(spark, batch, index_dir, text_col=text_col,
                         html_col=html_col, url_col=url_col,
                         lang_filter=lang_filter, segment_docs=segment_docs,

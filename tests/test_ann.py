@@ -248,3 +248,49 @@ def test_append_matches_full_rebuild(emb, spark, tmp_path_factory):
     want = [(r["vec_id"], round(r["cos"], 12)) for r in
             ivf_full.topk(q, k=10, nprobe=3).collect()]
     assert got == want
+
+
+def test_append_replay_and_crash_debris(emb, spark, tmp_path_factory):
+    """Generation-dir visibility: a replayed batch_id is a no-op, and an
+    UNCOMMITTED add dir (crash between parquet write and meta commit) is
+    invisible to queries and swept by the next append."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pysearchlite_spark.operators.ann import AnnIndex
+
+    df, rows = emb
+    root = str(tmp_path_factory.mktemp("ann_replay") / "idx")
+    idx = AnnIndex.build(spark, df.filter(F.col("vec_id") < 100), root,
+                         n_planes=10, seed=99)
+    batch = df.filter(F.col("vec_id").between(100, 149))
+    n1 = idx.append(batch, batch_id=5)
+    n2 = idx.append(batch, batch_id=5)  # foreachBatch replay
+    assert n1 == n2 == 150
+    q = np.asarray(rows[105][1], dtype=np.float64).tolist()
+    top = idx.topk(q, k=3, probe_bits=2).collect()
+    # no duplicate vec_id rows from the replay
+    ids = [r["vec_id"] for r in top]
+    assert len(ids) == len(set(ids)) and 105 in ids
+
+    # simulate a crashed append: copy a committed add dir to a new
+    # UNCOMMITTED generation id — must stay invisible
+    vec_dir = os.path.join(root, "vectors")
+    committed = sorted(int(n.split("=")[1]) for n in os.listdir(vec_dir))
+    debris = max(committed) + 1
+    shutil.copytree(os.path.join(vec_dir, f"add={committed[-1]}"),
+                    os.path.join(vec_dir, f"add={debris}"))
+    idx2 = AnnIndex(spark, root)
+    top2 = idx2.topk(q, k=3, probe_bits=2).collect()
+    assert [(r["vec_id"], r["cos"]) for r in top2] == \
+           [(r["vec_id"], r["cos"]) for r in top]
+    # next append sweeps nothing above max committed... debris id is above
+    # the committed max, so it is left for an in-flight writer; append a
+    # real batch (making debris < max committed) then append again → swept
+    idx2.append(df.filter(F.col("vec_id") >= 150), batch_id=6)
+    assert os.path.isdir(os.path.join(vec_dir, f"add={debris}"))
+    idx2.append(df.filter(F.col("vec_id") < 0), batch_id=7)  # empty batch
+    assert not os.path.isdir(os.path.join(vec_dir, f"add={debris}"))
+    assert AnnIndex(spark, root).meta["n_vectors"] == len(rows)
