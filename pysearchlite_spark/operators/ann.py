@@ -18,9 +18,9 @@ Cosine math is float64 numpy; the LSH planes are seeded (deterministic).
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
+import shutil
 import tempfile
 from itertools import combinations
 from typing import Iterator, List, Optional, Sequence
@@ -219,20 +219,12 @@ def _commit_meta(root: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(root, "meta.json"))  # atomic commit
 
 
-@contextlib.contextmanager
 def _meta_locked(root: str):
-    """Exclusive flock over meta.json mutations — append's read-modify-
-    write would otherwise lose one of two concurrent updates."""
-    fd = os.open(os.path.join(root, ".meta.lock"), os.O_CREAT | os.O_RDWR)
-    try:
-        try:
-            import fcntl
-            fcntl.flock(fd, fcntl.LOCK_EX)
-        except ImportError:
-            pass
-        yield
-    finally:
-        os.close(fd)
+    """Exclusive flock over index mutations (meta.json AND the vectors
+    generation dirs) — held by append's read-modify-write and by build's
+    rmtree+rewrite, so neither can clobber the other mid-flight."""
+    from pysearchlite_spark.locks import flock_ctx
+    return flock_ctx(os.path.join(root, ".meta.lock"))
 
 
 def _next_add_id(vec_dir: str, committed: set) -> int:
@@ -246,7 +238,6 @@ def _next_add_id(vec_dir: str, committed: set) -> int:
             if name.startswith("add="):
                 on_disk.add(int(name.split("=", 1)[1]))
     if committed:
-        import shutil
         for i in sorted(on_disk - committed):
             if i < max(committed):
                 shutil.rmtree(os.path.join(vec_dir, f"add={i}"),
@@ -309,9 +300,14 @@ class AnnIndex:
     """Bucketed sign-LSH index over an embedding table (build + append).
 
     Layout under <root>/:
-      meta.json                     — atomic-rename committed parameters
-                                      {n_planes, seed, dim, n_vectors}
-      vectors/bucket=<b>/*.parquet  — (vec_id, embedding, norm)
+      meta.json               — atomic-rename committed parameters
+                                {n_planes, seed, dim, n_vectors, adds,
+                                ingested_batches}
+      vectors/add=<g>/pb=<p>/*.parquet — (vec_id, embedding, norm, bucket)
+                                per committed add GENERATION g (build is
+                                g=0, each append a new g; only generations
+                                listed in meta 'adds' are visible — crash
+                                debris stays invisible and is swept)
 
     Query = pruned scan (PartitionFilters: bucket IN multi-probe targets —
     the same partition-pruning pattern as the postings seg=/tb= layout) +
@@ -367,17 +363,21 @@ class AnnIndex:
 
         os.makedirs(root, exist_ok=True)
         vec_dir = os.path.join(root, "vectors")
-        import shutil
-        shutil.rmtree(vec_dir, ignore_errors=True)  # rebuild clears adds
-        n_vectors = _write_vectors(
-            df, _sign_bucketize_fn(planes, shift, id_col, vec_col),
-            AnnIndex.VEC_SCHEMA, "pb", ("pb", "bucket"),
-            os.path.join(vec_dir, "add=0"), "overwrite", id_col, vec_col)
-        _commit_meta(root, {
-            "n_planes": int(n_planes), "seed": seed, "dim": dim,
-            "n_vectors": n_vectors, "part_bits": int(part_bits),
-            "planes": (planes.tolist() if explicit else None),
-            "adds": [0], "ingested_batches": {}})
+        # under the same lock append holds: a rebuild racing an in-flight
+        # append must not rmtree its half-written generation and then have
+        # the append's meta commit resurrect dirs the rebuild deleted
+        with _meta_locked(root):
+            shutil.rmtree(vec_dir, ignore_errors=True)  # clears old adds
+            n_vectors = _write_vectors(
+                df, _sign_bucketize_fn(planes, shift, id_col, vec_col),
+                AnnIndex.VEC_SCHEMA, "pb", ("pb", "bucket"),
+                os.path.join(vec_dir, "add=0"), "overwrite", id_col,
+                vec_col)
+            _commit_meta(root, {
+                "n_planes": int(n_planes), "seed": seed, "dim": dim,
+                "n_vectors": n_vectors, "part_bits": int(part_bits),
+                "planes": (planes.tolist() if explicit else None),
+                "adds": [0], "ingested_batches": {}})
         return AnnIndex(spark, root)
 
     def append(self, df: DataFrame, id_col: str = "vec_id",
@@ -454,8 +454,9 @@ class IvfIndex:
     The second scale path next to sign-LSH (AnnIndex): IVF adapts its
     partitioning to the data's cluster structure, so recall at a given scan
     fraction is typically higher on real embedding corpora. Layout mirrors
-    AnnIndex: vectors/cid=<c>/*.parquet + atomic meta.json (centroids
-    persisted verbatim — queries are reproducible from disk alone).
+    AnnIndex: vectors/add=<g>/cid=<c>/*.parquet generation dirs + atomic
+    meta.json (centroids persisted verbatim — queries are reproducible
+    from disk alone; only generations in meta 'adds' are visible).
 
     Centroids: pass explicit `centroids`, or let build() run seeded Lloyd
     k-means on a driver-side sample (the standard IVF training shape:
@@ -517,16 +518,18 @@ class IvfIndex:
 
         os.makedirs(root, exist_ok=True)
         vec_dir = os.path.join(root, "vectors")
-        import shutil
-        shutil.rmtree(vec_dir, ignore_errors=True)  # rebuild clears adds
-        n_vectors = _write_vectors(
-            df, _ivf_assign_fn(cn, id_col, vec_col), IvfIndex.VEC_SCHEMA,
-            "cid", ("cid",), os.path.join(vec_dir, "add=0"), "overwrite",
-            id_col, vec_col)
-        _commit_meta(root, {
-            "n_centroids": int(cn.shape[0]), "dim": int(cn.shape[1]),
-            "n_vectors": n_vectors, "centroids": cn.tolist(),
-            "adds": [0], "ingested_batches": {}})
+        # same lock discipline as AnnIndex.build (rebuild-vs-append race)
+        with _meta_locked(root):
+            shutil.rmtree(vec_dir, ignore_errors=True)  # clears old adds
+            n_vectors = _write_vectors(
+                df, _ivf_assign_fn(cn, id_col, vec_col),
+                IvfIndex.VEC_SCHEMA, "cid", ("cid",),
+                os.path.join(vec_dir, "add=0"), "overwrite", id_col,
+                vec_col)
+            _commit_meta(root, {
+                "n_centroids": int(cn.shape[0]), "dim": int(cn.shape[1]),
+                "n_vectors": n_vectors, "centroids": cn.tolist(),
+                "adds": [0], "ingested_batches": {}})
         return IvfIndex(spark, root)
 
     def append(self, df: DataFrame, id_col: str = "vec_id",

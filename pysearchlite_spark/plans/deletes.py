@@ -84,7 +84,10 @@ def delete_docs(spark: SparkSession, index_dir: str,
     doc_segs = [int(s) for s in snap.get("doc_segments", snap["segments"])]
 
     if prevalidated:
-        assert isinstance(ids, DataFrame) and "dseg" in ids.columns
+        if not (isinstance(ids, DataFrame) and "dseg" in ids.columns):
+            raise ValueError(
+                "prevalidated=True requires a DataFrame of "
+                "(doc_id, dseg) rows derived from the live docmap")
         rows = ids.select(F.col(id_col).cast("long").alias("doc_id"),
                           F.col("dseg").cast("long")).distinct()
     else:
@@ -120,26 +123,37 @@ def delete_docs(spark: SparkSession, index_dir: str,
     else:
         rows = rows.withColumn("pseg", F.col("dseg"))
 
-    did = cat.max_delete_file_id() + 1
+    # Write to a TEMP name first, then allocate the id and rename UNDER
+    # the manifest lock: allocating before the (long) Spark write would
+    # let a concurrently-committed later id raise the expire sweep's
+    # "max referenced" watermark above this in-flight dir and sweep it
+    # mid-write. The rename makes the dir appear with an id ABOVE every
+    # referenced/on-disk id, which the sweep never touches; crashed tmp
+    # dirs (del.tmp-*) are invisible to readers/allocation and reclaimed
+    # by expire_snapshots' sweep.
     import os
-    out = os.path.join(cat.deletes_dir(), f"del={did}")
+    import uuid
+    tmp_out = os.path.join(cat.deletes_dir(), f"del.tmp-{uuid.uuid4().hex}")
     # ≤1 writer task per pseg partition dir, like the docmap writer
     n_pseg = max(1, len(set(pseg_of.values()) or doc_segs))
     (rows.repartition(n_pseg, F.col("pseg"))
-     .write.partitionBy("pseg").mode("overwrite").parquet(out))
+     .write.partitionBy("pseg").mode("overwrite").parquet(tmp_out))
 
     # explicit schema: an idempotent re-delete writes ZERO part files and
     # schema inference would fail on the empty dir
-    n_new = (spark.read.option("basePath", out)
+    n_new = (spark.read.option("basePath", tmp_out)
              .schema(DELETES_SCHEMA + ", pseg long")
-             .parquet(out).count())
+             .parquet(tmp_out).count())
     if n_new == 0:
         # fully idempotent no-op: registering an empty delete file would
         # permanently grow the pending list (every distributed query scans
         # it, every compaction carries it) for zero information
         import shutil
-        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(tmp_out, ignore_errors=True)
         return int(snap["snapshot_id"])
+    with cat._manifest_lock():
+        did = cat.max_delete_file_id() + 1
+        os.rename(tmp_out, os.path.join(cat.deletes_dir(), f"del={did}"))
     stats = dict(snap["stats"])
     stats["n_deleted_pending"] = int(
         stats.get("n_deleted_pending", 0)) + int(n_new)

@@ -19,7 +19,6 @@ lists staged-but-uncommitted segment dirs and skips rebuilding them.
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 import shutil
@@ -65,22 +64,14 @@ class IndexCatalog:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, MANIFEST)
 
-    @contextlib.contextmanager
     def _manifest_lock(self):
         """Exclusive flock over manifest mutations — the ONE lock every
-        committer (commit_snapshot, expire_snapshots) must hold; atomic
-        rename alone prevents torn writes but not lost updates."""
-        fd = os.open(os.path.join(self.root, ".manifest.lock"),
-                     os.O_CREAT | os.O_RDWR)
-        try:
-            try:
-                import fcntl
-                fcntl.flock(fd, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: single-writer assumption holds
-                pass
-            yield
-        finally:
-            os.close(fd)
+        committer (commit_snapshot, expire_snapshots, delete-file id
+        allocation) must hold; atomic rename alone prevents torn writes
+        but not lost updates. NOT re-entrant (flock on a second fd of the
+        same file blocks) — never nest it."""
+        from pysearchlite_spark.locks import flock_ctx
+        return flock_ctx(os.path.join(self.root, ".manifest.lock"))
 
     def _write_manifest(self, m: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
@@ -283,10 +274,13 @@ class IndexCatalog:
         are removed AFTER the new manifest is visible, so a crash mid-way
         leaves at worst orphaned-but-unreferenced dirs: seg= orphans are
         reclaimed by drop_uncommitted_segments, and del= orphans by the
-        sweep at the START of the next expire run (safe because an
-        in-flight delete_docs always allocates ABOVE every referenced and
-        on-disk id, so unreferenced dirs BELOW the max referenced id can
-        only be crash debris). Returns counts."""
+        sweep at the START of the next expire run. The sweep is safe
+        against in-flight delete_docs writes because those stage under a
+        del.tmp-* name and take a del=<id> name only via allocate+rename
+        UNDER THIS LOCK — a visible del= dir's id is therefore above
+        every previously referenced id, so unreferenced del= dirs BELOW
+        the max referenced id can only be crash debris (stale tmp dirs
+        are age-reaped). Returns counts."""
         with self._manifest_lock():
             m = self.load_manifest()
             snaps = sorted(m["snapshots"], key=lambda s: s["snapshot_id"])
@@ -304,14 +298,23 @@ class IndexCatalog:
                     all_ref.update(int(x) for x in (s.get(key) or []))
             swept = 0
             droot = self.deletes_dir()
-            if all_ref and os.path.isdir(droot):
-                mx = max(all_ref)
+            if os.path.isdir(droot):
+                mx = max(all_ref) if all_ref else None
                 for name in os.listdir(droot):
-                    if not name.startswith("del="):
+                    p = os.path.join(droot, name)
+                    if name.startswith("del.tmp-"):
+                        # a crashed delete_docs' staging dir — but an
+                        # IN-FLIGHT one looks identical (its write runs
+                        # outside the lock), so only reap stale ones
+                        if time.time() - os.path.getmtime(p) > 86400:
+                            shutil.rmtree(p, ignore_errors=True)
+                            swept += 1
+                        continue
+                    if not name.startswith("del=") or mx is None:
                         continue
                     i = int(name.split("=", 1)[1])
                     if i < mx and i not in all_ref:
-                        shutil.rmtree(os.path.join(droot, name))
+                        shutil.rmtree(p)
                         swept += 1
 
             if not dropped:
