@@ -266,3 +266,43 @@ def test_expire_snapshots_frees_dropped_segments(spark, docs_df,  # noqa: F811
         SearchIndex(spark, idx_dir, snapshot_id=old_sid)
     # idempotent: nothing further to drop
     assert cat.expire_snapshots(1)["dropped_snapshots"] == 0
+
+
+def test_prevalidated_contract_raises(spark, built):  # noqa: F811
+    """prevalidated=True demands a (doc_id, dseg) DataFrame — a plain id
+    list (or a frame missing dseg) must fail loudly, not downstream."""
+    idx_dir = built[0]
+    with pytest.raises(ValueError, match="prevalidated"):
+        delete_docs(spark, idx_dir, [1, 2, 3], prevalidated=True)
+    no_dseg = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="prevalidated"):
+        delete_docs(spark, idx_dir, no_dseg, prevalidated=True)
+
+
+def test_expire_sweep_tmp_staging_dirs(spark, built):  # noqa: F811
+    """A fresh del.tmp-* staging dir (an in-flight delete_docs write)
+    must survive the expire orphan sweep; a stale one (>1 day — crash
+    debris) must be reaped. Committed del= dirs are untouched either
+    way. Pins the allocate-under-lock + rename protocol of
+    deletes.py/delete_docs."""
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+    idx_dir = built[0]
+    cat = IndexCatalog(idx_dir)
+    droot = cat.deletes_dir()
+    committed_before = sorted(d for d in os.listdir(droot)
+                              if d.startswith("del="))
+    assert committed_before, "fixture committed at least one delete file"
+
+    fresh = os.path.join(droot, "del.tmp-deadbeef")
+    stale = os.path.join(droot, "del.tmp-cafebabe")
+    for d in (fresh, stale):
+        os.makedirs(d)
+    two_days_ago = __import__("time").time() - 2 * 86400
+    os.utime(stale, (two_days_ago, two_days_ago))
+
+    cat.expire_snapshots(keep_last=10_000)  # sweep only, drop nothing
+    assert os.path.isdir(fresh), "in-flight staging dir was swept"
+    assert not os.path.isdir(stale), "stale crash debris survived"
+    assert sorted(d for d in os.listdir(droot)
+                  if d.startswith("del=")) == committed_before
+    os.rmdir(fresh)
