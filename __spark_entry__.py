@@ -652,7 +652,7 @@ LIMIT 10
         # restricted to constructs both evaluate identically (functions/
         # text.py BPE_PATTERN)
         "bpe_token_count": (
-            "SELECT doc_id, len(regexp_extract_all(text, '"
+            "SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), '"
             + _bpe_pattern_sql()
             + "'))::BIGINT AS n_bpe_tokens FROM documents"),
         "quality_stats": """

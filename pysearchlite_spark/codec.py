@@ -111,6 +111,21 @@ class PackedPostings(NamedTuple):
     max_partial: np.ndarray  # float64 per block (block-max WAND bound)
 
 
+def packed_from_row(r: dict, with_max_partial: bool = False
+                    ) -> PackedPostings:
+    """Build a PackedPostings view over one catalog posting row (a dict of
+    the POSTINGS_SCHEMA columns) — the ONE place the row→kernel adaptation
+    lives (block-selective decode in the engine and wand share it)."""
+    return PackedPostings(
+        int(r["df"]), r["docs"], r["tfs"], r["dls"],
+        np.asarray(r["first_docs"], dtype=np.int64),
+        np.asarray(r["doc_offs"], dtype=np.int32),
+        np.asarray(r["tf_offs"], dtype=np.int32),
+        np.asarray(r["dl_offs"], dtype=np.int32),
+        (np.asarray(r["max_partial"], dtype=np.float64)
+         if with_max_partial else None))
+
+
 def bm25_partial(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
                  k1: float = K1, b: float = B) -> np.ndarray:
     """Per-posting BM25 contribution without the idf factor."""

@@ -71,11 +71,7 @@ def _streams_for_ids(r: dict, ids: np.ndarray
         return (codec.unpack_docs(r["docs"], df),
                 codec.unpack_stream(r["tfs"], df),
                 codec.unpack_stream(r["dls"], df))
-    packed = codec.PackedPostings(
-        df, r["docs"], r["tfs"], r["dls"], fd,
-        np.asarray(r["doc_offs"], dtype=np.int32),
-        np.asarray(r["tf_offs"], dtype=np.int32),
-        np.asarray(r["dl_offs"], dtype=np.int32), None)
+    packed = codec.packed_from_row(r)
     # contiguous runs of needed blocks → one bulk range decode per run;
     # runs are ascending so the concatenated docs stay sorted
     breaks = np.flatnonzero(np.diff(bidx) > 1) + 1
@@ -167,14 +163,21 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
 
 def _truncate_topk(docs: np.ndarray, scores: np.ndarray, k: int
                    ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-segment truncation to the tie-safe top-k boundary (keep every
-    doc scoring >= the k-th best so the global merge resolves ties by
-    doc_id) — the single site for this rule; the distributed path must not
-    re-implement it."""
+    """Per-segment truncation to EXACTLY the top-k by the global order
+    (score desc, doc_id asc) — the single site for this rule; the
+    distributed path must not re-implement it. Tie-safe: the global top-k
+    can never contain a doc preceded by k same-segment docs in that order,
+    so capping ties at the k smallest doc_ids loses nothing — and without
+    the cap a tie-heavy segment (e.g. 150k identical docs) would ship its
+    ENTIRE match set to the driver for a k=10 query."""
     if docs.size > k:
         kth = np.partition(scores, docs.size - k)[docs.size - k]
         m = scores >= kth
         docs, scores = docs[m], scores[m]
+        if docs.size > k:  # ties across the k-th boundary
+            order = np.lexsort((docs, -scores))[:k]
+            order.sort()  # preserve ascending-docID output order
+            docs, scores = docs[order], scores[order]
     return docs, scores
 
 
@@ -465,6 +468,16 @@ class SearchIndex:
         return W.topk_merge(parts, k)
 
     # ------------------------------------------------- distributed paths --
+    def _global_dfs_dist(self, terms: List[str]) -> Dict[str, int]:
+        """Global df per query term via the pruned postings scan — the
+        shared first step of every distributed path (P4 short-circuit
+        input); terms absent from the index get 0."""
+        rows = (self.postings_df(terms).groupBy("term")
+                .agg(F.sum("df").alias("df")).collect())
+        dfs = {t: 0 for t in terms}
+        dfs.update({r["term"]: int(r["df"]) for r in rows})
+        return dfs
+
     def _seg_deletes_grouped(self):
         """Pending tombstones keyed by POSTING segment, grouped for
         cogrouping with the per-segment postings kernels — each segment's
@@ -522,19 +535,15 @@ class SearchIndex:
         if not terms:
             return empty
         if mode == "and":
-            dfs_rows = (self.postings_df(terms).groupBy("term")
-                        .agg(F.sum("df").alias("df")).collect())
-            dfs = {r["term"]: int(r["df"]) for r in dfs_rows}
-            if any(dfs.get(t, 0) == 0 for t in terms):  # P4 short-circuit
+            dfs = self._global_dfs_dist(terms)
+            if any(dfs[t] == 0 for t in terms):  # P4 short-circuit
                 return empty
         return (self._matching_ids_dist(terms, mode)
                 .join(self._docmap.select("doc_id", "url"), "doc_id"))
 
     def _search_and_ids_dist(self, terms: List[str]) -> np.ndarray:
-        dfs_rows = (self.postings_df(terms).groupBy("term")
-                    .agg(F.sum("df").alias("df")).collect())
-        dfs = {r["term"]: int(r["df"]) for r in dfs_rows}
-        if any(dfs.get(t, 0) == 0 for t in terms):
+        dfs = self._global_dfs_dist(terms)
+        if any(dfs[t] == 0 for t in terms):
             return np.empty(0, dtype=np.int64)
         out = (self._matching_ids_dist(terms, "and")
                .orderBy("doc_id").toPandas())  # Arrow path, not Row objects
@@ -558,10 +567,8 @@ class SearchIndex:
         the result list; here additionally summed across segments)."""
         if not terms:
             return 0
-        dfs_rows = (self.postings_df(terms).groupBy("term")
-                    .agg(F.sum("df").alias("df")).collect())
-        dfs = {r["term"]: int(r["df"]) for r in dfs_rows}
-        if any(dfs.get(t, 0) == 0 for t in terms):
+        dfs = self._global_dfs_dist(terms)
+        if any(dfs[t] == 0 for t in terms):
             return 0
         n_terms = len(set(terms))
 
@@ -592,10 +599,7 @@ class SearchIndex:
 
     def _topk_dist(self, terms: List[str], k: int, mode: str,
                    use_blockmax) -> List[Tuple[int, float]]:
-        dfs_rows = (self.postings_df(terms).groupBy("term")
-                    .agg(F.sum("df").alias("df")).collect())
-        dfs = {t: 0 for t in terms}
-        dfs.update({r["term"]: int(r["df"]) for r in dfs_rows})
+        dfs = self._global_dfs_dist(terms)
         if mode == "and" and any(dfs[t] == 0 for t in terms):
             return []
         idfs = self._idfs(dfs)

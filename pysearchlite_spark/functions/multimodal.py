@@ -81,6 +81,11 @@ def decode_image(data: bytes) -> Tuple[dict, Optional[np.ndarray]]:
     Pillow when installed; otherwise raises ValueError naming the gap."""
     if data[:4] == b"PSL1":
         w, h, c = struct.unpack_from("<HHB", data, 4)
+        if w == 0 or h == 0 or c == 0:
+            # fail loudly HERE: downstream feature math on a zero-sized
+            # axis is an obscure IndexError or silent NaN features
+            raise ValueError(
+                f"degenerate PSL1 image dimensions {w}x{h}x{c}")
         px = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=9)
         return ({"width": w, "height": h, "channels": c, "format": "psl1"},
                 px.reshape(h, w, c))

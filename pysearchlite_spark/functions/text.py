@@ -83,11 +83,13 @@ def bpe_token_counts(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, n_bpe_tokens) — BPE-pretokenizer piece counting, entirely
     JVM-side (regexp_extract_all inside whole-stage codegen; no Python in
-    the plan)."""
+    the plan). NULL text counts as an empty doc (0 tokens) — same
+    semantics as token_counts' fillna('') — not size(NULL)'s -1/NULL."""
     return df.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
-         .cast("long").alias("n_bpe_tokens"))
+        F.size(F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit(BPE_PATTERN), 0)).cast("long").alias("n_bpe_tokens"))
 
 
 # Minimal per-language stopword lists for the langid heuristic (public

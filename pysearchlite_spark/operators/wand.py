@@ -224,10 +224,4 @@ def _decode_blocks(r: dict, lo: int, hi: int
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode blocks [lo, hi) of a packed row's three streams (bulk range
     decode — one varbyte pass per stream)."""
-    packed = codec.PackedPostings(
-        int(r["df"]), r["docs"], r["tfs"], r["dls"],
-        np.asarray(r["first_docs"], dtype=np.int64),
-        np.asarray(r["doc_offs"], dtype=np.int32),
-        np.asarray(r["tf_offs"], dtype=np.int32),
-        np.asarray(r["dl_offs"], dtype=np.int32), None)
-    return codec.unpack_block_range(packed, lo, hi)
+    return codec.unpack_block_range(codec.packed_from_row(r), lo, hi)

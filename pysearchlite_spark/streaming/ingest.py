@@ -229,7 +229,8 @@ def upsert_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
 
 
 def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,
-                  checkpoint_dir: str, *, html_col: Optional[str] = None,
+                  checkpoint_dir: str, *, text_col: str = "text",
+                  html_col: Optional[str] = None, url_col: str = "url",
                   lang_filter: Optional[str] = None,
                   segment_docs: int = 1 << 20, trigger_seconds: int = 30,
                   mode: str = "append"):
@@ -244,7 +245,8 @@ def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ingest(spark, batch_df, index_dir, html_col=html_col,
+        ingest(spark, batch_df, index_dir, text_col=text_col,
+               html_col=html_col, url_col=url_col,
                lang_filter=lang_filter, segment_docs=segment_docs,
                batch_id=int(batch_id))
 

@@ -275,3 +275,42 @@ def test_large_result_name_lookup_and_lazy_preload(spark, tmp_path_factory):
     assert idx.count("common w3") == len([d for d in docs
                                           if d[1].endswith("w3")])
     assert idx.topk("common", k=5) == idx.topk("common", k=5)
+
+
+def test_truncate_topk_caps_ties_exactly_k():
+    """A tie-heavy segment must contribute O(k) rows, not its whole match
+    set: all-equal scores → exactly the k smallest doc_ids survive (the
+    global order is score desc, doc_id asc, so nothing beyond a segment's
+    own top-k by that order can reach the global top-k)."""
+    import numpy as np
+    from pysearchlite_spark.engine import _truncate_topk
+    docs = np.arange(100_000, dtype=np.int64)
+    scores = np.full(docs.size, 3.25)
+    d, s = _truncate_topk(docs, scores, 10)
+    assert d.size == 10 and np.array_equal(d, np.arange(10))
+    # mixed: 5 strictly-better docs + a 50k-way tie at the boundary
+    scores2 = scores.copy()
+    scores2[50_000:50_005] = 9.0
+    d2, _ = _truncate_topk(docs, scores2, 10)
+    assert d2.size == 10
+    assert set(range(50_000, 50_005)) <= set(d2.tolist())
+    assert set(range(5)) <= set(d2.tolist())  # lowest ids win the tie
+
+
+def test_tie_heavy_corpus_topk_paths_agree(spark, tmp_path):
+    """150k-identical-cluster shape in miniature: EVERY doc has the same
+    score; driver, distributed, and blockmax paths must return the k
+    lowest doc_ids with equal scores."""
+    from pysearchlite_spark.plans.builder import build_index
+    from pysearchlite_spark.engine import SearchIndex
+    n = 600
+    docs = spark.createDataFrame(
+        [(f"u{i:04d}", "same text every time") for i in range(n)],
+        "url string, text string")
+    d = str(tmp_path / "tie_idx")
+    build_index(spark, docs, d, segment_docs=100)
+    idx = SearchIndex(spark, d)
+    want = idx.topk("same text", k=7, use_blockmax=False)
+    assert [doc for doc, _ in want] == list(range(7))
+    assert idx.topk("same text", k=7, use_blockmax=True) == want
+    assert idx.topk("same text", k=7, distributed=True) == want

@@ -231,3 +231,24 @@ def test_multimodal_image_audio_video(spark):
         with pytest.raises(Exception) as ei:
             image_features(bad).collect()
         assert "Pillow" in str(ei.value) or "PSL1" in str(ei.value)
+
+
+def test_degenerate_psl1_dims_raise_cleanly():
+    """A corrupt/adversarial PSL1 header with a zero dimension must raise
+    the documented ValueError at decode time — not an IndexError (c=0) or
+    silent NaN feature vectors (w=0/h=0) deep inside a Spark stage."""
+    import struct
+
+    import pytest as _pytest
+
+    from pysearchlite_spark.functions.multimodal import (decode_image,
+                                                         image_feature_vec)
+    for w, h, c in [(4, 4, 0), (0, 4, 1), (4, 0, 3)]:
+        blob = b"PSL1" + struct.pack("<HHB", w, h, c) + b"\x00" * (w * h * c)
+        with _pytest.raises(ValueError, match="degenerate"):
+            decode_image(bytes(blob))
+    # sane minimum still decodes and featurizes finitely
+    blob = b"PSL1" + struct.pack("<HHB", 1, 1, 1) + b"\x7f"
+    meta, px = decode_image(bytes(blob))
+    import numpy as np
+    assert np.isfinite(image_feature_vec(px)).all()

@@ -71,3 +71,32 @@ def _wait_for_snapshot(idx_dir: str, want_docs: int, timeout: int = 120):
         time.sleep(1.0)
     raise AssertionError(
         f"no snapshot with >= {want_docs} docs within {timeout}s")
+
+
+@pytest.mark.timeout(300)
+def test_stream_ingest_custom_column_names(spark, tmp_path):
+    """A stream whose columns are not literally (url, text) must be
+    ingestable — stream_ingest forwards url_col/text_col to the batch
+    sink (a foreachBatch failure kills the StreamingQuery silently from
+    the index's point of view)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx_dir = str(tmp_path / "idx")
+    schema = "page_url string, body string"
+    rows = [(f"u{i:02d}", f"delta echo t{i % 4}") for i in range(20)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src / "f1"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    q = stream_ingest(spark, stream, idx_dir, str(tmp_path / "ckpt"),
+                      text_col="body", url_col="page_url",
+                      segment_docs=16, trigger_seconds=1)
+    try:
+        _wait_for_snapshot(idx_dir, want_docs=20)
+    finally:
+        q.stop()
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.count("delta echo") == 20
+    assert sorted(idx.search("t3")) == [f"u{i:02d}" for i in range(20)
+                                        if i % 4 == 3]

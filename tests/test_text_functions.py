@@ -159,3 +159,18 @@ def test_bpe_token_counts(spark):
            for r in bpe_token_counts(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(re.findall(BPE_PATTERN, t)), repr(t)
+
+
+def test_null_text_counts_as_empty_doc(spark):
+    """NULL text (common in crawled corpora) must behave as an empty doc
+    across ALL per-doc text functions — in particular bpe_token_counts
+    must not leak size(NULL)'s -1/NULL while token_counts says 0."""
+    from pysearchlite_spark.functions.text import (bpe_token_counts,
+                                                   token_counts)
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string")
+    bpe = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_token_counts(df).collect()}
+    tok = {r["doc_id"]: r["n_tokens"] for r in token_counts(df).collect()}
+    assert bpe == {1: 2, 2: 0, 3: 0}
+    assert tok == {1: 2, 2: 0, 3: 0}
