@@ -151,18 +151,25 @@ def delete_docs(spark: SparkSession, index_dir: str,
         import shutil
         shutil.rmtree(tmp_out, ignore_errors=True)
         return int(snap["snapshot_id"])
+    # Allocate + rename + COMMIT under one lock acquisition: splitting the
+    # commit into a second acquisition opens a window where a concurrent
+    # delete commits a higher id, raising the expire sweep's
+    # max-referenced-id watermark above this renamed-but-uncommitted dir —
+    # the sweep would then reclaim it as crash debris (the sweep also
+    # age-guards del= dirs as defense-in-depth, but atomicity here is the
+    # actual invariant).
     with cat._manifest_lock():
         did = cat.max_delete_file_id() + 1
         os.rename(tmp_out, os.path.join(cat.deletes_dir(), f"del={did}"))
-    stats = dict(snap["stats"])
-    stats["n_deleted_pending"] = int(
-        stats.get("n_deleted_pending", 0)) + int(n_new)
-    lineage = dict(snap.get("lineage") or {})
-    lineage.update({"op": "delete_docs", "delete_file": did,
-                    "n_deleted": int(n_new), "deleted_at": time.time()})
-    return cat.commit_snapshot(
-        snap["segments"], stats, lineage,
-        posting_segments=snap.get("posting_segments", snap["segments"]),
-        doc_segments=snap.get("doc_segments", snap["segments"]),
-        delete_files=(snap.get("delete_files") or []) + [did],
-        applied_delete_files=snap.get("applied_delete_files") or [])
+        stats = dict(snap["stats"])
+        stats["n_deleted_pending"] = int(
+            stats.get("n_deleted_pending", 0)) + int(n_new)
+        lineage = dict(snap.get("lineage") or {})
+        lineage.update({"op": "delete_docs", "delete_file": did,
+                        "n_deleted": int(n_new), "deleted_at": time.time()})
+        return cat._commit_snapshot_locked(
+            snap["segments"], stats, lineage,
+            posting_segments=snap.get("posting_segments", snap["segments"]),
+            doc_segments=snap.get("doc_segments", snap["segments"]),
+            delete_files=(snap.get("delete_files") or []) + [did],
+            applied_delete_files=snap.get("applied_delete_files") or [])

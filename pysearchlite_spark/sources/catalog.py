@@ -188,23 +188,42 @@ class IndexCatalog:
         Callers carry both lists forward explicitly; omitting them means
         the snapshot has none (build from scratch)."""
         with self._manifest_lock():
-            m = self.load_manifest()  # re-read UNDER the lock
-            sid = (m["current"] or 0) + 1
-            snap = Snapshot(sid, m["current"], sorted(segments), stats,
-                            lineage)
-            d = snap.__dict__
-            d["posting_segments"] = sorted(posting_segments
-                                           if posting_segments is not None
-                                           else segments)
-            d["doc_segments"] = sorted(doc_segments
-                                       if doc_segments is not None
+            return self._commit_snapshot_locked(
+                segments, stats, lineage, posting_segments, doc_segments,
+                delete_files, applied_delete_files)
+
+    def _commit_snapshot_locked(self, segments: List[int], stats: dict,
+                                lineage: dict,
+                                posting_segments: Optional[List[int]] = None,
+                                doc_segments: Optional[List[int]] = None,
+                                delete_files: Optional[List[int]] = None,
+                                applied_delete_files: Optional[List[int]]
+                                = None) -> int:
+        """commit_snapshot's body for callers ALREADY holding
+        _manifest_lock (it is not re-entrant). delete_docs needs this to
+        make its id-allocate + del= rename + snapshot commit one atomic
+        critical section — in a two-acquisition version, a concurrent
+        delete committing a higher id in the window between this writer's
+        rename and its commit would raise the expire sweep's
+        max-referenced-id watermark above the renamed-but-uncommitted dir
+        and the sweep would reclaim it as crash debris."""
+        m = self.load_manifest()  # re-read UNDER the lock
+        sid = (m["current"] or 0) + 1
+        snap = Snapshot(sid, m["current"], sorted(segments), stats,
+                        lineage)
+        d = snap.__dict__
+        d["posting_segments"] = sorted(posting_segments
+                                       if posting_segments is not None
                                        else segments)
-            d["delete_files"] = sorted(delete_files or [])
-            d["applied_delete_files"] = sorted(applied_delete_files or [])
-            m["snapshots"].append(d)
-            m["current"] = sid
-            self._write_manifest(m)
-            return sid
+        d["doc_segments"] = sorted(doc_segments
+                                   if doc_segments is not None
+                                   else segments)
+        d["delete_files"] = sorted(delete_files or [])
+        d["applied_delete_files"] = sorted(applied_delete_files or [])
+        m["snapshots"].append(d)
+        m["current"] = sid
+        self._write_manifest(m)
+        return sid
 
     # ------------------------------------------------------------- paths --
     def docmap_dir(self) -> str:
@@ -276,11 +295,14 @@ class IndexCatalog:
         reclaimed by drop_uncommitted_segments, and del= orphans by the
         sweep at the START of the next expire run. The sweep is safe
         against in-flight delete_docs writes because those stage under a
-        del.tmp-* name and take a del=<id> name only via allocate+rename
-        UNDER THIS LOCK — a visible del= dir's id is therefore above
-        every previously referenced id, so unreferenced del= dirs BELOW
-        the max referenced id can only be crash debris (stale tmp dirs
-        are age-reaped). Returns counts."""
+        del.tmp-* name and take a del=<id> name via allocate+rename+COMMIT
+        in ONE critical section of this same lock — a visible del= dir is
+        therefore either already referenced by a snapshot or crash debris;
+        it can never be about-to-be-referenced. Unreferenced del= dirs
+        below the max referenced id are additionally age-guarded (like
+        Iceberg's remove-orphan-files convention and the stale del.tmp-*
+        reaping) so even a future two-phase writer can't lose data to
+        this sweep. Returns counts."""
         with self._manifest_lock():
             m = self.load_manifest()
             snaps = sorted(m["snapshots"], key=lambda s: s["snapshot_id"])
@@ -313,7 +335,8 @@ class IndexCatalog:
                     if not name.startswith("del=") or mx is None:
                         continue
                     i = int(name.split("=", 1)[1])
-                    if i < mx and i not in all_ref:
+                    if (i < mx and i not in all_ref
+                            and time.time() - os.path.getmtime(p) > 86400):
                         shutil.rmtree(p)
                         swept += 1
 

@@ -306,3 +306,58 @@ def test_expire_sweep_tmp_staging_dirs(spark, built):  # noqa: F811
     assert sorted(d for d in os.listdir(droot)
                   if d.startswith("del=")) == committed_before
     os.rmdir(fresh)
+
+
+def test_expire_sweep_del_dirs_age_guarded(spark, built):  # noqa: F811
+    """The del= orphan sweep must never reclaim a FRESH unreferenced dir
+    below the watermark — that is exactly the on-disk state a delete_docs
+    shows between its rename and its commit (now one critical section,
+    but the sweep stays safe by age regardless). Stale unreferenced dirs
+    (crash debris) below the watermark are reaped; referenced dirs and
+    above-watermark dirs survive at any age."""
+    import shutil
+    import time as _time
+
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+    idx_dir = built[0]
+    cat = IndexCatalog(idx_dir)
+    droot = cat.deletes_dir()
+    committed = sorted(d for d in os.listdir(droot) if d.startswith("del="))
+    assert committed, "fixture committed at least one delete file"
+
+    # give the watermark headroom: commit a second (referenced) delete
+    # with a high id by planting dirs around it
+    mx = cat.max_delete_file_id()
+    fresh_orphan = os.path.join(droot, f"del={mx + 1}")   # below future wm
+    stale_orphan = os.path.join(droot, f"del={mx + 2}")
+    above_wm = os.path.join(droot, f"del={mx + 50}")      # above watermark
+    for d in (fresh_orphan, stale_orphan, above_wm):
+        os.makedirs(d)
+    # raise the referenced watermark ABOVE the two orphans: reference
+    # mx+10 in a committed snapshot via a real delete of a known doc
+    snap = cat.current_snapshot()
+    ref_dir = os.path.join(droot, f"del={mx + 10}")
+    os.rename(os.path.join(droot, committed[0]), ref_dir)
+
+    def patch(lst):
+        return [mx + 10 if int(i) == int(committed[0].split("=")[1])
+                else int(i) for i in (lst or [])]
+
+    cat.commit_snapshot(
+        snap["segments"], snap["stats"], {"op": "test_rewire"},
+        posting_segments=snap.get("posting_segments"),
+        doc_segments=snap.get("doc_segments"),
+        delete_files=patch(snap.get("delete_files")),
+        applied_delete_files=patch(snap.get("applied_delete_files")))
+
+    two_days = _time.time() - 2 * 86400
+    os.utime(stale_orphan, (two_days, two_days))
+
+    cat.expire_snapshots(keep_last=10_000)  # sweep only, drop nothing
+    assert os.path.isdir(fresh_orphan), \
+        "fresh below-watermark orphan was swept (in-flight delete lost)"
+    assert not os.path.isdir(stale_orphan), "stale crash debris survived"
+    assert os.path.isdir(above_wm)
+    assert os.path.isdir(ref_dir), "referenced delete file was swept"
+    for d in (fresh_orphan, above_wm):
+        shutil.rmtree(d)
