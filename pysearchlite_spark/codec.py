@@ -111,19 +111,18 @@ class PackedPostings(NamedTuple):
     max_partial: np.ndarray  # float64 per block (block-max WAND bound)
 
 
-def packed_from_row(r: dict, with_max_partial: bool = False
-                    ) -> PackedPostings:
+def packed_from_row(r: dict) -> PackedPostings:
     """Build a PackedPostings view over one catalog posting row (a dict of
     the POSTINGS_SCHEMA columns) — the ONE place the row→kernel adaptation
-    lives (block-selective decode in the engine and wand share it)."""
+    lives (block-selective decode in the engine and wand share it).
+    max_partial stays None: the decode kernels never read it, and wand's
+    zone construction consumes r["max_partial"] straight off the row."""
     return PackedPostings(
         int(r["df"]), r["docs"], r["tfs"], r["dls"],
         np.asarray(r["first_docs"], dtype=np.int64),
         np.asarray(r["doc_offs"], dtype=np.int32),
         np.asarray(r["tf_offs"], dtype=np.int32),
-        np.asarray(r["dl_offs"], dtype=np.int32),
-        (np.asarray(r["max_partial"], dtype=np.float64)
-         if with_max_partial else None))
+        np.asarray(r["dl_offs"], dtype=np.int32), None)
 
 
 def bm25_partial(tfs: np.ndarray, dls: np.ndarray, avgdl: float,

@@ -155,69 +155,132 @@ def audio_feature_vec(rate: int, samples: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------- operators ---
 
-def image_features(df: DataFrame, id_col: str = "doc_id",
-                   media_col: str = "media") -> DataFrame:
-    """(id, meta struct, feature array<float>) — decode + featurize each
-    image binary, Arrow-batched (the sanctioned mapInPandas shape)."""
+def _quarantine_mode(on_error: str) -> bool:
+    """on_error contract shared by the media operators: 'raise' (default)
+    fails the job on the first corrupt blob — right for curated fixtures,
+    wrong for a 100-TB crawl where one bad row would kill the whole
+    featurization after task retries. 'quarantine' keeps the job alive:
+    corrupt rows come back with NULL outputs plus a `decode_error` string
+    column (filter on it to route rows to a quarantine sink); good rows
+    carry decode_error=NULL. The extra column exists ONLY in quarantine
+    mode, so default-mode schemas are unchanged."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    return on_error == "quarantine"
 
+
+def image_features(df: DataFrame, id_col: str = "doc_id",
+                   media_col: str = "media",
+                   on_error: str = "raise") -> DataFrame:
+    """(id, meta struct, feature array<float>[, decode_error string]) —
+    decode + featurize each image binary, Arrow-batched (the sanctioned
+    mapInPandas shape). on_error: see _quarantine_mode."""
+    quarantine = _quarantine_mode(on_error)
     out_schema = (f"{id_col} long, meta {IMAGE_META_SCHEMA}, "
-                  f"feature array<float>")
+                  f"feature array<float>"
+                  + (", decode_error string" if quarantine else ""))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas, feats = [], []
+            metas, feats, errs = [], [], []
             for blob in pdf[media_col]:
-                meta, px = decode_image(bytes(blob or b""))
+                try:
+                    meta, px = decode_image(bytes(blob or b""))
+                    feat = image_feature_vec(px).tolist()
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    if not quarantine:
+                        raise
+                    meta, feat = None, None
+                    errs.append(f"{type(e).__name__}: {e}")
+                else:
+                    errs.append(None)
                 metas.append(meta)
-                feats.append(image_feature_vec(px).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "meta": metas,
-                                "feature": feats})
+                feats.append(feat)
+            data = {id_col: pdf[id_col], "meta": metas, "feature": feats}
+            if quarantine:
+                data["decode_error"] = errs
+            yield pd.DataFrame(data)
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
 
 
 def audio_features(df: DataFrame, id_col: str = "doc_id",
-                   media_col: str = "media") -> DataFrame:
-    """(id, sample_rate, duration_sec, feature array<float>)."""
+                   media_col: str = "media",
+                   on_error: str = "raise") -> DataFrame:
+    """(id, sample_rate, duration_sec, feature array<float>
+    [, decode_error string]). on_error: see _quarantine_mode."""
+    quarantine = _quarantine_mode(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rates, durs, feats = [], [], []
+            rates, durs, feats, errs = [], [], [], []
             for blob in pdf[media_col]:
-                rate, samples = decode_audio(bytes(blob or b""))
+                try:
+                    rate, samples = decode_audio(bytes(blob or b""))
+                    dur = samples.size / max(1, rate)
+                    feat = audio_feature_vec(rate, samples).tolist()
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    if not quarantine:
+                        raise
+                    rate, dur, feat = None, None, None
+                    errs.append(f"{type(e).__name__}: {e}")
+                else:
+                    errs.append(None)
                 rates.append(rate)
-                durs.append(samples.size / max(1, rate))
-                feats.append(audio_feature_vec(rate, samples).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "sample_rate": rates,
-                                "duration_sec": durs, "feature": feats})
+                durs.append(dur)
+                feats.append(feat)
+            data = {id_col: pdf[id_col], "sample_rate": rates,
+                    "duration_sec": durs, "feature": feats}
+            if quarantine:
+                data["decode_error"] = errs
+            yield pd.DataFrame(data)
 
     return df.select(id_col, media_col).mapInPandas(
         run, f"{id_col} long, sample_rate int, duration_sec double, "
-             f"feature array<float>")
+             f"feature array<float>"
+             + (", decode_error string" if quarantine else ""))
 
 
 def frame_sample(df: DataFrame, id_col: str = "doc_id",
-                 media_col: str = "media", every_n: int = 1) -> DataFrame:
+                 media_col: str = "media", every_n: int = 1,
+                 on_error: str = "raise") -> DataFrame:
     """Video → sampled frames (id, frame_no, frame binary): keep every
     `every_n`-th frame. One output row per frame — the correct shape for
     downstream per-frame featurization at scale (explode early, then
-    repartition by bytes, not rows)."""
+    repartition by bytes, not rows). In quarantine mode a corrupt video
+    yields ONE row (frame_no/frame NULL, decode_error set) so the doc
+    stays visible for quarantine routing instead of vanishing."""
+    quarantine = _quarantine_mode(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, frame_nos, frames = [], [], []
+            ids, frame_nos, frames, errs = [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[media_col]):
-                for f_no, fb in enumerate(
-                        decode_video_frames(bytes(blob or b""))):
+                try:
+                    blobs = decode_video_frames(bytes(blob or b""))
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    if not quarantine:
+                        raise
+                    ids.append(i)
+                    frame_nos.append(None)
+                    frames.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+                    continue
+                for f_no, fb in enumerate(blobs):
                     if f_no % every_n == 0:
                         ids.append(i)
                         frame_nos.append(f_no)
                         frames.append(fb)
-            yield pd.DataFrame({id_col: ids, "frame_no": frame_nos,
-                                "frame": frames})
+                        errs.append(None)
+            data = {id_col: ids, "frame_no": frame_nos, "frame": frames}
+            if quarantine:
+                data["decode_error"] = errs
+            yield pd.DataFrame(data)
 
     return df.select(id_col, media_col).mapInPandas(
-        run, f"{id_col} long, frame_no int, frame binary")
+        run, f"{id_col} long, frame_no int, frame binary"
+             + (", decode_error string" if quarantine else ""))
 
 
 def media_stats(df: DataFrame, id_col: str = "doc_id",

@@ -499,7 +499,27 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
     """Full pages→segments build. See module docstring for the plan.
 
     max_segments limits how many missing segments are built this run (used by
-    the kill/rerun resumability test)."""
+    the kill/rerun resumability test).
+
+    Holds the catalog writer lock for the whole build (shared with
+    append/upsert/compaction): concurrent segment writers allocate ids
+    from max_seg_id() and reclaim each other's staged dirs in their
+    crash-recovery housekeeping — serializing them is the contract;
+    delete_docs/expire stay concurrent (manifest-lock only)."""
+    with IndexCatalog(index_dir).writer_lock():
+        return _build_index_locked(
+            spark, df, index_dir, text_col=text_col, html_col=html_col,
+            id_col=id_col, url_col=url_col, lang_filter=lang_filter,
+            segment_docs=segment_docs, n_buckets=n_buckets,
+            lineage=lineage, max_segments=max_segments)
+
+
+def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
+                        *, text_col: str, html_col: Optional[str],
+                        id_col: Optional[str], url_col: Optional[str],
+                        lang_filter: Optional[str], segment_docs: int,
+                        n_buckets: int, lineage: Optional[dict],
+                        max_segments: Optional[int]) -> BuildResult:
     t0 = time.time()
     timing = os.environ.get("PSL_BUILD_TIMING")
     t_last = [time.time()]

@@ -142,13 +142,35 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
 
 
 def compact_segments(spark: SparkSession, index_dir: str,
-                     group_size: Optional[int] = None) -> int:
+                     group_size: Optional[int] = None,
+                     _pre_commit_hook=None) -> int:
     """Merge the current snapshot's posting segments into groups of
     `group_size` consecutive segments (default: all into one). Returns the
     new snapshot id. Hot-term row growth is bounded by group_size ×
     segment_docs postings per merged row — choose group_size so that bound
-    fits executor memory at the target scale."""
+    fits executor memory at the target scale.
+
+    Holds the catalog writer lock for the whole merge (appends and other
+    compactions are excluded — their housekeeping would reclaim this run's
+    staged dirs). delete_docs stays CONCURRENT: tombstones committed while
+    the merge runs are re-routed to the merged posting segments and carried
+    forward as still-pending at commit time (they were not visible to the
+    decode stage, so their docs exist in the new postings and keep being
+    masked until the next compaction applies them).
+
+    _pre_commit_hook: test seam, called once after the merge write but
+    before the commit loop — lets tests deterministically inject a
+    concurrent delete_docs commit into the rebase window."""
     cat = IndexCatalog(index_dir)
+    with cat.writer_lock():
+        return _compact_segments_locked(spark, index_dir, cat, group_size,
+                                        _pre_commit_hook)
+
+
+def _compact_segments_locked(spark: SparkSession, index_dir: str,
+                             cat: IndexCatalog,
+                             group_size: Optional[int],
+                             _pre_commit_hook=None) -> int:
     snap = cat.current_snapshot()
     if snap is None:
         raise ValueError(f"no committed snapshot in {index_dir}")
@@ -262,6 +284,7 @@ def compact_segments(spark: SparkSession, index_dir: str,
         new_pseg_of[int(d)] = int(group_of.get(p, p))
     stats["pseg_of"] = {str(k): v for k, v in new_pseg_of.items()}
     applied = [int(x) for x in (snap.get("applied_delete_files") or [])]
+    snap_pending_n = int(snap["stats"].get("n_deleted_pending", 0))
     if pending:
         # deletes are now physically absent from the postings: stats
         # describe the live corpus, and the files move to applied (docmap
@@ -274,9 +297,83 @@ def compact_segments(spark: SparkSession, index_dir: str,
             stats.pop("n_deleted_pending", 0))
         applied = sorted(applied + pending)
         lineage["applied_delete_files"] = pending
-    return cat.commit_snapshot(
-        doc_segs_out, stats, lineage,
-        posting_segments=new_segs,
-        doc_segments=doc_segs_out,
-        delete_files=[],
-        applied_delete_files=applied)
+
+    if _pre_commit_hook is not None:
+        _pre_commit_hook()
+
+    # Commit-time rebase: delete_docs runs CONCURRENTLY with this merge
+    # (it takes only the manifest lock), so the current snapshot may have
+    # gained delete files since `snap`. Those tombstones were invisible to
+    # the decode stage (their docs live on in the new postings) and their
+    # pseg routing targets the pre-merge posting segments — carry each one
+    # forward as still-pending, re-routed through this merge's group map,
+    # or distributed reads would join them against dead segments and the
+    # deleted docs would silently resurface. The re-route job runs OUTSIDE
+    # the manifest lock; the loop re-checks for yet-newer files each pass.
+    snap_pending_set = set(int(x) for x in pending)
+    group_map = {int(s): int(g) for s, g in group_of.items()}
+    rerouted: dict = {}
+    while True:
+        with cat._manifest_lock():
+            cur = cat.current_snapshot()
+            for key, want in (("doc_segments", doc_segs_out),
+                              ("posting_segments", old_segs),
+                              ("applied_delete_files",
+                               snap.get("applied_delete_files") or [])):
+                got = cur.get(key, cur["segments"]
+                              if key.endswith("segments") else [])
+                if sorted(int(x) for x in (got or [])) != sorted(
+                        int(x) for x in (want or [])):
+                    raise RuntimeError(
+                        f"concurrent segment writer bypassed the writer "
+                        f"lock ({key} changed mid-compaction)")
+            extra = [int(f) for f in (cur.get("delete_files") or [])
+                     if int(f) not in snap_pending_set]
+            missing = [f for f in extra if f not in rerouted]
+            if not missing:
+                final_pending = []
+                for f in extra:
+                    did = cat.max_delete_file_id() + 1
+                    os.rename(rerouted[f], os.path.join(
+                        cat.deletes_dir(), f"del={did}"))
+                    final_pending.append(did)
+                carried = max(0, int(cur["stats"].get(
+                    "n_deleted_pending", 0)) - snap_pending_n)
+                if carried or extra:
+                    stats["n_deleted_pending"] = carried
+                    lineage["carried_delete_files"] = {
+                        str(f): d for f, d in zip(extra, final_pending)}
+                return cat._commit_snapshot_locked(
+                    doc_segs_out, stats, lineage,
+                    posting_segments=new_segs,
+                    doc_segments=doc_segs_out,
+                    delete_files=final_pending,
+                    applied_delete_files=applied)
+        for f in missing:
+            rerouted[f] = _reroute_delete_file(spark, cat, f, group_map)
+
+
+def _reroute_delete_file(spark: SparkSession, cat: IndexCatalog,
+                         file_id: int, group_map: dict) -> str:
+    """Rewrite one delete file's pseg partitioning through a compaction's
+    old-posting-seg → merged-seg map (identity where unmapped); returns
+    the routed del.tmp-* staging dir (the caller renames it to its final
+    del=<id> name under the manifest lock). The original file stays on
+    disk — intermediate snapshots reference it for time travel; expire
+    reclaims it once they drop."""
+    import uuid
+
+    from pysearchlite_spark.plans.deletes import deletes_df
+    src = deletes_df(spark, cat, [int(file_id)])
+    mapping = F.create_map(*[x for k, v in group_map.items()
+                             for x in (F.lit(int(k)), F.lit(int(v)))])
+    routed = src.select(
+        "doc_id", "dseg",
+        F.coalesce(mapping[F.col("pseg")],
+                   F.col("pseg")).cast("long").alias("pseg"))
+    out = os.path.join(cat.deletes_dir(),
+                       f"del.tmp-{uuid.uuid4().hex}")
+    n_pseg = max(1, len(set(group_map.values())))
+    (routed.repartition(n_pseg, F.col("pseg"))
+     .write.partitionBy("pseg").mode("overwrite").parquet(out))
+    return out

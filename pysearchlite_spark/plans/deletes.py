@@ -61,7 +61,8 @@ def deletes_df(spark: SparkSession, cat: IndexCatalog,
 def delete_docs(spark: SparkSession, index_dir: str,
                 ids: Union[DataFrame, Iterable[int]],
                 id_col: str = "doc_id",
-                prevalidated: bool = False) -> int:
+                prevalidated: bool = False,
+                _pre_commit_hook=None) -> int:
     """Commit a delete of the given doc_ids against the CURRENT snapshot.
     Returns the new snapshot id.
 
@@ -112,17 +113,6 @@ def delete_docs(spark: SparkSession, index_dir: str,
                 .join(prior, "doc_id", "left_anti")
                 .select("doc_id", F.col("seg").alias("dseg")))
 
-    pseg_of = {int(k): int(v)
-               for k, v in (snap["stats"].get("pseg_of") or {}).items()}
-    if pseg_of:
-        mapping = F.create_map(*[x for k, v in pseg_of.items()
-                                 for x in (F.lit(k), F.lit(v))])
-        rows = rows.withColumn(
-            "pseg", F.coalesce(mapping[F.col("dseg")],
-                               F.col("dseg")).cast("long"))
-    else:
-        rows = rows.withColumn("pseg", F.col("dseg"))
-
     # Write to a TEMP name first, then allocate the id and rename UNDER
     # the manifest lock: allocating before the (long) Spark write would
     # let a concurrently-committed later id raise the expire sweep's
@@ -132,12 +122,33 @@ def delete_docs(spark: SparkSession, index_dir: str,
     # dirs (del.tmp-*) are invisible to readers/allocation and reclaimed
     # by expire_snapshots' sweep.
     import os
+    import shutil
     import uuid
-    tmp_out = os.path.join(cat.deletes_dir(), f"del.tmp-{uuid.uuid4().hex}")
-    # ≤1 writer task per pseg partition dir, like the docmap writer
-    n_pseg = max(1, len(set(pseg_of.values()) or doc_segs))
-    (rows.repartition(n_pseg, F.col("pseg"))
-     .write.partitionBy("pseg").mode("overwrite").parquet(tmp_out))
+
+    def _pseg_map(s: dict) -> dict:
+        return {int(k): int(v)
+                for k, v in (s["stats"].get("pseg_of") or {}).items()}
+
+    def _route_and_write(src: DataFrame, pseg_of: dict) -> str:
+        routed = src.select("doc_id", "dseg")
+        if pseg_of:
+            mapping = F.create_map(*[x for k, v in pseg_of.items()
+                                     for x in (F.lit(k), F.lit(v))])
+            routed = routed.withColumn(
+                "pseg", F.coalesce(mapping[F.col("dseg")],
+                                   F.col("dseg")).cast("long"))
+        else:
+            routed = routed.withColumn("pseg", F.col("dseg"))
+        out = os.path.join(cat.deletes_dir(),
+                           f"del.tmp-{uuid.uuid4().hex}")
+        # ≤1 writer task per pseg partition dir, like the docmap writer
+        n_pseg = max(1, len(set(pseg_of.values()) or doc_segs))
+        (routed.repartition(n_pseg, F.col("pseg"))
+         .write.partitionBy("pseg").mode("overwrite").parquet(out))
+        return out
+
+    routing_snap = snap
+    tmp_out = _route_and_write(rows, _pseg_map(routing_snap))
 
     # explicit schema: an idempotent re-delete writes ZERO part files and
     # schema inference would fail on the empty dir
@@ -148,28 +159,49 @@ def delete_docs(spark: SparkSession, index_dir: str,
         # fully idempotent no-op: registering an empty delete file would
         # permanently grow the pending list (every distributed query scans
         # it, every compaction carries it) for zero information
-        import shutil
         shutil.rmtree(tmp_out, ignore_errors=True)
         return int(snap["snapshot_id"])
-    # Allocate + rename + COMMIT under one lock acquisition: splitting the
-    # commit into a second acquisition opens a window where a concurrent
-    # delete commits a higher id, raising the expire sweep's
-    # max-referenced-id watermark above this renamed-but-uncommitted dir —
-    # the sweep would then reclaim it as crash debris (the sweep also
-    # age-guards del= dirs as defense-in-depth, but atomicity here is the
-    # actual invariant).
-    with cat._manifest_lock():
-        did = cat.max_delete_file_id() + 1
-        os.rename(tmp_out, os.path.join(cat.deletes_dir(), f"del={did}"))
-        stats = dict(snap["stats"])
-        stats["n_deleted_pending"] = int(
-            stats.get("n_deleted_pending", 0)) + int(n_new)
-        lineage = dict(snap.get("lineage") or {})
-        lineage.update({"op": "delete_docs", "delete_file": did,
-                        "n_deleted": int(n_new), "deleted_at": time.time()})
-        return cat._commit_snapshot_locked(
-            snap["segments"], stats, lineage,
-            posting_segments=snap.get("posting_segments", snap["segments"]),
-            doc_segments=snap.get("doc_segments", snap["segments"]),
-            delete_files=(snap.get("delete_files") or []) + [did],
-            applied_delete_files=snap.get("applied_delete_files") or [])
+
+    # Allocate + rename + COMMIT under ONE lock acquisition, REBASED onto
+    # the snapshot that is current AT COMMIT TIME — the validating scan and
+    # the Spark write above take seconds, and carrying forward the lists of
+    # the pre-write snapshot would silently drop whatever a concurrent
+    # committer (another delete, an append) added in between (lost update;
+    # its delete file would then be physically expired while still wanted).
+    # If a concurrent COMPACTION changed pseg_of, the staged file's pseg
+    # routing is stale — re-route from the already-materialized tmp rows
+    # (never from `rows`: its lineage reads delete files of the original
+    # snapshot, which a concurrent expire may have removed) and retry.
+    if _pre_commit_hook is not None:  # test seam: inject a concurrent
+        _pre_commit_hook()            # commit into the rebase window
+    while True:
+        with cat._manifest_lock():
+            cur = cat.current_snapshot()
+            if _pseg_map(cur) == _pseg_map(routing_snap):
+                did = cat.max_delete_file_id() + 1
+                os.rename(tmp_out,
+                          os.path.join(cat.deletes_dir(), f"del={did}"))
+                # n_deleted_pending may overcount if a concurrent delete
+                # tombstoned overlapping ids (masking is a set union, so
+                # results stay correct); compaction recomputes exact counts
+                stats = dict(cur["stats"])
+                stats["n_deleted_pending"] = int(
+                    stats.get("n_deleted_pending", 0)) + int(n_new)
+                lineage = dict(cur.get("lineage") or {})
+                lineage.update({"op": "delete_docs", "delete_file": did,
+                                "n_deleted": int(n_new),
+                                "deleted_at": time.time()})
+                return cat._commit_snapshot_locked(
+                    cur["segments"], stats, lineage,
+                    posting_segments=cur.get("posting_segments",
+                                             cur["segments"]),
+                    doc_segments=cur.get("doc_segments", cur["segments"]),
+                    delete_files=(cur.get("delete_files") or []) + [did],
+                    applied_delete_files=cur.get("applied_delete_files")
+                    or [])
+        staged = (spark.read.option("basePath", tmp_out)
+                  .schema(DELETES_SCHEMA + ", pseg long").parquet(tmp_out)
+                  .select("doc_id", "dseg"))
+        retry_out = _route_and_write(staged, _pseg_map(cur))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        tmp_out, routing_snap = retry_out, cur

@@ -73,6 +73,20 @@ class IndexCatalog:
         from pysearchlite_spark.locks import flock_ctx
         return flock_ctx(os.path.join(self.root, ".manifest.lock"))
 
+    def writer_lock(self):
+        """Exclusive flock serializing SEGMENT-WRITING maintenance ops
+        (build_index resume, append/upsert ingest, compaction) for the
+        whole job, not just the commit: these ops are mutually destructive
+        mid-flight — each one's crash-recovery housekeeping
+        (drop_uncommitted_segments) reclaims the other's staged-but-
+        uncommitted seg dirs, and both allocate ids from max_seg_id().
+        delete_docs and expire_snapshots do NOT take it (tombstone-only —
+        they stay concurrent with any writer via commit-time rebase).
+        Lock order is writer → manifest, never the reverse; like
+        _manifest_lock it is NOT re-entrant."""
+        from pysearchlite_spark.locks import flock_ctx
+        return flock_ctx(os.path.join(self.root, ".writer.lock"))
+
     def _write_manifest(self, m: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
         with os.fdopen(fd, "w") as f:
@@ -322,21 +336,30 @@ class IndexCatalog:
             droot = self.deletes_dir()
             if os.path.isdir(droot):
                 mx = max(all_ref) if all_ref else None
+
+                def _age(path):
+                    # a concurrent delete_docs may rmtree its own tmp dir
+                    # (idempotent no-op path) without the lock — a vanished
+                    # dir is simply not sweepable, never an expire failure
+                    try:
+                        return time.time() - os.path.getmtime(path)
+                    except OSError:
+                        return -1.0
+
                 for name in os.listdir(droot):
                     p = os.path.join(droot, name)
                     if name.startswith("del.tmp-"):
                         # a crashed delete_docs' staging dir — but an
                         # IN-FLIGHT one looks identical (its write runs
                         # outside the lock), so only reap stale ones
-                        if time.time() - os.path.getmtime(p) > 86400:
+                        if _age(p) > 86400:
                             shutil.rmtree(p, ignore_errors=True)
                             swept += 1
                         continue
                     if not name.startswith("del=") or mx is None:
                         continue
                     i = int(name.split("=", 1)[1])
-                    if (i < mx and i not in all_ref
-                            and time.time() - os.path.getmtime(p) > 86400):
+                    if i < mx and i not in all_ref and _age(p) > 86400:
                         shutil.rmtree(p)
                         swept += 1
 

@@ -66,10 +66,26 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
     """Index `batch` as new segments appended to an existing (or empty)
     index. Returns the new snapshot id. Idempotent per batch_id: if the
     current snapshot already records this batch_id, the append is skipped
-    (foreachBatch replays after failure)."""
-    from pysearchlite_spark.plans.builder import build_index
+    (foreachBatch replays after failure).
 
+    Holds the catalog writer lock for the whole append: a concurrent
+    compaction's (or second append's) housekeeping would otherwise reclaim
+    this append's staged-but-uncommitted seg dirs mid-write, and both
+    allocate segment ids from max_seg_id(). Concurrent delete_docs needs
+    no exclusion — it writes no segments and rebases at commit time."""
     cat = IndexCatalog(index_dir)
+    with cat.writer_lock():
+        return _append_batch_locked(
+            spark, batch, index_dir, cat, text_col=text_col,
+            html_col=html_col, url_col=url_col, lang_filter=lang_filter,
+            segment_docs=segment_docs, batch_id=batch_id)
+
+
+def _append_batch_locked(spark: SparkSession, batch: DataFrame,
+                         index_dir: str, cat: IndexCatalog, *,
+                         text_col: str, html_col: Optional[str],
+                         url_col: str, lang_filter: Optional[str],
+                         segment_docs: int, batch_id: Optional[int]) -> int:
     _refuse_if_suspended_build(index_dir)
     snap = cat.current_snapshot()
     if snap is not None and batch_id is not None:

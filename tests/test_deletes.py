@@ -361,3 +361,129 @@ def test_expire_sweep_del_dirs_age_guarded(spark, built):  # noqa: F811
     assert os.path.isdir(ref_dir), "referenced delete file was swept"
     for d in (fresh_orphan, above_wm):
         shutil.rmtree(d)
+
+
+def test_concurrent_delete_commits_rebase_not_lost(spark, docs_df,  # noqa: F811
+                                                   tmp_path_factory):
+    """Two deletes racing: the one that commits second must rebase onto
+    the snapshot that is current AT COMMIT TIME, so BOTH delete files end
+    up referenced (a carry-forward from the pre-write snapshot would drop
+    the other's file — lost update — and expire would then physically
+    remove it)."""
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+
+    idx_dir = str(tmp_path_factory.mktemp("race_del") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    ids = SearchIndex(spark, idx_dir).search_and_ids(Q)
+    assert ids.size >= 4
+    a_ids = [int(x) for x in ids[:2]]
+    b_ids = [int(x) for x in ids[2:4]]
+
+    def concurrent_commit():
+        delete_docs(spark, idx_dir, b_ids)  # lands inside A's window
+
+    delete_docs(spark, idx_dir, a_ids, _pre_commit_hook=concurrent_commit)
+
+    snap = IndexCatalog(idx_dir).current_snapshot()
+    assert len(snap["delete_files"]) == 2, snap["delete_files"]
+    assert snap["stats"]["n_deleted_pending"] == 4
+    idx = SearchIndex(spark, idx_dir)
+    got = set(int(x) for x in idx.search_and_ids(Q))
+    assert got == set(int(x) for x in ids) - set(a_ids) - set(b_ids)
+    assert set(int(x) for x in
+               idx.search_and_ids(Q, distributed=True)) == got
+
+
+def test_delete_during_compaction_carried_and_rerouted(spark, docs_df,  # noqa: F811
+                                                       tmp_path_factory):
+    """A delete committed while a compaction merges must survive the
+    compaction commit as STILL-PENDING, re-routed to the merged posting
+    segments (it was invisible to the decode stage). Without the rebase,
+    compaction's delete_files=[] would drop it (docs resurface); without
+    the re-route, distributed reads would join its tombstones against the
+    dead pre-merge segments."""
+    from pysearchlite_spark.plans.deletes import deletes_df
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+
+    idx_dir = str(tmp_path_factory.mktemp("race_cmp") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    cat = IndexCatalog(idx_dir)
+    ids = SearchIndex(spark, idx_dir).search_and_ids(Q)
+    assert ids.size >= 4
+    pre_ids = [int(x) for x in ids[:2]]    # pending BEFORE the merge
+    mid_ids = [int(x) for x in ids[2:4]]   # lands DURING the merge
+    delete_docs(spark, idx_dir, pre_ids)
+
+    def mid_merge_delete():
+        delete_docs(spark, idx_dir, mid_ids)
+
+    compact_segments(spark, idx_dir, _pre_commit_hook=mid_merge_delete)
+
+    snap = cat.current_snapshot()
+    # pre-merge file applied; mid-merge file carried as pending (rerouted
+    # under a NEW id)
+    assert len(snap["applied_delete_files"]) == 1
+    assert len(snap["delete_files"]) == 1
+    assert snap["stats"]["n_deleted_pending"] == 2
+    assert snap["stats"]["n_deleted_applied"] == 2
+    # the carried file's psegs all point at CURRENT posting segments
+    carried = deletes_df(spark, cat, snap["delete_files"])
+    psegs = set(r["pseg"] for r in carried.select("pseg")
+                .distinct().collect())
+    assert psegs <= set(int(s) for s in snap["posting_segments"]), (
+        psegs, snap["posting_segments"])
+    got_rows = set(r["doc_id"] for r in carried.select("doc_id").collect())
+    assert got_rows == set(mid_ids)
+
+    idx = SearchIndex(spark, idx_dir)
+    want = set(int(x) for x in ids) - set(pre_ids) - set(mid_ids)
+    assert set(int(x) for x in idx.search_and_ids(Q)) == want
+    assert set(int(x) for x in
+               idx.search_and_ids(Q, distributed=True)) == want
+    assert idx.count(Q, distributed=True) == len(want)
+
+    # a second compaction applies the carried file for real
+    compact_segments(spark, idx_dir)
+    snap2 = cat.current_snapshot()
+    assert snap2["delete_files"] == []
+    assert snap2["stats"].get("n_deleted_pending", 0) == 0
+    idx2 = SearchIndex(spark, idx_dir)
+    assert set(int(x) for x in idx2.search_and_ids(Q)) == want
+
+
+def test_compaction_during_delete_reroutes(spark, docs_df,  # noqa: F811
+                                           tmp_path_factory):
+    """The mirror race: a compaction commits while a delete is between
+    its staging write and its commit. The delete's staged pseg routing
+    now targets dead segments — it must detect the pseg_of change and
+    re-route from the materialized staging rows before committing."""
+    from pysearchlite_spark.plans.deletes import deletes_df
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+
+    idx_dir = str(tmp_path_factory.mktemp("race_dc") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    cat = IndexCatalog(idx_dir)
+    n_segs_before = len(cat.current_snapshot()["posting_segments"])
+    assert n_segs_before > 1, "need a multi-segment index to merge"
+    ids = SearchIndex(spark, idx_dir).search_and_ids(Q)
+    victims = [int(x) for x in ids[:3]]
+
+    def mid_delete_compact():
+        compact_segments(spark, idx_dir)
+
+    delete_docs(spark, idx_dir, victims,
+                _pre_commit_hook=mid_delete_compact)
+
+    snap = cat.current_snapshot()
+    assert len(snap["delete_files"]) == 1
+    carried = deletes_df(spark, cat, snap["delete_files"])
+    psegs = set(r["pseg"] for r in carried.select("pseg")
+                .distinct().collect())
+    assert psegs <= set(int(s) for s in snap["posting_segments"]), (
+        psegs, snap["posting_segments"])
+
+    idx = SearchIndex(spark, idx_dir)
+    want = set(int(x) for x in ids) - set(victims)
+    assert set(int(x) for x in idx.search_and_ids(Q)) == want
+    assert set(int(x) for x in
+               idx.search_and_ids(Q, distributed=True)) == want

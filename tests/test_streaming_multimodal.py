@@ -252,3 +252,68 @@ def test_degenerate_psl1_dims_raise_cleanly():
     meta, px = decode_image(bytes(blob))
     import numpy as np
     assert np.isfinite(image_feature_vec(px)).all()
+
+
+def test_media_quarantine_mode(spark):
+    """on_error='quarantine': one corrupt blob must not kill the job —
+    the bad row comes back with NULL outputs + decode_error, good rows
+    are bit-identical to default mode. Default mode still raises (curated
+    fixtures want loud failure)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pysearchlite_spark.functions.multimodal import (audio_features,
+                                                         encode_audio,
+                                                         encode_image,
+                                                         encode_video,
+                                                         frame_sample,
+                                                         image_features)
+
+    good_img = encode_image(np.full((4, 4, 3), 128, dtype=np.uint8))
+    bad_img = b"PSL1" + struct.pack("<HHB", 0, 4, 3)  # degenerate dims
+    df = spark.createDataFrame(
+        [(1, bytearray(good_img)), (2, bytearray(bad_img))],
+        "doc_id long, media binary")
+
+    with _pytest.raises(Exception):
+        image_features(df).collect()  # default stays loud
+    rows = {r["doc_id"]: r for r in
+            image_features(df, on_error="quarantine").collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["meta"]["width"] == 4 and len(rows[1]["feature"]) == 64
+    assert rows[2]["meta"] is None and rows[2]["feature"] is None
+    assert "degenerate" in rows[2]["decode_error"]
+
+    good_aud = encode_audio(
+        (np.sin(np.linspace(0, 20, 800)) * 3000).astype(np.int16), 8000)
+    adf = spark.createDataFrame(
+        [(1, bytearray(good_aud)), (2, bytearray(b"JUNKxxxx"))],
+        "doc_id long, media binary")
+    with _pytest.raises(Exception):
+        audio_features(adf).collect()
+    arows = {r["doc_id"]: r for r in
+             audio_features(adf, on_error="quarantine").collect()}
+    assert arows[1]["decode_error"] is None
+    assert arows[1]["sample_rate"] == 8000
+    assert arows[2]["sample_rate"] is None and arows[2]["feature"] is None
+    assert "PSLA" in arows[2]["decode_error"]
+
+    frames = [np.full((2, 2, 1), i, dtype=np.uint8) for i in range(4)]
+    vdf = spark.createDataFrame(
+        [(1, bytearray(encode_video(frames))), (2, bytearray(b"NOPE"))],
+        "doc_id long, media binary")
+    with _pytest.raises(Exception):
+        frame_sample(vdf, every_n=2).collect()
+    vrows = frame_sample(vdf, every_n=2,
+                         on_error="quarantine").collect()
+    good = [r for r in vrows if r["doc_id"] == 1]
+    bad = [r for r in vrows if r["doc_id"] == 2]
+    assert sorted(r["frame_no"] for r in good) == [0, 2]
+    assert all(r["decode_error"] is None for r in good)
+    assert len(bad) == 1 and bad[0]["frame_no"] is None
+    assert "PSLV" in bad[0]["decode_error"]
+
+    with _pytest.raises(ValueError, match="on_error"):
+        image_features(df, on_error="skip")
