@@ -722,9 +722,52 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
                  # are exact only at this avgdl; queries scale them by
                  # current/pack when streaming appends drift the global stat
                  "pack_avgdl": {str(s): avgdl for s in sorted(staged_all)}}
-        snapshot_id = cat.commit_snapshot(
-            sorted(staged_all), stats,
-            lineage or {"source": "unknown", "built_at": time.time()})
+        # Commit under the manifest lock with a rebase of the TOMBSTONE
+        # state: a rerun over an already-committed index (idempotent
+        # replay of a build job) or a delete_docs that committed while
+        # this build ran must not be wiped by a fresh delete_files=[]
+        # commit — expire would then physically reclaim the dropped
+        # delete file while its docs are live again. Carrying is only
+        # sound when the committed layout IS this build's layout; a
+        # snapshot that diverged via append/compaction would be silently
+        # replaced with stats and segment lists that contradict it, so
+        # refuse loudly instead.
+        want = sorted(int(s) for s in staged_all)
+        with cat._manifest_lock():
+            cur = cat.current_snapshot()
+            delete_files: list = []
+            applied: list = []
+            if cur is not None:
+                cur_doc = sorted(int(s) for s in
+                                 cur.get("doc_segments", cur["segments"]))
+                cur_post = sorted(int(s) for s in
+                                  cur.get("posting_segments",
+                                          cur["segments"]))
+                # appended segments carry _STAGED markers too, so compare
+                # against THIS INPUT's segment set as well — an appended
+                # index would otherwise pass the staged_all comparison and
+                # get its n_docs/avgdl/pack_avgdl overwritten with stats
+                # computed from the original corpus only
+                mine = sorted(int(s) for s in all_segs)
+                if cur_doc != want or cur_post != want or mine != want:
+                    raise RuntimeError(
+                        f"index {index_dir} diverged since its build "
+                        f"(doc_segments={cur_doc}, posting_segments="
+                        f"{cur_post}, staged={want}, this input={mine}) — "
+                        "rebuilding over an appended/compacted index "
+                        "would commit inconsistent stats; use a fresh "
+                        "directory")
+                delete_files = list(cur.get("delete_files") or [])
+                applied = list(cur.get("applied_delete_files") or [])
+                for k in ("n_deleted_pending", "n_deleted_applied",
+                          "pseg_of"):
+                    if k in cur["stats"]:
+                        stats[k] = cur["stats"][k]
+            snapshot_id = cat._commit_snapshot_locked(
+                sorted(staged_all), stats,
+                lineage or {"source": "unknown", "built_at": time.time()},
+                delete_files=delete_files,
+                applied_delete_files=applied)
         # stage-0 checkpoint no longer needed once the snapshot is live
         import shutil
         shutil.rmtree(os.path.join(index_dir, "_stage"), ignore_errors=True)

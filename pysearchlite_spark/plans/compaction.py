@@ -361,19 +361,8 @@ def _reroute_delete_file(spark: SparkSession, cat: IndexCatalog,
     del=<id> name under the manifest lock). The original file stays on
     disk — intermediate snapshots reference it for time travel; expire
     reclaims it once they drop."""
-    import uuid
-
-    from pysearchlite_spark.plans.deletes import deletes_df
-    src = deletes_df(spark, cat, [int(file_id)])
-    mapping = F.create_map(*[x for k, v in group_map.items()
-                             for x in (F.lit(int(k)), F.lit(int(v)))])
-    routed = src.select(
-        "doc_id", "dseg",
-        F.coalesce(mapping[F.col("pseg")],
-                   F.col("pseg")).cast("long").alias("pseg"))
-    out = os.path.join(cat.deletes_dir(),
-                       f"del.tmp-{uuid.uuid4().hex}")
-    n_pseg = max(1, len(set(group_map.values())))
-    (routed.repartition(n_pseg, F.col("pseg"))
-     .write.partitionBy("pseg").mode("overwrite").parquet(out))
-    return out
+    from pysearchlite_spark.plans.deletes import (deletes_df,
+                                                  stage_routed_delete_file)
+    return stage_routed_delete_file(
+        deletes_df(spark, cat, [int(file_id)]), cat, group_map, "pseg",
+        len(set(group_map.values())))

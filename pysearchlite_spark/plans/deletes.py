@@ -58,6 +58,35 @@ def deletes_df(spark: SparkSession, cat: IndexCatalog,
                        for i in ids]))
 
 
+def stage_routed_delete_file(rows: DataFrame, cat: IndexCatalog,
+                             seg_map: dict, map_col: str,
+                             n_targets: int) -> str:
+    """THE one producer of the delete-file layout: route `rows`
+    (doc_id, dseg[, pseg]) to their posting segment via pseg =
+    seg_map[map_col] (identity where unmapped) and write them to a
+    del.tmp-<uuid> staging dir under the deletes root, hive-partitioned by
+    pseg with ≤1 writer task per partition dir. Callers rename the dir to
+    its final del=<id> name under the manifest lock. Two routings share
+    this: delete_docs maps dseg→pseg through the snapshot's pseg_of;
+    compaction re-routes an existing pseg through its merge group map —
+    any layout change (naming, schema, partitioning) must stay in ONE
+    place or the decode stage's del=<f>/pseg=<seg> pruning silently
+    diverges between fresh and carried files."""
+    import os
+    import uuid
+    if seg_map:
+        mapping = F.create_map(*[x for k, v in seg_map.items()
+                                 for x in (F.lit(int(k)), F.lit(int(v)))])
+        pseg = F.coalesce(mapping[F.col(map_col)], F.col(map_col))
+    else:
+        pseg = F.col(map_col)
+    out = os.path.join(cat.deletes_dir(), f"del.tmp-{uuid.uuid4().hex}")
+    (rows.select("doc_id", "dseg", pseg.cast("long").alias("pseg"))
+     .repartition(max(1, n_targets), F.col("pseg"))
+     .write.partitionBy("pseg").mode("overwrite").parquet(out))
+    return out
+
+
 def delete_docs(spark: SparkSession, index_dir: str,
                 ids: Union[DataFrame, Iterable[int]],
                 id_col: str = "doc_id",
@@ -123,29 +152,15 @@ def delete_docs(spark: SparkSession, index_dir: str,
     # by expire_snapshots' sweep.
     import os
     import shutil
-    import uuid
 
     def _pseg_map(s: dict) -> dict:
         return {int(k): int(v)
                 for k, v in (s["stats"].get("pseg_of") or {}).items()}
 
     def _route_and_write(src: DataFrame, pseg_of: dict) -> str:
-        routed = src.select("doc_id", "dseg")
-        if pseg_of:
-            mapping = F.create_map(*[x for k, v in pseg_of.items()
-                                     for x in (F.lit(k), F.lit(v))])
-            routed = routed.withColumn(
-                "pseg", F.coalesce(mapping[F.col("dseg")],
-                                   F.col("dseg")).cast("long"))
-        else:
-            routed = routed.withColumn("pseg", F.col("dseg"))
-        out = os.path.join(cat.deletes_dir(),
-                           f"del.tmp-{uuid.uuid4().hex}")
         # ≤1 writer task per pseg partition dir, like the docmap writer
         n_pseg = max(1, len(set(pseg_of.values()) or doc_segs))
-        (routed.repartition(n_pseg, F.col("pseg"))
-         .write.partitionBy("pseg").mode("overwrite").parquet(out))
-        return out
+        return stage_routed_delete_file(src, cat, pseg_of, "dseg", n_pseg)
 
     routing_snap = snap
     tmp_out = _route_and_write(rows, _pseg_map(routing_snap))

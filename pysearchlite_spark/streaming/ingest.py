@@ -61,8 +61,8 @@ def _refuse_if_suspended_build(index_dir: str) -> None:
 def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
                  text_col: str = "text", html_col: Optional[str] = None,
                  url_col: str = "url", lang_filter: Optional[str] = None,
-                 segment_docs: int = 1 << 20, batch_id: Optional[int] = None
-                 ) -> int:
+                 segment_docs: int = 1 << 20, batch_id: Optional[int] = None,
+                 _pre_commit_hook=None) -> int:
     """Index `batch` as new segments appended to an existing (or empty)
     index. Returns the new snapshot id. Idempotent per batch_id: if the
     current snapshot already records this batch_id, the append is skipped
@@ -72,20 +72,27 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
     compaction's (or second append's) housekeeping would otherwise reclaim
     this append's staged-but-uncommitted seg dirs mid-write, and both
     allocate segment ids from max_seg_id(). Concurrent delete_docs needs
-    no exclusion — it writes no segments and rebases at commit time."""
+    no exclusion — it writes no segments and both sides rebase at commit
+    time.
+
+    _pre_commit_hook: test seam, called after the segment writes but
+    before the rebase commit — lets tests inject a concurrent delete_docs
+    commit into the rebase window."""
     cat = IndexCatalog(index_dir)
     with cat.writer_lock():
         return _append_batch_locked(
             spark, batch, index_dir, cat, text_col=text_col,
             html_col=html_col, url_col=url_col, lang_filter=lang_filter,
-            segment_docs=segment_docs, batch_id=batch_id)
+            segment_docs=segment_docs, batch_id=batch_id,
+            _pre_commit_hook=_pre_commit_hook)
 
 
 def _append_batch_locked(spark: SparkSession, batch: DataFrame,
                          index_dir: str, cat: IndexCatalog, *,
                          text_col: str, html_col: Optional[str],
                          url_col: str, lang_filter: Optional[str],
-                         segment_docs: int, batch_id: Optional[int]) -> int:
+                         segment_docs: int, batch_id: Optional[int],
+                         _pre_commit_hook=None) -> int:
     _refuse_if_suspended_build(index_dir)
     snap = cat.current_snapshot()
     if snap is not None and batch_id is not None:
@@ -180,14 +187,31 @@ def _append_batch_locked(spark: SparkSession, batch: DataFrame,
                "ingested_batches": done_batches + (
                    [batch_id] if batch_id is not None else []),
                "appended_at": time.time()}
-    return cat.commit_snapshot(
-        sorted(old_doc_segs + new_segs), stats, lineage,
-        posting_segments=sorted(old_post_segs + new_segs),
-        doc_segments=sorted(old_doc_segs + new_segs),
-        # tombstones carry forward untouched: appended docs get fresh ids
-        delete_files=(snap.get("delete_files") if snap else None) or [],
-        applied_delete_files=(snap.get("applied_delete_files")
-                              if snap else None) or [])
+    if _pre_commit_hook is not None:  # test seam: inject a concurrent
+        _pre_commit_hook()            # commit into the rebase window
+    # Commit-time rebase of the TOMBSTONE state: the writer lock excludes
+    # other segment writers, but delete_docs is (by contract) concurrent
+    # and may have committed during this append's minutes-long Spark
+    # writes. Carrying `snap`'s lists would drop its delete file from the
+    # new current snapshot — docs resurface now, and expire physically
+    # reclaims the file once the delete's own snapshot ages out. Appended
+    # docs get fresh ids, and pseg_of can't change under the writer lock,
+    # so the commit-time lists are correct as-is.
+    with cat._manifest_lock():
+        cur = cat.current_snapshot()
+        if cur is not None:
+            stats["n_deleted_pending"] = int(
+                cur["stats"].get("n_deleted_pending", 0))
+            delete_files = list(cur.get("delete_files") or [])
+            applied = list(cur.get("applied_delete_files") or [])
+        else:
+            delete_files, applied = [], []
+        return cat._commit_snapshot_locked(
+            sorted(old_doc_segs + new_segs), stats, lineage,
+            posting_segments=sorted(old_post_segs + new_segs),
+            doc_segments=sorted(old_doc_segs + new_segs),
+            delete_files=delete_files,
+            applied_delete_files=applied)
 
 
 def upsert_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
@@ -210,38 +234,46 @@ def upsert_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
     BEFORE the delete commit, so crash-replay can't tombstone the rows the
     first (committed) attempt appended. Note the latest capture governs
     even when lang_filter drops it: a url whose re-crawl no longer passes
-    the filter is removed and not re-added."""
+    the filter is removed and not re-added.
+
+    Holds the writer lock across the WHOLE read→tombstone→append sequence
+    (not just the append half): two concurrent upserts of the same url
+    would otherwise each read the live docmap before either appends, each
+    tombstone only the original capture, and leave BOTH replacements live
+    — duplicate docs for one url, violating replace semantics."""
     cat = IndexCatalog(index_dir)
-    # the suspended-build guard must fire BEFORE the tombstone commit: if
-    # append_batch were left to raise it after delete_docs, a refused
-    # upsert would have already deleted the re-crawled urls without
-    # indexing their replacements (and every replay would re-raise,
-    # leaving them lost)
-    _refuse_if_suspended_build(index_dir)
-    snap = cat.current_snapshot()
-    if snap is not None:
-        if batch_id is not None and batch_id in snap.get(
-                "lineage", {}).get("ingested_batches", []):
-            return int(snap["snapshot_id"])
-        from pysearchlite_spark.engine import SearchIndex
-        from pysearchlite_spark.plans.deletes import delete_docs
-        idx = SearchIndex(spark, index_dir)
-        old = (idx.docmap_df()  # live: already-deleted urls don't re-match
-               .join(batch.select(F.col(url_col).alias("url")).distinct(),
-                     "url", "left_semi")
-               .select("doc_id", F.col("seg").alias("dseg")))
-        old = old.persist()
-        try:
-            # mostly-new-url batches skip the delete commit entirely (and
-            # the rows are passed prevalidated — no second docmap scan)
-            if old.limit(1).count():
-                delete_docs(spark, index_dir, old, prevalidated=True)
-        finally:
-            old.unpersist()
-    return append_batch(spark, batch, index_dir, text_col=text_col,
-                        html_col=html_col, url_col=url_col,
-                        lang_filter=lang_filter, segment_docs=segment_docs,
-                        batch_id=batch_id)
+    with cat.writer_lock():
+        # the suspended-build guard must fire BEFORE the tombstone commit:
+        # if append were left to raise it after delete_docs, a refused
+        # upsert would have already deleted the re-crawled urls without
+        # indexing their replacements (and every replay would re-raise,
+        # leaving them lost)
+        _refuse_if_suspended_build(index_dir)
+        snap = cat.current_snapshot()
+        if snap is not None:
+            if batch_id is not None and batch_id in snap.get(
+                    "lineage", {}).get("ingested_batches", []):
+                return int(snap["snapshot_id"])
+            from pysearchlite_spark.engine import SearchIndex
+            from pysearchlite_spark.plans.deletes import delete_docs
+            idx = SearchIndex(spark, index_dir)
+            old = (idx.docmap_df()  # live: deleted urls don't re-match
+                   .join(batch.select(F.col(url_col).alias("url"))
+                         .distinct(), "url", "left_semi")
+                   .select("doc_id", F.col("seg").alias("dseg")))
+            old = old.persist()
+            try:
+                # mostly-new-url batches skip the delete commit entirely
+                # (and the rows are passed prevalidated — no second docmap
+                # scan)
+                if old.limit(1).count():
+                    delete_docs(spark, index_dir, old, prevalidated=True)
+            finally:
+                old.unpersist()
+        return _append_batch_locked(
+            spark, batch, index_dir, cat, text_col=text_col,
+            html_col=html_col, url_col=url_col, lang_filter=lang_filter,
+            segment_docs=segment_docs, batch_id=batch_id)
 
 
 def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,

@@ -487,3 +487,89 @@ def test_compaction_during_delete_reroutes(spark, docs_df,  # noqa: F811
     assert set(int(x) for x in idx.search_and_ids(Q)) == want
     assert set(int(x) for x in
                idx.search_and_ids(Q, distributed=True)) == want
+
+def test_delete_during_append_not_lost(spark, docs_df,  # noqa: F811
+                                       tmp_path_factory):
+    """A delete_docs that commits while an append's segment writes run
+    must survive the append's snapshot commit: append rebases its
+    tombstone state onto the commit-time snapshot instead of carrying the
+    pre-write snapshot's lists (which would drop the delete file — docs
+    resurface, and expire physically reclaims the file once the delete's
+    own snapshot ages out)."""
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+    from pysearchlite_spark.streaming.ingest import append_batch
+
+    idx_dir = str(tmp_path_factory.mktemp("race_app") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    ids = SearchIndex(spark, idx_dir).search_and_ids(Q)
+    assert ids.size >= 2
+    victims = [int(x) for x in ids[:2]]
+
+    def mid_append_delete():
+        delete_docs(spark, idx_dir, victims)
+
+    pages = spark.createDataFrame(
+        [(f"app{i}", "entirely fresh appended page") for i in range(8)],
+        "url string, text string")
+    append_batch(spark, pages, idx_dir, _pre_commit_hook=mid_append_delete)
+
+    snap = IndexCatalog(idx_dir).current_snapshot()
+    assert len(snap["delete_files"]) == 1, snap["delete_files"]
+    assert snap["stats"]["n_deleted_pending"] == 2
+    idx = SearchIndex(spark, idx_dir)
+    want = set(int(x) for x in ids) - set(victims)
+    assert set(int(x) for x in idx.search_and_ids(Q)) == want
+    assert set(int(x) for x in
+               idx.search_and_ids(Q, distributed=True)) == want
+    # the appended docs are searchable too (the append itself committed)
+    assert idx.count("appended") == 8
+
+
+def test_build_rerun_over_committed_keeps_tombstones(spark, docs_df,  # noqa: F811
+                                                     tmp_path_factory):
+    """Replaying a build job over an already-committed identical index
+    (the supported kill/rerun flow taken one step further) must carry the
+    committed tombstone state forward — a fresh delete_files=[] commit
+    would resurface the deleted docs and orphan the delete file."""
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+
+    idx_dir = str(tmp_path_factory.mktemp("rerun_del") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    ids = SearchIndex(spark, idx_dir).search_and_ids(Q)
+    victims = [int(x) for x in ids[:2]]
+    delete_docs(spark, idx_dir, victims)
+
+    r = build_index(spark, docs_df, idx_dir, id_col="doc_id",
+                    segment_docs=128)
+    assert r.snapshot_id > 0  # replay recommitted
+
+    snap = IndexCatalog(idx_dir).current_snapshot()
+    assert len(snap["delete_files"]) == 1
+    assert snap["stats"]["n_deleted_pending"] == 2
+    idx = SearchIndex(spark, idx_dir)
+    want = set(int(x) for x in ids) - set(victims)
+    assert set(int(x) for x in idx.search_and_ids(Q)) == want
+    assert set(int(x) for x in
+               idx.search_and_ids(Q, distributed=True)) == want
+
+
+def test_build_rerun_over_diverged_index_refuses(spark, docs_df,  # noqa: F811
+                                                 tmp_path_factory):
+    """Rebuilding over an index that gained appended segments since its
+    build must refuse loudly: the replayed build's stats (n_docs, avgdl,
+    pack_avgdl) describe only the original corpus, and committing them
+    over the appended snapshot would silently corrupt scoring."""
+    import pytest as _pytest
+
+    from pysearchlite_spark.streaming.ingest import append_batch
+
+    idx_dir = str(tmp_path_factory.mktemp("rerun_div") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    pages = spark.createDataFrame(
+        [(f"div{i}", "appended divergence page") for i in range(4)],
+        "url string, text string")
+    append_batch(spark, pages, idx_dir)
+
+    with _pytest.raises(RuntimeError, match="diverged"):
+        build_index(spark, docs_df, idx_dir, id_col="doc_id",
+                    segment_docs=128)

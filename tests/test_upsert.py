@@ -96,3 +96,35 @@ def test_upsert_then_compact_matches_fresh_build(spark, seeded, tmp_path):
         sb = sorted(round(s, 9) for _, s in orc.topk(q, k=5))
         assert sa == sb
         assert sorted(idx.search(q)) == sorted(orc.search(q))
+
+
+def test_concurrent_upserts_same_url_single_live(spark, seeded):
+    """Two upserts carrying the same url racing: the writer lock must
+    cover the whole read->tombstone->append sequence. If it covered only
+    the append half, both would read the original capture live, both
+    would tombstone only it, and BOTH replacements would stay live —
+    duplicate docs for one url."""
+    import threading
+
+    idx_dir, _ = seeded
+    errs = []
+
+    def run(tag):
+        try:
+            upsert_batch(spark, _pages(
+                spark, [("u001", f"delta {tag} common")]), idx_dir)
+        except Exception as e:  # noqa: BLE001 - surfaced after join
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(t,)) for t in ("one", "two")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+
+    idx = SearchIndex(spark, idx_dir)
+    live = idx.docmap_df().filter(F.col("url") == "u001").collect()
+    assert len(live) == 1, [r["doc_id"] for r in live]
+    assert idx.count("delta") == 1
+    assert idx.count("delta", distributed=True) == 1
