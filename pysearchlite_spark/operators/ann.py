@@ -22,6 +22,8 @@ import json
 import os
 import shutil
 import tempfile
+import time
+import uuid
 from itertools import combinations
 from typing import Iterator, List, Optional, Sequence
 
@@ -245,13 +247,47 @@ def _next_add_id(vec_dir: str, committed: set) -> int:
     return max(on_disk | committed, default=-1) + 1
 
 
+def _sweep_stale_add_tmp(vec_dir: str, max_age_sec: float = 86400.0) -> None:
+    """Reclaim crashed appends' add.tmp-* staging dirs. Age is the NEWEST
+    mtime anywhere in the tree (the top-level dir's mtime reflects Spark's
+    _temporary creation at job start, not ongoing writes), so a slow
+    in-flight staging write keeps refreshing its own lease."""
+    if not os.path.isdir(vec_dir):
+        return
+    now = time.time()
+    for name in os.listdir(vec_dir):
+        if not name.startswith("add.tmp-"):
+            continue
+        path = os.path.join(vec_dir, name)
+        newest = os.path.getmtime(path)
+        for base, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(
+                        os.path.join(base, f)))
+                except OSError:
+                    pass
+        if now - newest > max_age_sec:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def _append_generation(index, df: DataFrame, fn, schema: str,
                        part_col: str, sort_cols, id_col: str, vec_col: str,
-                       batch_id) -> int:
-    """Shared append tail for AnnIndex/IvfIndex: allocate a generation id
-    (sweeping crash debris), write it, and commit it into meta.json under
-    the meta flock — idempotent per batch_id, exactly like the text side's
-    append_batch lineage check."""
+                       batch_id, route_params: dict) -> int:
+    """Shared append tail for AnnIndex/IvfIndex: stage the bucketized
+    generation to an add.tmp-* dir OUTSIDE the meta flock (concurrent
+    appends overlap on write time and serialize only on the rename+meta
+    commit — the same stage-then-commit shape as plans.deletes), then under
+    the lock allocate a generation id, rename, and commit into meta.json.
+    Idempotent per batch_id, exactly like the text side's append_batch
+    lineage check.
+
+    route_params: the routing parameters (planes/centroids/part_bits) the
+    bucketize closure was built from, revalidated against the freshly
+    re-read meta under the lock — a rebuild with different parameters
+    between this handle's construction and its commit would otherwise
+    commit vectors bucketized under the OLD routing, silently unretrievable
+    by queries that route with the new one."""
     done = index.meta.get("ingested_batches") or {}
     if batch_id is not None and str(batch_id) in done:
         return int(index.meta["n_vectors"])
@@ -260,24 +296,42 @@ def _append_generation(index, df: DataFrame, fn, schema: str,
             "this index predates the generation-dir layout — rebuild it "
             "with .build() before appending")
     vec_dir = os.path.join(index.root, "vectors")
-    with _meta_locked(index.root):
-        with open(os.path.join(index.root, "meta.json")) as f:
-            index.meta = json.load(f)  # re-read under the lock
-        done = index.meta.get("ingested_batches") or {}
-        if batch_id is not None and str(batch_id) in done:
-            return int(index.meta["n_vectors"])
-        g = _next_add_id(vec_dir, {int(a) for a in index.meta["adds"]})
-        n_new = _write_vectors(
-            df, fn, schema, part_col, sort_cols,
-            os.path.join(vec_dir, f"add={g}"), "overwrite", id_col,
-            vec_col)
-        index.meta["adds"] = sorted(
-            {int(a) for a in index.meta["adds"]} | {g})
-        if batch_id is not None:
-            done[str(batch_id)] = g
-            index.meta["ingested_batches"] = done
-        index.meta["n_vectors"] = int(index.meta["n_vectors"]) + n_new
-        _commit_meta(index.root, index.meta)
+    tmp = os.path.join(vec_dir, f"add.tmp-{uuid.uuid4().hex}")
+    n_new = _write_vectors(df, fn, schema, part_col, sort_cols, tmp,
+                           "overwrite", id_col, vec_col)
+    try:
+        with _meta_locked(index.root):
+            with open(os.path.join(index.root, "meta.json")) as f:
+                fresh = json.load(f)  # re-read under the lock
+            for k, want in route_params.items():
+                if fresh.get(k) != want:
+                    raise RuntimeError(
+                        f"index at {index.root} was rebuilt with a "
+                        f"different '{k}' since this handle was opened; "
+                        "the staged generation is bucketized under stale "
+                        "routing parameters — re-open the index and retry "
+                        "the append")
+            done = fresh.get("ingested_batches") or {}
+            if batch_id is not None and str(batch_id) in done:
+                index.meta = fresh
+                return int(fresh["n_vectors"])
+            _sweep_stale_add_tmp(vec_dir)
+            g = _next_add_id(vec_dir, {int(a) for a in fresh["adds"]})
+            try:
+                os.rename(tmp, os.path.join(vec_dir, f"add={g}"))
+            except FileNotFoundError:
+                raise RuntimeError(
+                    "a concurrent rebuild removed this append's staged "
+                    "generation mid-flight — retry the append") from None
+            fresh["adds"] = sorted({int(a) for a in fresh["adds"]} | {g})
+            if batch_id is not None:
+                done[str(batch_id)] = g
+                fresh["ingested_batches"] = done
+            fresh["n_vectors"] = int(fresh["n_vectors"]) + n_new
+            _commit_meta(index.root, fresh)
+            index.meta = fresh
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return int(index.meta["n_vectors"])
 
 
@@ -398,7 +452,11 @@ class AnnIndex:
         return _append_generation(
             self, df, _sign_bucketize_fn(self.planes, shift, id_col,
                                          vec_col), AnnIndex.VEC_SCHEMA,
-            "pb", ("pb", "bucket"), id_col, vec_col, batch_id)
+            "pb", ("pb", "bucket"), id_col, vec_col, batch_id,
+            route_params={"n_planes": self.meta["n_planes"],
+                          "seed": self.meta.get("seed"),
+                          "part_bits": self.meta.get("part_bits"),
+                          "planes": self.meta.get("planes")})
 
     def candidates(self, query_vec: Sequence[float],
                    probe_bits: int = 2) -> DataFrame:
@@ -545,7 +603,7 @@ class IvfIndex:
         return _append_generation(
             self, df, _ivf_assign_fn(self.centroids, id_col, vec_col),
             IvfIndex.VEC_SCHEMA, "cid", ("cid",), id_col, vec_col,
-            batch_id)
+            batch_id, route_params={"centroids": self.meta["centroids"]})
 
     def probe_cids(self, query_vec: Sequence[float],
                    nprobe: int) -> List[int]:

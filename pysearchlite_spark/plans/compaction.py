@@ -47,10 +47,13 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
     arrays (no per-row Python objects on the output path).
 
     Tombstone source, in order: `deleted_global` (a pre-collected sorted
-    numpy array — the scheme'd-path fallback where tasks can't read the
-    local deletes dir), else worker-direct parquet reads of
-    deletes/del=<f>/pseg=<old seg> per segment (partition-pruned, loaded
-    once per task via a cache — the local/cluster-filesystem path)."""
+    numpy array — the forced/unresolvable-scheme fallback), else
+    worker-direct parquet reads of deletes/del=<f>/pseg=<old seg> per
+    segment (partition-pruned, loaded once per task via a cache). Plain
+    paths read through the local filesystem (the deletes dir lives in the
+    same tree as the postings this very job scans, so task visibility is
+    guaranteed); scheme'd paths (s3://, hdfs://, …) read through
+    pyarrow.fs so no tombstone set ever materializes on the driver."""
     def decode(batches):
         import os
 
@@ -61,6 +64,24 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
             ("doc_ids", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int64())),
             ("dls", pa.list_(pa.int64())), ("url", pa.string())])
         tomb_cache: dict = {}
+        fs_cache: list = []  # [(filesystem, base_path)] once resolved
+
+        def _read_part(fid: int, old_seg: int):
+            if "://" not in deletes_root:
+                d = os.path.join(deletes_root, f"del={fid}",
+                                 f"pseg={old_seg}")
+                if not os.path.isdir(d):
+                    return None
+                return pq.read_table(d, columns=["doc_id"])
+            if not fs_cache:
+                from pyarrow import fs as pafs
+                fs_cache.append(pafs.FileSystem.from_uri(deletes_root))
+            fs, base = fs_cache[0]
+            d = f"{base.rstrip('/')}/del={fid}/pseg={old_seg}"
+            try:
+                return pq.read_table(d, columns=["doc_id"], filesystem=fs)
+            except (FileNotFoundError, OSError):
+                return None  # this segment has no rows in this file
 
         def tombs(old_seg: int) -> np.ndarray:
             if deleted_global is not None:
@@ -68,12 +89,9 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
             if old_seg not in tomb_cache:
                 parts = []
                 for fid in delete_file_ids:
-                    d = os.path.join(deletes_root, f"del={fid}",
-                                     f"pseg={old_seg}")
-                    if os.path.isdir(d):
-                        parts.append(pq.read_table(
-                            d, columns=["doc_id"]).column(
-                            "doc_id").to_numpy())
+                    t = _read_part(fid, old_seg)
+                    if t is not None:
+                        parts.append(t.column("doc_id").to_numpy())
                 tomb_cache[old_seg] = (np.unique(np.concatenate(parts))
                                        if parts else
                                        np.empty(0, dtype=np.int64))
@@ -199,18 +217,26 @@ def _compact_segments_locked(spark: SparkSession, index_dir: str,
     # ---- pending tombstones: applied physically by this merge ------------
     pending = [int(x) for x in (snap.get("delete_files") or [])]
     deleted_global = None
-    master = spark.sparkContext.master or ""
-    worker_direct_deletes = pending and "://" not in cat.deletes_dir() and (
-        master.startswith("local")
-        or os.environ.get("PSL_DELETES_WORKER_READ") == "1")
+    worker_direct_deletes = bool(pending) and (
+        os.environ.get("PSL_DELETES_DRIVER_COLLECT") != "1")
+    if worker_direct_deletes and "://" in cat.deletes_dir():
+        # scheme'd (object-store/HDFS) index: tasks stream tombstones via
+        # pyarrow.fs straight from the store — probe from the driver that
+        # the scheme resolves before committing to that plan
+        try:
+            from pyarrow import fs as pafs
+            pafs.FileSystem.from_uri(cat.deletes_dir())
+        except Exception:
+            worker_direct_deletes = False
     if pending and not worker_direct_deletes:
-        # executors can't be assumed to see the driver's local deletes dir
-        # (a plain path on a multi-node cluster, or an object store): ship
-        # the collected sorted id set in the closure instead of silently
-        # applying NOTHING while still marking the files applied. Compact
-        # often enough that the pending set stays driver-sized; set
-        # PSL_DELETES_WORKER_READ=1 on shared-filesystem clusters (NFS/
-        # Lustre) to stream tombstones per segment inside the tasks.
+        # LAST-resort fallback (pyarrow can't resolve the store's scheme,
+        # or PSL_DELETES_DRIVER_COLLECT=1 forces it): ship the collected
+        # sorted id set in the closure. This materializes the whole
+        # pending tombstone set on the driver — a 10^9-id delete is ~8 GB
+        # there — which is exactly why it is no longer the default: the
+        # deletes dir lives in the same tree as the postings dir this job
+        # already reads, so any filesystem the executors can scan postings
+        # from can serve per-segment worker-direct tombstone reads too.
         from pysearchlite_spark.plans.deletes import deletes_df
         pdf = deletes_df(spark, cat, pending).select("doc_id").toPandas()
         deleted_global = np.unique(pdf["doc_id"].to_numpy(np.int64))

@@ -302,21 +302,30 @@ class IndexCatalog:
         the disk time travel pins — without it every compaction's
         pre-merge segments live forever.
 
-        Runs under the manifest flock (same lost-update protection as
-        commit_snapshot); the manifest rewrite is atomic-rename, and files
-        are removed AFTER the new manifest is visible, so a crash mid-way
-        leaves at worst orphaned-but-unreferenced dirs: seg= orphans are
-        reclaimed by drop_uncommitted_segments, and del= orphans by the
-        sweep at the START of the next expire run. The sweep is safe
-        against in-flight delete_docs writes because those stage under a
-        del.tmp-* name and take a del=<id> name via allocate+rename+COMMIT
-        in ONE critical section of this same lock — a visible del= dir is
-        therefore either already referenced by a snapshot or crash debris;
-        it can never be about-to-be-referenced. Unreferenced del= dirs
-        below the max referenced id are additionally age-guarded (like
-        Iceberg's remove-orphan-files convention and the stale del.tmp-*
-        reaping) so even a future two-phase writer can't lose data to
-        this sweep. Returns counts."""
+        The manifest rewrite runs under the manifest flock (same
+        lost-update protection as commit_snapshot) but the physical
+        rmtrees run AFTER the lock is released: bulk deletion of
+        terabytes of pre-merge segment dirs must not stall every
+        concurrent delete_docs / append / compaction commit for its
+        duration. Deferral is safe because the doomed paths can never
+        become referenced again — segment and delete-file ids are
+        allocated strictly above every id ever seen on disk or in any
+        snapshot, so a dir unreferenced under the lock stays
+        unreferenced forever; concurrent removals of the same orphan
+        (drop_uncommitted_segments) are tolerated via ignore_errors. A
+        crash mid-way leaves at worst orphaned-but-unreferenced dirs:
+        seg= orphans are reclaimed by drop_uncommitted_segments, and
+        del= orphans by the sweep at the START of the next expire run.
+        The sweep is safe against in-flight delete_docs writes because
+        those stage under a del.tmp-* name and take a del=<id> name via
+        allocate+rename+COMMIT in ONE critical section of this same lock
+        — a visible del= dir is therefore either already referenced by a
+        snapshot or crash debris; it can never be about-to-be-referenced.
+        Unreferenced del= dirs below the max referenced id are
+        additionally age-guarded (like Iceberg's remove-orphan-files
+        convention and the stale del.tmp-* reaping) so even a future
+        two-phase writer can't lose data to this sweep. Returns counts."""
+        to_rm: list = []  # physical deletion deferred past the lock
         with self._manifest_lock():
             m = self.load_manifest()
             snaps = sorted(m["snapshots"], key=lambda s: s["snapshot_id"])
@@ -337,12 +346,27 @@ class IndexCatalog:
             if os.path.isdir(droot):
                 mx = max(all_ref) if all_ref else None
 
-                def _age(path):
+                def _age(path, deep=False):
                     # a concurrent delete_docs may rmtree its own tmp dir
                     # (idempotent no-op path) without the lock — a vanished
-                    # dir is simply not sweepable, never an expire failure
+                    # dir is simply not sweepable, never an expire failure.
+                    # deep=True keys off the NEWEST mtime anywhere in the
+                    # tree: a staging dir's top-level mtime reflects
+                    # Spark's _temporary creation at job start, so a
+                    # multi-hour in-flight delete write would otherwise
+                    # look stale while its tasks are still writing — the
+                    # ongoing writes must keep refreshing the lease.
                     try:
-                        return time.time() - os.path.getmtime(path)
+                        newest = os.path.getmtime(path)
+                        if deep:
+                            for base, _dirs, files in os.walk(path):
+                                for fn in files:
+                                    try:
+                                        newest = max(newest, os.path.getmtime(
+                                            os.path.join(base, fn)))
+                                    except OSError:
+                                        pass
+                        return time.time() - newest
                     except OSError:
                         return -1.0
 
@@ -352,23 +376,25 @@ class IndexCatalog:
                         # a crashed delete_docs' staging dir — but an
                         # IN-FLIGHT one looks identical (its write runs
                         # outside the lock), so only reap stale ones
-                        if _age(p) > 86400:
-                            shutil.rmtree(p, ignore_errors=True)
+                        if _age(p, deep=True) > 86400:
+                            to_rm.append(p)
                             swept += 1
                         continue
                     if not name.startswith("del=") or mx is None:
                         continue
                     i = int(name.split("=", 1)[1])
                     if i < mx and i not in all_ref and _age(p) > 86400:
-                        shutil.rmtree(p)
+                        to_rm.append(p)
                         swept += 1
 
             if not dropped:
-                return {"dropped_snapshots": 0,
-                        "dropped_posting_segments": 0,
-                        "dropped_doc_segments": 0,
-                        "dropped_delete_files": 0,
-                        "swept_orphan_delete_files": swept}
+                result = {"dropped_snapshots": 0,
+                          "dropped_posting_segments": 0,
+                          "dropped_doc_segments": 0,
+                          "dropped_delete_files": 0,
+                          "swept_orphan_delete_files": swept}
+            else:
+                result = None  # computed below, still under the lock
 
             def segs(ss, kind):
                 # per-TABLE references: after a compaction the current
@@ -394,26 +420,29 @@ class IndexCatalog:
                         out.update(int(x) for x in (s.get(key) or []))
                 return out
 
-            post_rm = (segs(dropped, "posting_segments")
-                       - segs(kept, "posting_segments"))
-            doc_rm = (segs(dropped, "doc_segments")
-                      - segs(kept, "doc_segments"))
-            del_rm = dels(dropped) - dels(kept)
-            m["snapshots"] = kept
-            self._write_manifest(m)
-            for seg in post_rm:
-                self.drop_segment("postings", seg)
-            for seg in doc_rm:
-                self.drop_segment("docmap", seg)
-            for i in del_rm:
-                d = os.path.join(self.deletes_dir(), f"del={i}")
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-            return {"dropped_snapshots": len(dropped),
-                    "dropped_posting_segments": len(post_rm),
-                    "dropped_doc_segments": len(doc_rm),
-                    "dropped_delete_files": len(del_rm),
-                    "swept_orphan_delete_files": swept}
+            if dropped:
+                post_rm = (segs(dropped, "posting_segments")
+                           - segs(kept, "posting_segments"))
+                doc_rm = (segs(dropped, "doc_segments")
+                          - segs(kept, "doc_segments"))
+                del_rm = dels(dropped) - dels(kept)
+                m["snapshots"] = kept
+                self._write_manifest(m)
+                to_rm.extend(os.path.join(self.root, "postings",
+                                          f"seg={seg}") for seg in post_rm)
+                to_rm.extend(os.path.join(self.root, "docmap",
+                                          f"seg={seg}") for seg in doc_rm)
+                to_rm.extend(os.path.join(self.deletes_dir(), f"del={i}")
+                             for i in del_rm)
+                result = {"dropped_snapshots": len(dropped),
+                          "dropped_posting_segments": len(post_rm),
+                          "dropped_doc_segments": len(doc_rm),
+                          "dropped_delete_files": len(del_rm),
+                          "swept_orphan_delete_files": swept}
+        # lock released: bulk physical deletion no longer blocks committers
+        for p in to_rm:
+            shutil.rmtree(p, ignore_errors=True)
+        return result
 
     def destroy(self) -> None:
         if os.path.isdir(self.root):

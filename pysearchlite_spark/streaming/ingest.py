@@ -199,6 +199,22 @@ def _append_batch_locked(spark: SparkSession, batch: DataFrame,
     # so the commit-time lists are correct as-is.
     with cat._manifest_lock():
         cur = cat.current_snapshot()
+        # A concurrent SEGMENT writer is excluded by the writer lock — but
+        # if flock is inert on this filesystem (locks.py fallback, some
+        # FUSE/object-store mounts) a compaction may have committed merged
+        # segments mid-append; carrying this append's stale lists would
+        # silently un-commit that merge (pre-merge postings paired with
+        # delete files already marked applied → deleted docs resurface).
+        # Refuse loudly, exactly like compact_segments does.
+        for key, want in (("doc_segments", old_doc_segs),
+                          ("posting_segments", old_post_segs)):
+            got = ([] if cur is None
+                   else cur.get(key, cur["segments"]))
+            if sorted(int(x) for x in (got or [])) != sorted(
+                    int(x) for x in (want or [])):
+                raise RuntimeError(
+                    f"concurrent segment writer bypassed the writer "
+                    f"lock ({key} changed mid-append)")
         if cur is not None:
             stats["n_deleted_pending"] = int(
                 cur["stats"].get("n_deleted_pending", 0))

@@ -294,3 +294,37 @@ def test_append_replay_and_crash_debris(emb, spark, tmp_path_factory):
     idx2.append(df.filter(F.col("vec_id") < 0), batch_id=7)  # empty batch
     assert not os.path.isdir(os.path.join(vec_dir, f"add={debris}"))
     assert AnnIndex(spark, root).meta["n_vectors"] == len(rows)
+
+
+def test_append_refuses_stale_routing_params(emb, spark, tmp_path_factory):
+    """A handle opened before a rebuild with DIFFERENT routing parameters
+    must refuse to append: its staged generation was bucketized under the
+    old planes/centroids, and committing it would leave those vectors in
+    buckets the new routing never probes (silent recall loss). A rebuild
+    with IDENTICAL parameters stays appendable from the stale handle."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pysearchlite_spark.operators.ann import AnnIndex, IvfIndex
+
+    df, rows = emb
+    first = df.filter(F.col("vec_id") < 100)
+    batch = df.filter(F.col("vec_id").between(100, 119))
+
+    root = str(tmp_path_factory.mktemp("ann_stale") / "idx")
+    stale = AnnIndex.build(spark, first, root, n_planes=10, seed=99)
+    AnnIndex.build(spark, first, root, n_planes=10, seed=7)  # new planes
+    with _pytest.raises(RuntimeError, match="routing parameters"):
+        stale.append(batch)
+    # same-parameter rebuild: the stale handle's buckets are still right
+    AnnIndex.build(spark, first, root, n_planes=10, seed=99)
+    assert stale.append(batch) == 120
+
+    c1 = np.vstack([np.asarray(rows[i][1], np.float64) for i in range(8)])
+    c2 = np.vstack([np.asarray(rows[i][1], np.float64)
+                    for i in range(8, 16)])
+    iroot = str(tmp_path_factory.mktemp("ivf_stale") / "idx")
+    istale = IvfIndex.build(spark, first, iroot, centroids=c1)
+    IvfIndex.build(spark, first, iroot, centroids=c2)
+    with _pytest.raises(RuntimeError, match="routing parameters"):
+        istale.append(batch)

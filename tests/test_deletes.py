@@ -573,3 +573,95 @@ def test_build_rerun_over_diverged_index_refuses(spark, docs_df,  # noqa: F811
     with _pytest.raises(RuntimeError, match="diverged"):
         build_index(spark, docs_df, idx_dir, id_col="doc_id",
                     segment_docs=128)
+
+
+def test_append_detects_writer_lock_bypass(spark, docs_df,  # noqa: F811
+                                           tmp_path_factory):
+    """If a concurrent SEGMENT writer slips past an inert flock (locks.py
+    fallback, FUSE mounts) and commits while an append's Spark writes run,
+    the append's commit-time rebase must refuse instead of silently
+    re-committing the pre-merge segment lists (which would un-commit the
+    other writer's merge and resurface its applied deletes)."""
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+    from pysearchlite_spark.streaming.ingest import append_batch
+
+    idx_dir = str(tmp_path_factory.mktemp("bypass_app") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    cat = IndexCatalog(idx_dir)
+
+    def rogue_segment_commit():
+        # simulate a compaction that bypassed the writer lock: current
+        # posting segments replaced by a merged id
+        cur = cat.current_snapshot()
+        cat.commit_snapshot(
+            cur["segments"], cur["stats"], {"job": "rogue"},
+            posting_segments=[9999],
+            doc_segments=cur.get("doc_segments", cur["segments"]),
+            delete_files=cur.get("delete_files") or [],
+            applied_delete_files=cur.get("applied_delete_files") or [])
+
+    pages = spark.createDataFrame(
+        [(f"byp{i}", "bypass detection page") for i in range(4)],
+        "url string, text string")
+    with pytest.raises(RuntimeError, match="bypassed the writer lock"):
+        append_batch(spark, pages, idx_dir,
+                     _pre_commit_hook=rogue_segment_commit)
+
+
+def test_expire_tmp_sweep_uses_newest_inner_mtime(spark, built):  # noqa: F811
+    """A del.tmp-* staging dir whose TOP-LEVEL mtime is days old (Spark
+    sets it at _temporary creation, job start) but whose inner files are
+    fresh is an IN-FLIGHT long-running delete write — the sweep must key
+    age off the newest mtime in the tree and leave it alone. The same dir
+    with stale inner files is crash debris and is reaped."""
+    import shutil
+    import time as _time
+
+    from pysearchlite_spark.sources.catalog import IndexCatalog
+    idx_dir = built[0]
+    cat = IndexCatalog(idx_dir)
+    droot = cat.deletes_dir()
+    old = _time.time() - 2 * 86400
+
+    inflight = os.path.join(droot, "del.tmp-slowjob", "pseg=0")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("x")  # fresh inner write
+    top = os.path.dirname(inflight)
+    os.utime(top, (old, old))
+    os.utime(inflight, (old, old))  # only the FILE is fresh
+
+    dead = os.path.join(droot, "del.tmp-deadjob", "pseg=0")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0.parquet"), "w") as f:
+        f.write("x")
+    for p in (dead, os.path.join(dead, "part-0.parquet"),
+              os.path.dirname(dead)):
+        os.utime(p, (old, old))
+
+    cat.expire_snapshots(keep_last=10_000)
+    assert os.path.isdir(top), "in-flight staging dir was swept"
+    assert not os.path.isdir(os.path.dirname(dead)), "debris survived"
+    shutil.rmtree(top, ignore_errors=True)
+
+
+def test_compaction_driver_collect_fallback(spark, docs_df,  # noqa: F811
+                                            tmp_path_factory, monkeypatch):
+    """PSL_DELETES_DRIVER_COLLECT=1 forces the closure-shipped tombstone
+    path (the last-resort fallback for stores pyarrow.fs can't resolve) —
+    it must apply deletes identically to the default worker-direct read."""
+    monkeypatch.setenv("PSL_DELETES_DRIVER_COLLECT", "1")
+    idx_dir = str(tmp_path_factory.mktemp("del_collect") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    base_ids = SearchIndex(spark, idx_dir).search_and_ids(Q)
+    victims = [int(x) for x in base_ids[1::2]]
+    delete_docs(spark, idx_dir, victims)
+    pre_ids = SearchIndex(spark, idx_dir).search_and_ids(Q)
+
+    compact_segments(spark, idx_dir, group_size=2)
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.delete_files == [] and idx.applied_delete_files
+    assert np.array_equal(idx.search_and_ids(Q), pre_ids)
+    raw = idx.postings_df(list(QTERMS)).select("df").agg(
+        F.sum("df")).collect()[0][0]
+    assert int(raw) == sum(int(idx.count(t)) for t in QTERMS)
