@@ -665,3 +665,65 @@ def test_compaction_driver_collect_fallback(spark, docs_df,  # noqa: F811
     raw = idx.postings_df(list(QTERMS)).select("df").agg(
         F.sum("df")).collect()[0][0]
     assert int(raw) == sum(int(idx.count(t)) for t in QTERMS)
+
+
+def test_concurrent_maintenance_stress(spark, docs_df,  # noqa: F811
+                                       tmp_path_factory):
+    """The whole concurrency model under real thread interleaving: three
+    appends, three disjoint bulk deletes, and two compactions race on one
+    index from separate threads (segment writers serialize on the writer
+    flock; delete_docs stays concurrent and rebases at commit). The final
+    state must be exactly the set algebra of the operations — original
+    docs minus victims plus appends — independent of interleaving, on
+    both query paths."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pysearchlite_spark.streaming.ingest import append_batch
+
+    idx_dir = str(tmp_path_factory.mktemp("stress") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    base_ids = SearchIndex(spark, idx_dir).search_and_ids(Q)
+    n_orig = int(docs_df.count())
+
+    all_ids = sorted(int(r["doc_id"]) for r in
+                     docs_df.select("doc_id").collect())
+    victims = all_ids[::7]
+    slices = [victims[0::3], victims[1::3], victims[2::3]]
+    batches = [
+        spark.createDataFrame(
+            [(f"stress{j}-{i}", f"stress page zzbatch{j} filler words")
+             for i in range(8)], "url string, text string")
+        for j in range(3)]
+
+    def do_appends():
+        for j, b in enumerate(batches):
+            append_batch(spark, b, idx_dir, batch_id=100 + j)
+
+    def do_deletes():
+        for s in slices:
+            delete_docs(spark, idx_dir, s)
+
+    def do_compacts():
+        for _ in range(2):
+            compact_segments(spark, idx_dir, group_size=2)
+
+    with ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(f) for f in (do_appends, do_deletes, do_compacts)]
+        for f in futs:
+            f.result()  # surfaces any thread's exception
+
+    idx = SearchIndex(spark, idx_dir)
+    want = np.asarray(sorted(set(int(x) for x in base_ids) - set(victims)),
+                      dtype=np.int64)
+    assert np.array_equal(idx.search_and_ids(Q), want)
+    assert np.array_equal(idx.search_and_ids(Q, distributed=True), want)
+    for j, b in enumerate(batches):
+        assert idx.count(f"zzbatch{j}") == 8
+    live = idx.docmap_df().count()
+    assert live == n_orig - len(victims) + 24
+    # a final compaction folds any still-pending deletes in; nothing moves
+    compact_segments(spark, idx_dir)
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.delete_files == []
+    assert np.array_equal(idx.search_and_ids(Q), want)
+    assert idx.n_docs == live
