@@ -683,8 +683,10 @@ LIMIT 10
         "lang_id": langid,
         "exact_dedup": """
             SELECT doc_id,
-                   min(doc_id) OVER (PARTITION BY text) AS keep_id,
-                   doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+                   min(doc_id) OVER (PARTITION BY coalesce(text, ''))
+                     AS keep_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY coalesce(text, ''))
+                     AS is_dup
             FROM documents""",
         "token_jaccard_pairs": jaccard,
         "token_jaccard_bounded": jaccard_bounded,

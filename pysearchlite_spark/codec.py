@@ -37,6 +37,8 @@ def tombstone_keep_mask(docs: np.ndarray, deleted: np.ndarray) -> np.ndarray:
     array. The single implementation of the searchsorted/clip/compare idiom
     (engine masking, segment scoring, compaction apply) — the clip handles
     ids above deleted[-1] mapping to the last slot without a false hit."""
+    if deleted.size == 0:
+        return np.ones(docs.shape, dtype=bool)
     pos = np.clip(np.searchsorted(deleted, docs), 0, deleted.size - 1)
     return deleted[pos] != docs
 

@@ -316,9 +316,12 @@ class SearchIndex:
                 .filter(F.col("tb").isin(buckets))
                 .filter(F.col("term").isin(terms)))
 
-    def _fetch(self, terms: List[str]) -> pd.DataFrame:
+    def _fetch(self, terms: List[str]) -> List[dict]:
+        """Posting rows (as dicts) for `terms` — straight from the preload
+        cache when every term is warm (no DataFrame round-trip on the hot
+        cached path), else one pruned Spark scan."""
         if not terms:
-            return pd.DataFrame(columns=["term", "seg", "df"])
+            return []
 
         def have(t: str) -> bool:
             return (self._cache_complete or t in self._term_cache
@@ -326,26 +329,27 @@ class SearchIndex:
                         and t in self._cache_pos))
 
         if all(have(t) for t in terms):
-            rows = [r for t in set(terms) for r in self._cached_rows(t)]
-            if not rows:
-                return pd.DataFrame(columns=["term", "seg", "df"])
-            return pd.DataFrame(rows)
+            return [r for t in set(terms) for r in self._cached_rows(t)]
         return (self.postings_df(terms)
                 .select("term", "seg", "df", "docs", "tfs", "dls",
                         "first_docs", "doc_offs", "tf_offs", "dl_offs",
                         "max_partial")
-                .toPandas())
+                .toPandas().to_dict("records"))
 
     @staticmethod
-    def _rows_by_seg(pdf: pd.DataFrame) -> Dict[int, List[dict]]:
+    def _rows_by_seg(rows: List[dict]) -> Dict[int, List[dict]]:
         out: Dict[int, List[dict]] = {}
-        for r in pdf.to_dict("records"):
+        for r in rows:
             out.setdefault(int(r["seg"]), []).append(r)
         return out
 
-    def global_dfs(self, pdf: pd.DataFrame, terms: List[str]) -> Dict[str, int]:
-        g = pdf.groupby("term")["df"].sum().to_dict() if len(pdf) else {}
-        return {t: int(g.get(t, 0)) for t in terms}
+    def global_dfs(self, rows: List[dict], terms: List[str]
+                   ) -> Dict[str, int]:
+        dfs = {t: 0 for t in terms}
+        for r in rows:
+            if r["term"] in dfs:
+                dfs[r["term"]] += int(r["df"])
+        return dfs
 
     # ------------------------------------------------------- boolean AND --
     def search_and_ids(self, query: str, distributed: bool = False
@@ -355,12 +359,12 @@ class SearchIndex:
             return np.empty(0, dtype=np.int64)
         if distributed:
             return self._search_and_ids_dist(terms)
-        pdf = self._fetch(terms)
-        dfs = self.global_dfs(pdf, terms)
+        fetched = self._fetch(terms)
+        dfs = self.global_dfs(fetched, terms)
         if any(dfs[t] == 0 for t in terms):  # P4 short-circuit
             return np.empty(0, dtype=np.int64)
         parts = []
-        for seg, rows in sorted(self._rows_by_seg(pdf).items()):
+        for seg, rows in sorted(self._rows_by_seg(fetched).items()):
             if len(rows) < len(terms):
                 continue  # a term missing in this segment → no seg matches
             parts.append(I.intersect_packed(rows))
@@ -376,9 +380,9 @@ class SearchIndex:
             return np.empty(0, dtype=np.int64)
         if distributed:
             return self._search_or_ids_dist(terms)
-        pdf = self._fetch(terms)
+        fetched = self._fetch(terms)
         parts = []
-        for seg, rows in sorted(self._rows_by_seg(pdf).items()):
+        for seg, rows in sorted(self._rows_by_seg(fetched).items()):
             parts.append(I.union_sorted(
                 [codec.unpack_docs(r["docs"], int(r["df"])) for r in rows]))
         if not parts:
@@ -437,26 +441,27 @@ class SearchIndex:
             return []
         if distributed:
             return self._topk_dist(terms, k, mode, use_blockmax)
-        pdf = self._fetch(terms)
-        dfs = self.global_dfs(pdf, terms)
+        fetched = self._fetch(terms)
+        dfs = self.global_dfs(fetched, terms)
         if mode == "and" and any(dfs[t] == 0 for t in terms):
             return []
         idfs = self._idfs(dfs)
         deleted = self._deleted()
-        seg_rows = sorted(self._rows_by_seg(pdf).items())
+        seg_rows = sorted(self._rows_by_seg(fetched).items())
         # slice the tombstone set per segment: segments partition the docID
         # space into disjoint ascending ranges, so tombstones outside
         # [this segment's first doc, next segment's first doc) can't match
         # its postings — clean segments get deleted=None and KEEP block-max
         # pruning (one stale doc in segment 0 must not force the exhaustive
         # path on 999 clean segments)
+        has_deletes = deleted is not None and deleted.size
         seg_lo = [min((int(r["first_docs"][0]) for r in rows
                        if len(r["first_docs"])), default=0)
-                  for _, rows in seg_rows]
+                  for _, rows in seg_rows] if has_deletes else []
         parts: List[Tuple[np.ndarray, np.ndarray]] = []
         for i, (seg, rows) in enumerate(seg_rows):
             d = None
-            if deleted is not None and deleted.size:
+            if has_deletes:
                 lo = np.searchsorted(deleted, seg_lo[i])
                 hi = (np.searchsorted(deleted, seg_lo[i + 1])
                       if i + 1 < len(seg_rows) else deleted.size)
@@ -604,8 +609,7 @@ class SearchIndex:
             return []
         idfs = self._idfs(dfs)
         avgdl, uniq_terms = self.avgdl, len(set(terms))
-        scales = {int(s): self._bound_scale(s)
-                  for s in self.pack_avgdl} or {}
+        scales = {int(s): self._bound_scale(s) for s in self.pack_avgdl}
 
         def run(key, pdf: pd.DataFrame,
                 ddf: Optional[pd.DataFrame] = None) -> pd.DataFrame:

@@ -22,7 +22,6 @@ import json
 import os
 import shutil
 import tempfile
-import time
 import uuid
 from itertools import combinations
 from typing import Iterator, List, Optional, Sequence
@@ -31,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pysearchlite_spark.locks import staging_age
 
 
 def _as_matrix(col: pd.Series) -> np.ndarray:
@@ -248,26 +249,18 @@ def _next_add_id(vec_dir: str, committed: set) -> int:
 
 
 def _sweep_stale_add_tmp(vec_dir: str, max_age_sec: float = 86400.0) -> None:
-    """Reclaim crashed appends' add.tmp-* staging dirs. Age is the NEWEST
-    mtime anywhere in the tree (the top-level dir's mtime reflects Spark's
-    _temporary creation at job start, not ongoing writes), so a slow
-    in-flight staging write keeps refreshing its own lease."""
+    """Reclaim crashed appends' add.tmp-* staging dirs via the shared
+    deep-mtime lease probe (locks.staging_age): a slow in-flight staging
+    write keeps refreshing its own lease, and a dir vanishing concurrently
+    (a finished/failed append rmtree-ing its own staging outside the lock)
+    reads as age -1.0 — not sweepable, never a sweep failure."""
     if not os.path.isdir(vec_dir):
         return
-    now = time.time()
     for name in os.listdir(vec_dir):
         if not name.startswith("add.tmp-"):
             continue
         path = os.path.join(vec_dir, name)
-        newest = os.path.getmtime(path)
-        for base, _dirs, files in os.walk(path):
-            for f in files:
-                try:
-                    newest = max(newest, os.path.getmtime(
-                        os.path.join(base, f)))
-                except OSError:
-                    pass
-        if now - newest > max_age_sec:
+        if staging_age(path) > max_age_sec:
             shutil.rmtree(path, ignore_errors=True)
 
 

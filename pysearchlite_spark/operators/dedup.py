@@ -43,9 +43,13 @@ MERSENNE = (1 << 61) - 1
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, keep_id, is_dup): keep_id = min doc_id among docs with
-    byte-identical text. Shuffles only (hash, id) pairs."""
+    byte-identical text. Shuffles only (hash, id) pairs. NULL text hashes
+    as empty text (sha2(NULL) is NULL and NULL join keys never match, which
+    would silently drop those rows from the output; the minhash/simhash
+    tokenizer's fillna("") makes the same choice)."""
     h = df.select(F.col(id_col).alias("doc_id"),
-                  F.sha2(F.col(text_col), 256).alias("h"))
+                  F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+                  .alias("h"))
     keep = h.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     return (h.join(keep, "h")
             .select("doc_id", "keep_id",

@@ -184,7 +184,6 @@ def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
 
     zorder = np.argsort(-ub, kind="stable")
     heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    results: List[Tuple[int, float]] = []
     for z in zorder:
         if len(heap) >= k and ub[z] < heap[0][0]:
             break
@@ -215,7 +214,7 @@ def blockmax_topk(rows: List[dict], idfs: Dict[str, float], avgdl: float,
                 heapq.heappush(heap, item)
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
-    results = [( -nd, s) for s, nd in heap]
+    results = [(-nd, s) for s, nd in heap]
     results.sort(key=lambda x: (-x[1], x[0]))
     return [(int(d), float(s)) for d, s in results]
 

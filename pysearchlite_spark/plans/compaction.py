@@ -389,6 +389,7 @@ def _reroute_delete_file(spark: SparkSession, cat: IndexCatalog,
     reclaims it once they drop."""
     from pysearchlite_spark.plans.deletes import (deletes_df,
                                                   stage_routed_delete_file)
-    return stage_routed_delete_file(
+    path, _n = stage_routed_delete_file(
         deletes_df(spark, cat, [int(file_id)]), cat, group_map, "pseg",
         len(set(group_map.values())))
+    return path

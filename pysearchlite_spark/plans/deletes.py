@@ -60,20 +60,25 @@ def deletes_df(spark: SparkSession, cat: IndexCatalog,
 
 def stage_routed_delete_file(rows: DataFrame, cat: IndexCatalog,
                              seg_map: dict, map_col: str,
-                             n_targets: int) -> str:
+                             n_targets: int) -> tuple:
     """THE one producer of the delete-file layout: route `rows`
     (doc_id, dseg[, pseg]) to their posting segment via pseg =
     seg_map[map_col] (identity where unmapped) and write them to a
     del.tmp-<uuid> staging dir under the deletes root, hive-partitioned by
-    pseg with ≤1 writer task per partition dir. Callers rename the dir to
-    its final del=<id> name under the manifest lock. Two routings share
-    this: delete_docs maps dseg→pseg through the snapshot's pseg_of;
-    compaction re-routes an existing pseg through its merge group map —
-    any layout change (naming, schema, partitioning) must stay in ONE
-    place or the decode stage's del=<f>/pseg=<seg> pruning silently
-    diverges between fresh and carried files."""
+    pseg with ≤1 writer task per partition dir. Returns (path, n_rows) —
+    the count comes from an Observation on the staging write itself
+    (result-stage placement after the exchange is exactly-once under task
+    retries), so callers never rescan the file they just wrote. Callers
+    rename the dir to its final del=<id> name under the manifest lock.
+    Two routings share this: delete_docs maps dseg→pseg through the
+    snapshot's pseg_of; compaction re-routes an existing pseg through its
+    merge group map — any layout change (naming, schema, partitioning)
+    must stay in ONE place or the decode stage's del=<f>/pseg=<seg>
+    pruning silently diverges between fresh and carried files."""
     import os
     import uuid
+
+    from pyspark.sql import Observation
     if seg_map:
         mapping = F.create_map(*[x for k, v in seg_map.items()
                                  for x in (F.lit(int(k)), F.lit(int(v)))])
@@ -81,10 +86,12 @@ def stage_routed_delete_file(rows: DataFrame, cat: IndexCatalog,
     else:
         pseg = F.col(map_col)
     out = os.path.join(cat.deletes_dir(), f"del.tmp-{uuid.uuid4().hex}")
+    obs = Observation()
     (rows.select("doc_id", "dseg", pseg.cast("long").alias("pseg"))
      .repartition(max(1, n_targets), F.col("pseg"))
+     .observe(obs, F.count(F.lit(1)).alias("n"))
      .write.partitionBy("pseg").mode("overwrite").parquet(out))
-    return out
+    return out, int(obs.get["n"])
 
 
 def delete_docs(spark: SparkSession, index_dir: str,
@@ -157,19 +164,14 @@ def delete_docs(spark: SparkSession, index_dir: str,
         return {int(k): int(v)
                 for k, v in (s["stats"].get("pseg_of") or {}).items()}
 
-    def _route_and_write(src: DataFrame, pseg_of: dict) -> str:
+    def _route_and_write(src: DataFrame, pseg_of: dict) -> tuple:
         # ≤1 writer task per pseg partition dir, like the docmap writer
         n_pseg = max(1, len(set(pseg_of.values()) or doc_segs))
         return stage_routed_delete_file(src, cat, pseg_of, "dseg", n_pseg)
 
     routing_snap = snap
-    tmp_out = _route_and_write(rows, _pseg_map(routing_snap))
-
-    # explicit schema: an idempotent re-delete writes ZERO part files and
-    # schema inference would fail on the empty dir
-    n_new = (spark.read.option("basePath", tmp_out)
-             .schema(DELETES_SCHEMA + ", pseg long")
-             .parquet(tmp_out).count())
+    # row count observed on the staging write itself — no post-write rescan
+    tmp_out, n_new = _route_and_write(rows, _pseg_map(routing_snap))
     if n_new == 0:
         # fully idempotent no-op: registering an empty delete file would
         # permanently grow the pending list (every distributed query scans
@@ -217,6 +219,6 @@ def delete_docs(spark: SparkSession, index_dir: str,
         staged = (spark.read.option("basePath", tmp_out)
                   .schema(DELETES_SCHEMA + ", pseg long").parquet(tmp_out)
                   .select("doc_id", "dseg"))
-        retry_out = _route_and_write(staged, _pseg_map(cur))
+        retry_out, n_new = _route_and_write(staged, _pseg_map(cur))
         shutil.rmtree(tmp_out, ignore_errors=True)
         tmp_out, routing_snap = retry_out, cur

@@ -27,6 +27,8 @@ import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+from pysearchlite_spark.locks import staging_age
+
 MANIFEST = "manifest.json"
 
 POSTINGS_SCHEMA = (
@@ -346,44 +348,25 @@ class IndexCatalog:
             if os.path.isdir(droot):
                 mx = max(all_ref) if all_ref else None
 
-                def _age(path, deep=False):
-                    # a concurrent delete_docs may rmtree its own tmp dir
-                    # (idempotent no-op path) without the lock — a vanished
-                    # dir is simply not sweepable, never an expire failure.
-                    # deep=True keys off the NEWEST mtime anywhere in the
-                    # tree: a staging dir's top-level mtime reflects
-                    # Spark's _temporary creation at job start, so a
-                    # multi-hour in-flight delete write would otherwise
-                    # look stale while its tasks are still writing — the
-                    # ongoing writes must keep refreshing the lease.
-                    try:
-                        newest = os.path.getmtime(path)
-                        if deep:
-                            for base, _dirs, files in os.walk(path):
-                                for fn in files:
-                                    try:
-                                        newest = max(newest, os.path.getmtime(
-                                            os.path.join(base, fn)))
-                                    except OSError:
-                                        pass
-                        return time.time() - newest
-                    except OSError:
-                        return -1.0
-
+                # staging_age (locks.py): deep newest-mtime lease shared
+                # with the ANN add.tmp-* sweep — in-flight writes keep
+                # refreshing their lease; a dir vanished to a concurrent
+                # rmtree reads as -1.0 (not sweepable, never a failure)
                 for name in os.listdir(droot):
                     p = os.path.join(droot, name)
                     if name.startswith("del.tmp-"):
                         # a crashed delete_docs' staging dir — but an
                         # IN-FLIGHT one looks identical (its write runs
                         # outside the lock), so only reap stale ones
-                        if _age(p, deep=True) > 86400:
+                        if staging_age(p, deep=True) > 86400:
                             to_rm.append(p)
                             swept += 1
                         continue
                     if not name.startswith("del=") or mx is None:
                         continue
                     i = int(name.split("=", 1)[1])
-                    if i < mx and i not in all_ref and _age(p) > 86400:
+                    if (i < mx and i not in all_ref
+                            and staging_age(p, deep=False) > 86400):
                         to_rm.append(p)
                         swept += 1
 

@@ -95,3 +95,17 @@ def test_term_bucket_matches_spark_crc32():
     from pysearchlite_spark.plans.builder import term_bucket
     for t in ["the", "key", "a" * 300, "ünïcode", "漢字", ""]:
         assert term_bucket(t, 16) == zlib.crc32(t.encode("utf-8")) % 16
+
+
+def test_tombstone_keep_mask_edge_cases():
+    docs = np.array([1, 5, 9], dtype=np.int64)
+    # empty deleted array: everything kept (no IndexError on deleted[-1])
+    keep = codec.tombstone_keep_mask(docs, np.empty(0, dtype=np.int64))
+    assert keep.dtype == bool and keep.all()
+    # ids above deleted[-1] clip to the last slot without a false hit
+    keep = codec.tombstone_keep_mask(docs, np.array([5], dtype=np.int64))
+    assert keep.tolist() == [True, False, True]
+    # empty docs against non-empty deleted
+    keep = codec.tombstone_keep_mask(np.empty(0, dtype=np.int64),
+                                     np.array([5], dtype=np.int64))
+    assert keep.shape == (0,)

@@ -46,6 +46,20 @@ def test_exact_dedup(docs_df, corpus):
         assert got[i] == (text_min[t], i != text_min[t])
 
 
+def test_exact_dedup_null_text(spark):
+    """NULL text must not vanish from the output: sha2(NULL) is NULL and
+    NULL join keys never match, which silently dropped those rows before
+    the coalesce('') fix — NULL now groups with empty text, matching the
+    minhash/simhash tokenizer's fillna('')."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep_id"], r["is_dup"])
+           for r in exact_dedup(df).collect()}
+    assert got == {1: (1, False), 2: (1, True),
+                   3: (3, False), 4: (1, True)}
+
+
 def _jaccard(a, b):
     sa, sb = set(normalized_tokens(a)), set(normalized_tokens(b))
     if not sa | sb:

@@ -240,10 +240,10 @@ def test_blockmax_auto_adaptive(spark, tmp_path_factory):
 
     def decision(q):
         terms = q.split()
-        pdf = idx._fetch(terms)
-        dfs = idx.global_dfs(pdf, terms)
+        rows = idx._fetch(terms)
+        dfs = idx.global_dfs(rows, terms)
         idfs = {t: bm25_idf(idx.n_docs, d) for t, d in dfs.items() if d > 0}
-        return W.decide_blockmax(pdf.to_dict("records"), idfs, 10)
+        return W.decide_blockmax(rows, idfs, 10)
 
     assert decision("common rare") is True
     assert decision("common filler") is False
