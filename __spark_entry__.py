@@ -343,6 +343,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ivf_index(spark, sf).topk(_ann_query(spark, sf), k=10,
                                           nprobe=IVF_NPROBE)
 
+    def repetition(spark, sf):
+        # Gopher-style repetition quality signals (top n-gram fraction,
+        # duplicate n-gram fraction); per-row JVM array code, no shuffle
+        from pysearchlite_spark.functions.text import repetition_stats
+        return repetition_stats(_docs(spark, sf))
+
+    def rep_spans(spark, sf):
+        # cross-doc repeated n-token spans (exact-substring dup signal);
+        # n=3 so the synthetic vocabulary actually produces collisions
+        from pysearchlite_spark.operators.dedup import repeated_spans
+        return repeated_spans(_docs(spark, sf), n=3)
+
     def events_hourly(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -372,6 +384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": simhash_sigs,
         "simhash_pairs": simhash_prs,
         "cosine_dup_pairs": cosine_dups,
+        "repetition_stats": repetition,
+        "repeated_spans": rep_spans,
         "ann_cosine_topk": ann_cosine,
         "ann_lsh_topk": ann_lsh,
         "ann_lsh_topk_batch": ann_lsh_batch,
@@ -690,6 +704,52 @@ LIMIT 10
             FROM documents""",
         "token_jaccard_pairs": jaccard,
         "token_jaccard_bounded": jaccard_bounded,
+        # list-comprehension mode count: list_max over per-distinct-gram
+        # filter counts == the engine's sorted-run aggregate by definition
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            ng AS (SELECT doc_id,
+              list_transform(range(1, len(ts)-2+2),
+                             i -> array_to_string(ts[i:i+1], ' ')) AS g2,
+              list_transform(range(1, len(ts)-3+2),
+                             i -> array_to_string(ts[i:i+2], ' ')) AS g3,
+              list_transform(range(1, len(ts)-5+2),
+                             i -> array_to_string(ts[i:i+4], ' ')) AS g5
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN len(g2) > 0 THEN
+                round(list_max(list_transform(list_distinct(g2),
+                      x -> len(list_filter(g2, y -> y = x)))) / len(g2), 6)
+                ELSE 0.0 END AS top2gram_frac,
+              CASE WHEN len(g3) > 0 THEN
+                round(list_max(list_transform(list_distinct(g3),
+                      x -> len(list_filter(g3, y -> y = x)))) / len(g3), 6)
+                ELSE 0.0 END AS top3gram_frac,
+              CASE WHEN len(g5) > 0 THEN
+                round(1.0 - len(list_distinct(g5)) / len(g5), 6)
+                ELSE 0.0 END AS dup5gram_frac
+            FROM ng""",
+        # same md5(span) grouping key as the engine (string-equality
+        # grouping would also match absent md5 collisions; mirroring the
+        # key keeps parity exact by construction)
+        "repeated_spans": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            sp AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(ts)-3+2),
+                       i -> array_to_string(ts[i:i+2], ' '))) AS spans
+                   FROM t),
+            ex AS (SELECT doc_id, md5(unnest(spans)) AS k FROM sp),
+            c AS (SELECT k, count(*) AS nd FROM ex GROUP BY k),
+            pd AS (SELECT doc_id, count(*) AS n_spans,
+                          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_spans
+                   FROM ex JOIN c USING (k) GROUP BY doc_id)
+            SELECT sp.doc_id,
+              coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+              coalesce(pd.dup_spans, 0)::BIGINT AS dup_spans,
+              CASE WHEN len(sp.spans) > 0
+                   THEN round(coalesce(pd.dup_spans, 0) / len(sp.spans), 6)
+                   ELSE 0.0 END AS dup_span_frac
+            FROM sp LEFT JOIN pd USING (doc_id)""",
         "minhash_lsh_pairs": minhash_oracle,
         "doc_fingerprint": fingerprint_sql,
         "simhash_signatures": simhash_sql,

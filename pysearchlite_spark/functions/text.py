@@ -66,6 +66,77 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _ngrams(tokens, n: int):
+    """Array of space-joined token n-grams (JVM-side; tokens are [a-z0-9]+
+    runs so ' ' cannot occur inside a token — the join is injective).
+    Fewer than n tokens → empty array. The explicit when() guard matters:
+    F.sequence(1, size-n+1) would DESCEND (step -1) when size < n and
+    fabricate out-of-range n-grams."""
+    col = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.when(
+        F.size(col) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(col) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(col, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _mode_count(arr):
+    """Multiplicity of the most frequent element of `arr` — longest run of
+    equal adjacent values in the sorted array, one JVM aggregate pass per
+    row (no shuffle, no explode). The init prev='' never matches a real
+    n-gram (tokens are non-empty)."""
+    srt = F.array_sort(arr)
+    zero = F.lit(0).cast("long")
+
+    def step(acc, x):
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(
+        srt,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("best")),
+        step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_ns: tuple = (2, 3),
+                     dup_ns: tuple = (5,)) -> DataFrame:
+    """Per-doc repetition signals in the style of the Gopher / MassiveText
+    quality filters (Rae et al. 2021 §A1.1: "top n-gram fraction" and
+    "duplicate n-gram fraction"), restated over flat token streams:
+
+      top{n}gram_frac — occurrences of the MOST FREQUENT n-gram / total
+        n-gram instances (high → the doc keeps repeating one phrase);
+      dup{n}gram_frac — 1 - distinct n-grams / total n-gram instances
+        (high → boilerplate / TV-transcript-style repetition).
+
+    Docs with fewer than n tokens report 0.0. Everything after the
+    tokenizer UDF is per-row JVM array code (transform / array_sort /
+    aggregate) inside whole-stage codegen — a quality-filter scan over
+    100 TB shuffles NOTHING."""
+    t = with_tokens(df, text_col)
+    cols = [F.col(id_col)]
+    for n in top_ns:
+        ng = _ngrams("tokens", n)
+        total = F.size(ng)
+        cols.append(
+            F.round(F.when(total > 0, _mode_count(ng).cast("double") / total)
+                    .otherwise(0.0), 6).alias(f"top{n}gram_frac"))
+    for n in dup_ns:
+        ng = _ngrams("tokens", n)
+        total = F.size(ng)
+        cols.append(
+            F.round(F.when(total > 0,
+                           1.0 - F.size(F.array_distinct(ng))
+                           .cast("double") / total)
+                    .otherwise(0.0), 6).alias(f"dup{n}gram_frac"))
+    return t.select(*cols)
+
+
 # GPT-2-style pretokenizer pattern, restricted to constructs Java regex and
 # RE2 (DuckDB) evaluate identically — no lookaheads, and whitespace spelled
 # as an EXPLICIT class (Java's \s includes \x0B, RE2's does not — the

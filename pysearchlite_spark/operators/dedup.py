@@ -519,3 +519,51 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     return simhash_pairs_from_sigs(
         simhash_signatures(df, id_col, text_col, hash_fn),
         max_hamming, max_bucket)
+
+
+# -------------------------------------------------- repeated span detection --
+
+def repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 20) -> DataFrame:
+    """Cross-document repeated n-token-span detection — the exact-substring
+    duplication signal of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"; theirs is a corpus suffix array, the
+    shuffle-native equivalent is grouping on span keys). Per doc:
+
+      (doc_id, n_spans, dup_spans, dup_span_frac)
+
+    n_spans = the doc's DISTINCT n-token spans; dup_spans = how many of
+    those also occur in >= 2 documents (including this one — a span
+    repeated only WITHIN one doc does not count; repetition_stats covers
+    that axis); docs with < n tokens report 0.
+
+    Plan shape for 100 TB: tokenize → per-doc distinct spans (map-side,
+    shrinks the exchange) → ONE exchange on md5(span) (16-byte key, never
+    the n-token string; F.md5 is JVM-side and bit-reproducible in the SQL
+    oracle) with a window doc-count → one exchange back on doc_id. No
+    joins against the span-frequency table, no collect."""
+    from pyspark.sql.window import Window
+
+    from pysearchlite_spark.functions.text import _ngrams, with_tokens
+
+    base = with_tokens(df, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(_ngrams("tokens", n)).alias("spans"))
+    ex = base.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.md5("s").alias("k"))
+    ndocs = F.count("*").over(Window.partitionBy("k"))
+    per_doc = (ex.withColumn("nd", ndocs)
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum((F.col("nd") > 1).cast("long")).alias("dup_spans")))
+    zero = F.lit(0).cast("long")
+    return (base.select("doc_id", F.size("spans").alias("_ns"))
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_spans", zero).alias("n_spans"),
+                F.coalesce("dup_spans", zero).alias("dup_spans"),
+                F.round(F.when(F.col("_ns") > 0,
+                               F.coalesce("dup_spans", zero).cast("double")
+                               / F.col("_ns")).otherwise(0.0), 6)
+                .alias("dup_span_frac")))

@@ -236,3 +236,28 @@ def test_simhash_hierarchical_banding_saturated(spark):
     assert got.get((9000, 9001)) == 2
     # bounded: nothing quadratic leaked through (122 docs -> O(n) pairs)
     assert len(got) < 4 * len(rows), len(got)
+
+
+def test_repeated_spans_planted(spark):
+    """Cross-doc repeated 4-token spans: docs 1/2 share one span, doc 3 is
+    disjoint, doc 4 repeats a span only WITHIN itself (must NOT count),
+    doc 5 is too short for any span."""
+    from pysearchlite_spark.operators.dedup import repeated_spans
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta unique1 tail1"),
+         (2, "lead2 alpha beta gamma delta tail2"),
+         (3, "wholly different words here indeed"),
+         (4, "rep rep rep rep pad rep rep rep rep"),
+         (5, "too short")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_span_frac"])
+           for r in repeated_spans(df, n=4).collect()}
+    # doc1: 3 spans, 1 shared ('alpha beta gamma delta')
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (2, 0, 0.0)
+    # doc4: spans {'rep rep rep rep', 'rep rep rep pad', 'rep rep pad rep',
+    # 'rep pad rep rep', 'pad rep rep rep'} — 5 distinct, none cross-doc
+    assert got[4] == (5, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+    assert set(got) == {1, 2, 3, 4, 5}

@@ -174,3 +174,48 @@ def test_null_text_counts_as_empty_doc(spark):
     tok = {r["doc_id"]: r["n_tokens"] for r in token_counts(df).collect()}
     assert bpe == {1: 2, 2: 0, 3: 0}
     assert tok == {1: 2, 2: 0, 3: 0}
+
+
+def test_repetition_stats_hand_values(spark):
+    """Hand-computed Gopher-style repetition fractions, incl. the
+    degenerate short-doc / empty cases."""
+    from pysearchlite_spark.functions.text import repetition_stats
+    df = spark.createDataFrame(
+        [(0, "a b a b a b c"),          # top 2-gram 'a b' x3 of 6
+         (1, "x y x y x y x y x y"),    # 5-grams: 6 total, 2 distinct
+         (2, "one two"),                # no 3-grams / 5-grams
+         (3, ""),                       # no tokens at all
+         (4, None)],                    # NULL text == empty doc
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[0]["top2gram_frac"] == pytest.approx(0.5)
+    assert got[0]["dup5gram_frac"] == pytest.approx(0.0)
+    assert got[1]["dup5gram_frac"] == pytest.approx(round(1 - 2 / 6, 6))
+    assert got[1]["top2gram_frac"] == pytest.approx(round(5 / 9, 6))
+    assert got[2]["top2gram_frac"] == pytest.approx(1.0)
+    assert got[2]["top3gram_frac"] == 0.0
+    for d in (3, 4):
+        assert (got[d]["top2gram_frac"], got[d]["dup5gram_frac"]) == (0.0, 0.0)
+
+
+def test_repetition_stats_matches_brute(df):
+    """Full-column parity vs a Counter-based per-doc oracle on the shared
+    multilingual fixture."""
+    from collections import Counter
+
+    from pysearchlite_spark.functions.text import repetition_stats
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, t in DOCS:
+        toks = normalized_tokens(t)
+
+        def grams(n):
+            return [" ".join(toks[j:j + n])
+                    for j in range(len(toks) - n + 1)] if len(toks) >= n else []
+
+        for n in (2, 3):
+            g = grams(n)
+            exp = round(max(Counter(g).values()) / len(g), 6) if g else 0.0
+            assert got[i][f"top{n}gram_frac"] == pytest.approx(exp), (i, n)
+        g5 = grams(5)
+        exp = round(1 - len(set(g5)) / len(g5), 6) if g5 else 0.0
+        assert got[i]["dup5gram_frac"] == pytest.approx(exp), i
