@@ -221,6 +221,7 @@ class SearchIndex:
                                      (snap.get("applied_delete_files")
                                       or [])]
         self._deleted_np: Optional[np.ndarray] = None
+        self._deleted_by_seg_map: Optional[Dict[int, np.ndarray]] = None
         self._term_cache: Dict[str, List[dict]] = {}
         self._cache_pdf: Optional[pd.DataFrame] = None
         self._cache_pos: Optional[dict] = None
@@ -294,6 +295,24 @@ class SearchIndex:
             pdf = self._pending_deletes_df().select("doc_id").toPandas()
             self._deleted_np = np.unique(pdf["doc_id"].to_numpy(np.int64))
         return self._deleted_np
+
+    def _deleted_by_seg(self) -> Optional[Dict[int, np.ndarray]]:
+        """Pending tombstones keyed by POSTING segment (pseg — the same
+        routing key the distributed paths cogroup on), each value a sorted
+        unique doc_id array. Exact attribution: a segment with no
+        tombstones of its own gets no entry and keeps block-max pruning,
+        even when its docID range neighbours a heavily-deleted segment
+        that carries none of the query's terms (a lo/hi range slice over
+        the flat array mis-attributed those)."""
+        if not self.delete_files:
+            return None
+        if self._deleted_by_seg_map is None:
+            pdf = (self._pending_deletes_df()
+                   .select("pseg", "doc_id").toPandas())
+            self._deleted_by_seg_map = {
+                int(seg): np.unique(grp["doc_id"].to_numpy(np.int64))
+                for seg, grp in pdf.groupby("pseg")}
+        return self._deleted_by_seg_map
 
     def docmap_df(self, live: bool = True) -> DataFrame:
         """The snapshot's docmap (doc_id, url, doc_len, seg). live=True
@@ -446,26 +465,16 @@ class SearchIndex:
         if mode == "and" and any(dfs[t] == 0 for t in terms):
             return []
         idfs = self._idfs(dfs)
-        deleted = self._deleted()
+        # tombstones keyed by posting segment (exact attribution via the
+        # delete files' own pseg routing): clean segments get deleted=None
+        # and KEEP block-max pruning — one stale doc in segment 0 must not
+        # force the exhaustive path on 999 clean segments, and neither must
+        # a heavily-deleted segment that carries none of the query's terms
+        by_seg = self._deleted_by_seg()
         seg_rows = sorted(self._rows_by_seg(fetched).items())
-        # slice the tombstone set per segment: segments partition the docID
-        # space into disjoint ascending ranges, so tombstones outside
-        # [this segment's first doc, next segment's first doc) can't match
-        # its postings — clean segments get deleted=None and KEEP block-max
-        # pruning (one stale doc in segment 0 must not force the exhaustive
-        # path on 999 clean segments)
-        has_deletes = deleted is not None and deleted.size
-        seg_lo = [min((int(r["first_docs"][0]) for r in rows
-                       if len(r["first_docs"])), default=0)
-                  for _, rows in seg_rows] if has_deletes else []
         parts: List[Tuple[np.ndarray, np.ndarray]] = []
-        for i, (seg, rows) in enumerate(seg_rows):
-            d = None
-            if has_deletes:
-                lo = np.searchsorted(deleted, seg_lo[i])
-                hi = (np.searchsorted(deleted, seg_lo[i + 1])
-                      if i + 1 < len(seg_rows) else deleted.size)
-                d = deleted[lo:hi] if hi > lo else None
+        for seg, rows in seg_rows:
+            d = by_seg.get(int(seg)) if by_seg else None
             parts.append(score_segment_rows(rows, idfs, len(terms), k, mode,
                                             use_blockmax, self.avgdl,
                                             self._bound_scale(seg),

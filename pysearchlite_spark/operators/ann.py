@@ -248,20 +248,26 @@ def _next_add_id(vec_dir: str, committed: set) -> int:
     return max(on_disk | committed, default=-1) + 1
 
 
-def _sweep_stale_add_tmp(vec_dir: str, max_age_sec: float = 86400.0) -> None:
+def _sweep_stale_add_tmp(root: str, max_age_sec: float = 86400.0) -> None:
     """Reclaim crashed appends' add.tmp-* staging dirs via the shared
     deep-mtime lease probe (locks.staging_age): a slow in-flight staging
     write keeps refreshing its own lease, and a dir vanishing concurrently
     (a finished/failed append rmtree-ing its own staging outside the lock)
-    reads as age -1.0 — not sweepable, never a sweep failure."""
-    if not os.path.isdir(vec_dir):
-        return
-    for name in os.listdir(vec_dir):
-        if not name.startswith("add.tmp-"):
+    reads as age -1.0 — not sweepable, never a sweep failure. Staging
+    lives at the index ROOT, never under vectors/ — vectors/ must contain
+    ONLY add=<g> hive dirs, because _vectors_read relies on partition
+    discovery there and a mixed add=*/add.tmp-* listing fails the whole
+    read with CONFLICTING_DIRECTORY_STRUCTURES (the vec_dir entry of the
+    sweep covers debris from the earlier in-place staging layout)."""
+    for d in (root, os.path.join(root, "vectors")):
+        if not os.path.isdir(d):
             continue
-        path = os.path.join(vec_dir, name)
-        if staging_age(path) > max_age_sec:
-            shutil.rmtree(path, ignore_errors=True)
+        for name in os.listdir(d):
+            if not name.startswith("add.tmp-"):
+                continue
+            path = os.path.join(d, name)
+            if staging_age(path) > max_age_sec:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 def _append_generation(index, df: DataFrame, fn, schema: str,
@@ -289,7 +295,11 @@ def _append_generation(index, df: DataFrame, fn, schema: str,
             "this index predates the generation-dir layout — rebuild it "
             "with .build() before appending")
     vec_dir = os.path.join(index.root, "vectors")
-    tmp = os.path.join(vec_dir, f"add.tmp-{uuid.uuid4().hex}")
+    # staged at the index ROOT, not inside vectors/: partition discovery in
+    # _vectors_read must never see a non-add= sibling, or every concurrent
+    # query fails with CONFLICTING_DIRECTORY_STRUCTURES for the whole
+    # duration of the append (and until a crashed append's debris is swept)
+    tmp = os.path.join(index.root, f"add.tmp-{uuid.uuid4().hex}")
     n_new = _write_vectors(df, fn, schema, part_col, sort_cols, tmp,
                            "overwrite", id_col, vec_col)
     try:
@@ -308,7 +318,7 @@ def _append_generation(index, df: DataFrame, fn, schema: str,
             if batch_id is not None and str(batch_id) in done:
                 index.meta = fresh
                 return int(fresh["n_vectors"])
-            _sweep_stale_add_tmp(vec_dir)
+            _sweep_stale_add_tmp(index.root)
             g = _next_add_id(vec_dir, {int(a) for a in fresh["adds"]})
             try:
                 os.rename(tmp, os.path.join(vec_dir, f"add={g}"))

@@ -328,3 +328,47 @@ def test_append_refuses_stale_routing_params(emb, spark, tmp_path_factory):
     IvfIndex.build(spark, first, iroot, centroids=c2)
     with _pytest.raises(RuntimeError, match="routing parameters"):
         istale.append(batch)
+
+
+def test_inflight_staging_never_blocks_reads(emb, spark, tmp_path_factory):
+    """Append staging lives at the index ROOT, never inside vectors/ —
+    partition discovery over vectors/ fails the WHOLE read with
+    CONFLICTING_DIRECTORY_STRUCTURES if a non-add= sibling appears there,
+    so an in-flight (or crashed) append must not brick concurrent
+    queries. Also: stale root staging is swept by the next append."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pysearchlite_spark.operators.ann import AnnIndex
+
+    df, rows = emb
+    root = str(tmp_path_factory.mktemp("ann_staging") / "idx")
+    idx = AnnIndex.build(spark, df.filter(F.col("vec_id") < 150), root,
+                         n_planes=10, seed=99)
+    vec_dir = os.path.join(root, "vectors")
+    committed = sorted(n for n in os.listdir(vec_dir)
+                       if n.startswith("add="))
+    # simulate an in-flight append exactly where _append_generation stages
+    debris = os.path.join(root, "add.tmp-deadbeef")
+    shutil.copytree(os.path.join(vec_dir, committed[-1]), debris)
+
+    q = np.asarray(rows[5][1], dtype=np.float64).tolist()
+    got = AnnIndex(spark, root).topk(q, k=3, probe_bits=2).collect()
+    assert len(got) == 3  # read succeeds with staging present
+
+    # vectors/ holds ONLY add= generation dirs (the invariant the read
+    # path depends on)
+    assert all(n.startswith("add=") for n in os.listdir(vec_dir))
+
+    # age the debris past the lease and append: swept
+    old = time.time() - 2 * 86400
+    for base, _dirs, files in os.walk(debris):
+        os.utime(base, (old, old))
+        for fn in files:
+            os.utime(os.path.join(base, fn), (old, old))
+    idx.append(df.filter(F.col("vec_id").between(150, 159)), batch_id=9)
+    assert not os.path.isdir(debris)
+    assert all(n.startswith("add=") for n in os.listdir(vec_dir))

@@ -727,3 +727,35 @@ def test_concurrent_maintenance_stress(spark, docs_df,  # noqa: F811
     assert idx.delete_files == []
     assert np.array_equal(idx.search_and_ids(Q), want)
     assert idx.n_docs == live
+
+
+def test_tombstones_sliced_by_posting_segment(spark, docs_df,
+                                              tmp_path_factory):
+    """Driver top-k attributes tombstones to their OWN posting segment
+    (via the delete files' pseg), so a segment with no deletes keeps
+    deleted=None (and block-max pruning) even when a neighbouring
+    segment is heavily deleted — including when that neighbour carries
+    none of the query's terms."""
+    idx_dir = str(tmp_path_factory.mktemp("del_slice") / "idx")
+    build_index(spark, docs_df, idx_dir, id_col="doc_id", segment_docs=128)
+    idx = SearchIndex(spark, idx_dir)
+    segs = {r["seg"]: r["ids"] for r in
+            idx._docmap.groupBy("seg")
+            .agg(F.collect_list("doc_id").alias("ids")).collect()}
+    assert len(segs) >= 3, "need multiple segments"
+    mid = sorted(segs)[1]
+    victims = sorted(int(x) for x in segs[mid])[:40]
+    delete_docs(spark, idx_dir, victims)
+
+    idx2 = SearchIndex(spark, idx_dir)
+    by_seg = idx2._deleted_by_seg()
+    assert set(by_seg) == {int(mid)}  # ONLY the deleted segment has entries
+    assert sorted(by_seg[int(mid)].tolist()) == victims
+
+    # results still exclude the victims on the driver top-k path
+    top = idx2.topk(Q, k=50)
+    assert not (set(d for d, _ in top) & set(victims))
+    # and match the distributed path
+    top_d = idx2.topk(Q, k=50, distributed=True)
+    assert [(d, round(s, 9)) for d, s in top] == \
+           [(d, round(s, 9)) for d, s in top_d]
