@@ -6,7 +6,8 @@ Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
   * boolean COUNT / AND / OR and BM25 top-10 (block-max) query latency,
   * distributed BM25 path,
   * dedup (exact, MinHash-LSH), ANN cosine top-k + persisted index,
-  * batch-query ANN, text-quality scan, events hourly window.
+  * batch-query ANN, text-quality + repetition scans, cross-doc repeated
+    spans, events hourly window.
 
 Protocol: the WHOLE suite runs $SPARK_GRAFT_BENCH_TRIALS times (default 3)
 interleaved in one process, and the reported per-key number is the BEST of
@@ -37,11 +38,13 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
 
     from pysearchlite_spark.engine import SearchIndex
-    from pysearchlite_spark.functions.text import quality_stats
+    from pysearchlite_spark.functions.text import (quality_stats,
+                                                   repetition_stats)
     from pysearchlite_spark.operators.ann import (AnnIndex,
                                                   brute_cosine_topk)
     from pysearchlite_spark.operators.dedup import (exact_dedup,
-                                                    minhash_lsh_pairs)
+                                                    minhash_lsh_pairs,
+                                                    repeated_spans)
     from pysearchlite_spark.plans.builder import build_index
 
     timings: dict[str, float] = {}
@@ -121,6 +124,10 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
             shutil.rmtree(ann_dir, ignore_errors=True)
         with timed("quality_stats"):
             quality_stats(docs).count()
+        with timed("repetition_stats"):
+            repetition_stats(docs).count()
+        with timed("repeated_spans"):
+            repeated_spans(docs, n=8).count()
         with timed("events_hourly"):
             (events.groupBy(F.window("ts", "1 hour"), "event_type")
              .agg(F.count("*"), F.sum("value")).count())
