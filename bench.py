@@ -122,12 +122,16 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
                 timings["ann_lsh_top10_batch20"] / len(qvs), 4)
         finally:
             shutil.rmtree(ann_dir, ignore_errors=True)
+        # .agg over computed columns, NOT .count(): count() lets Catalyst
+        # prune the whole stat computation and time only the parquet scan
         with timed("quality_stats"):
-            quality_stats(docs).count()
+            quality_stats(docs).agg(
+                F.sum("distinct_ratio"), F.sum("punct_ratio")).collect()
         with timed("repetition_stats"):
-            repetition_stats(docs).count()
+            repetition_stats(docs).agg(
+                F.sum("top2gram_frac"), F.sum("dup5gram_frac")).collect()
         with timed("repeated_spans"):
-            repeated_spans(docs, n=8).count()
+            repeated_spans(docs, n=8).agg(F.sum("dup_spans")).collect()
         with timed("events_hourly"):
             (events.groupBy(F.window("ts", "1 hour"), "event_type")
              .agg(F.count("*"), F.sum("value")).count())

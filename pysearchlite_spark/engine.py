@@ -292,8 +292,11 @@ class SearchIndex:
         if not self.delete_files:
             return None
         if self._deleted_np is None:
-            pdf = self._pending_deletes_df().select("doc_id").toPandas()
-            self._deleted_np = np.unique(pdf["doc_id"].to_numpy(np.int64))
+            # derived from the by-seg map — ONE scan of the delete files
+            # serves both driver shapes (flat mask + per-segment slices)
+            arrs = list((self._deleted_by_seg() or {}).values())
+            self._deleted_np = (np.unique(np.concatenate(arrs)) if arrs
+                                else np.empty(0, dtype=np.int64))
         return self._deleted_np
 
     def _deleted_by_seg(self) -> Optional[Dict[int, np.ndarray]]:

