@@ -219,3 +219,30 @@ def test_repetition_stats_matches_brute(df):
         g5 = grams(5)
         exp = round(1 - len(set(g5)) / len(g5), 6) if g5 else 0.0
         assert got[i]["dup5gram_frac"] == pytest.approx(exp), i
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "dd"]),
+                         min_size=0, max_size=30),
+                min_size=1, max_size=8))
+def test_repetition_frame_property(token_rows):
+    """The factorize-chain implementation == a Counter brute force for
+    arbitrary small corpora (incl. empty rows, rows shorter than n, and
+    batches whose total token count is below a level)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from pysearchlite_spark.functions.text import _repetition_frame
+    texts = pd.Series([" ".join(toks) for toks in token_rows])
+    got = _repetition_frame(texts, (2, 3), (5,))
+    for i, toks in enumerate(token_rows):
+        for n in (2, 3):
+            g = [" ".join(toks[j:j + n])
+                 for j in range(len(toks) - n + 1)] if len(toks) >= n else []
+            exp = max(Counter(g).values()) / len(g) if g else 0.0
+            assert got[f"top{n}gram_frac"].iloc[i] == pytest.approx(exp)
+        g5 = [" ".join(toks[j:j + 5])
+              for j in range(len(toks) - 4)] if len(toks) >= 5 else []
+        exp = 1 - len(set(g5)) / len(g5) if g5 else 0.0
+        assert got["dup5gram_frac"].iloc[i] == pytest.approx(exp)
