@@ -355,6 +355,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pysearchlite_spark.operators.dedup import repeated_spans
         return repeated_spans(_docs(spark, sf), n=3)
 
+    def contamination(spark, sf):
+        # benchmark-decontamination signal: probe set = docs 0..49 (stand-in
+        # for an eval benchmark); corpus side never shuffles by span —
+        # probe keys broadcast into a left-semi
+        from pysearchlite_spark.operators.dedup import span_contamination
+        docs = _docs(spark, sf)
+        return span_contamination(docs, docs.filter(F.col("doc_id") < 50),
+                                  n=3)
+
     def events_hourly(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -386,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": cosine_dups,
         "repetition_stats": repetition,
         "repeated_spans": rep_spans,
+        "span_contamination": contamination,
         "ann_cosine_topk": ann_cosine,
         "ann_lsh_topk": ann_lsh,
         "ann_lsh_topk_batch": ann_lsh_batch,
@@ -749,6 +759,29 @@ LIMIT 10
               CASE WHEN len(sp.spans) > 0
                    THEN round(coalesce(pd.dup_spans, 0) / len(sp.spans), 6)
                    ELSE 0.0 END AS dup_span_frac
+            FROM sp LEFT JOIN pd USING (doc_id)""",
+        # probe spans = distinct spans of docs 0..49 (same derivation as
+        # the engine's broadcast left-semi; exact string spans, so a
+        # 64-bit span-hash collision in the engine would FAIL parity here)
+        "span_contamination": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            sp AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(ts)-3+2),
+                       i -> array_to_string(ts[i:i+2], ' '))) AS spans
+                   FROM t),
+            ex AS (SELECT doc_id, unnest(spans) AS s FROM sp),
+            probe AS (SELECT DISTINCT s FROM ex WHERE doc_id < 50),
+            pd AS (SELECT ex.doc_id, count(*) AS n_spans,
+                          sum(CASE WHEN probe.s IS NOT NULL
+                              THEN 1 ELSE 0 END) AS cont
+                   FROM ex LEFT JOIN probe ON ex.s = probe.s
+                   GROUP BY ex.doc_id)
+            SELECT sp.doc_id,
+              coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+              coalesce(pd.cont, 0)::BIGINT AS contaminated_spans,
+              CASE WHEN len(sp.spans) > 0
+                   THEN round(coalesce(pd.cont, 0) / len(sp.spans), 6)
+                   ELSE 0.0 END AS contamination_frac
             FROM sp LEFT JOIN pd USING (doc_id)""",
         "minhash_lsh_pairs": minhash_oracle,
         "doc_fingerprint": fingerprint_sql,

@@ -527,6 +527,27 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # -------------------------------------------------- repeated span detection --
 
+def _span_key_frame(df: DataFrame, id_col: str, text_col: str,
+                    n: int) -> DataFrame:
+    """(doc_id, k): one row per DISTINCT n-token span of each doc, k = the
+    64-bit polynomial window hash of the span (the MinHash combine over
+    blake2b token hashes — vectorized, no span strings materialized, and
+    content-derived so keys agree across partitions/jobs). Shared by
+    repeated_spans and span_contamination."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def spans_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for b in batches:
+            yield pd.Series(
+                [a.astype(np.int64) for a in
+                 _shingle_hashes_batch(b, k=n, short_rows="empty")],
+                index=b.index)
+
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(spans_udf(F.col(text_col))).alias("k"))
+
+
 def repeated_spans(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 20) -> DataFrame:
     """Cross-document repeated n-token-span detection — the exact-substring
@@ -565,19 +586,7 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
     handful of mislabeled spans per 10^12, fine for a dup SIGNAL; the SQL
     oracle keeps exact string spans, so a collision in a test corpus
     would surface as a parity failure, not pass silently)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<long>")
-    def spans_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for b in batches:
-            yield pd.Series(
-                [a.astype(np.int64) for a in
-                 _shingle_hashes_batch(b, k=n, short_rows="empty")],
-                index=b.index)
-
-    ex = (df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(spans_udf(F.col(text_col))).alias("k"))
-          .persist())
+    ex = _span_key_frame(df, id_col, text_col, n).persist()
     tot = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
     uniq = (ex.groupBy("k")
             .agg(F.count("*").alias("nd"), F.first("doc_id").alias("doc_id"))
@@ -595,3 +604,48 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
                 dup.alias("dup_spans"),
                 F.round(F.when(n_spans > 0, dup.cast("double") / n_spans)
                         .otherwise(0.0), 6).alias("dup_span_frac")))
+
+
+def span_contamination(df: DataFrame, probe_df: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       probe_text_col: str = "text",
+                       n: int = 8) -> DataFrame:
+    """Benchmark decontamination signal: for each corpus doc, how many of
+    its DISTINCT n-token spans also occur anywhere in `probe_df` (the
+    eval/benchmark set a training corpus must not leak) — the standard
+    n-gram-overlap decontamination check (GPT-3 appendix C / PaLM-style),
+    restated over this engine's span-hash machinery. Per doc:
+
+      (doc_id, n_spans, contaminated_spans, contamination_frac)
+
+    Docs with < n tokens report 0 (they cannot leak an n-gram).
+
+    Plan shape for 100 TB: the CORPUS side never shuffles by span — probe
+    spans (benchmarks are tiny next to the corpus) are hashed, dedup'd,
+    and BROADCAST; corpus spans stream map-side through a broadcast
+    left-semi probe, then ONE exchange on doc_id aggregates the per-doc
+    counts. The persisted span frame serves both the total and the
+    contaminated count (one tokenize pass). Same 64-bit span-hash
+    collision acceptance as repeated_spans — the SQL oracle keeps exact
+    string spans, so a test-corpus collision fails parity loudly."""
+    ex = _span_key_frame(df, id_col, text_col, n).persist()
+    # the probe side needs no id of its own — only its distinct span keys
+    probe_keys = (_span_key_frame(
+        probe_df.select(F.lit(0).alias("_pid"),
+                        F.col(probe_text_col)), "_pid", probe_text_col, n)
+        .select("k").distinct())
+    tot = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    hits = (ex.join(F.broadcast(probe_keys), "k", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("contaminated_spans")))
+    zero = F.lit(0).cast("long")
+    n_spans = F.coalesce("n_spans", zero)
+    cont = F.coalesce("contaminated_spans", zero)
+    return (df.select(F.col(id_col).alias("doc_id"))
+            .join(tot, "doc_id", "left")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                n_spans.alias("n_spans"),
+                cont.alias("contaminated_spans"),
+                F.round(F.when(n_spans > 0, cont.cast("double") / n_spans)
+                        .otherwise(0.0), 6).alias("contamination_frac")))

@@ -261,3 +261,28 @@ def test_repeated_spans_planted(spark):
     assert got[4] == (5, 0, 0.0)
     assert got[5] == (0, 0, 0.0)
     assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_span_contamination_planted(spark):
+    """Decontamination: doc 1 leaks one probe 4-gram, doc 2 is fully
+    contained in the probe set, doc 3 is clean, doc 4 too short."""
+    from pysearchlite_spark.operators.dedup import span_contamination
+    corpus = spark.createDataFrame(
+        [(1, "clean lead the quick brown fox jumps clean tail"),
+         (2, "exact benchmark sentence verbatim here"),
+         (3, "entirely unrelated training content words"),
+         (4, "too short")],
+        "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [("the quick brown fox jumps over",),
+         ("exact benchmark sentence verbatim here today",)],
+        "text string")
+    got = {r["doc_id"]: (r["n_spans"], r["contaminated_spans"],
+                         r["contamination_frac"])
+           for r in span_contamination(corpus, probe, n=4).collect()}
+    # doc1: 6 spans, 2 leak ('the quick brown fox', 'quick brown fox jumps')
+    assert got[1] == (6, 2, round(2 / 6, 6))
+    # doc2: 2 spans, both inside the probe sentence
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
