@@ -5,7 +5,7 @@ unpinned local[32].
 Measures wall time and docs/sec for
   * repetition_stats — per-doc Gopher repetition fractions (shuffle-free);
   * repeated_spans(n=20) — cross-doc exact-substring signal at the
-    production span length (one exchange on md5(span));
+    production span length (64-bit window-hash span keys);
   * repeated_spans(n=8) — the bench key's span length (denser collisions).
 
 Usage: python BENCH/pipeline_scale.py [n_docs] → one JSON line + writes
@@ -66,6 +66,9 @@ def main() -> None:
             out[f"spans{span_n}_docs_per_sec"] = round(n / sec, 1)
             out[f"spans{span_n}_rows"] = int(agg["rows"])
             out[f"spans{span_n}_dup_spans"] = int(agg["dup_spans"])
+            # each run persists its own span frame; release it so the
+            # next measurement isn't skewed by occupied storage memory
+            spark.catalog.clearCache()
     finally:
         import shutil
         shutil.rmtree(data, ignore_errors=True)

@@ -126,6 +126,9 @@ def _repetition_frame(texts: pd.Series, top_ns, dup_ns) -> pd.DataFrame:
     key = codes                            # level-1 keys, length m
     max_n = max(levels)
     stats: dict = {}
+    if 1 in levels:                        # unigram level: every position
+        stats[1] = _rep_ngram_stats(codes, np.ones(m, dtype=bool),
+                                    rows, n_rows)
     for n in range(2, max_n + 1):
         # key[p] (gram of length n-1 at p) + codes[p+n-1] → dense again.
         # Cross-row combinations are built but masked out at counting,

@@ -246,3 +246,15 @@ def test_repetition_frame_property(token_rows):
               for j in range(len(toks) - 4)] if len(toks) >= 5 else []
         exp = 1 - len(set(g5)) / len(g5) if g5 else 0.0
         assert got["dup5gram_frac"].iloc[i] == pytest.approx(exp)
+
+
+def test_repetition_frame_unigram_level():
+    """top_ns/dup_ns may include 1 (unigram fractions — the old JVM path
+    supported it; regression for the factorize-chain rewrite)."""
+    import pandas as pd
+
+    from pysearchlite_spark.functions.text import _repetition_frame
+    f = _repetition_frame(pd.Series(["a a b", "", "x"]), (1, 2), (1,))
+    assert f["top1gram_frac"].round(6).tolist() == [0.666667, 0.0, 1.0]
+    assert f["dup1gram_frac"].round(6).tolist() == [0.333333, 0.0, 0.0]
+    assert f["top2gram_frac"].round(6).tolist() == [0.5, 0.0, 0.0]
