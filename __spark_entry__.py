@@ -345,7 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def repetition(spark, sf):
         # Gopher-style repetition quality signals (top n-gram fraction,
-        # duplicate n-gram fraction); per-row JVM array code, no shuffle
+        # duplicate n-gram fraction); vectorized Arrow UDF (chained
+        # factorization), pure per-doc scan — no shuffle
         from pysearchlite_spark.functions.text import repetition_stats
         return repetition_stats(_docs(spark, sf))
 
@@ -353,7 +354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-doc repeated n-token spans (exact-substring dup signal);
         # n=3 so the synthetic vocabulary actually produces collisions
         from pysearchlite_spark.operators.dedup import repeated_spans
-        return repeated_spans(_docs(spark, sf), n=3)
+        # cache=False: this lazy frame outlives the call in the driver's
+        # long-lived session; no unpersist hook exists there
+        return repeated_spans(_docs(spark, sf), n=3, cache=False)
 
     def contamination(spark, sf):
         # benchmark-decontamination signal: probe set = docs 0..49 (stand-in
@@ -362,7 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pysearchlite_spark.operators.dedup import span_contamination
         docs = _docs(spark, sf)
         return span_contamination(docs, docs.filter(F.col("doc_id") < 50),
-                                  n=3)
+                                   n=3, cache=False)
 
     def events_hourly(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -739,9 +742,10 @@ LIMIT 10
                 round(1.0 - len(list_distinct(g5)) / len(g5), 6)
                 ELSE 0.0 END AS dup5gram_frac
             FROM ng""",
-        # same md5(span) grouping key as the engine (string-equality
-        # grouping would also match absent md5 collisions; mirroring the
-        # key keeps parity exact by construction)
+        # md5(span) is the ORACLE's grouping key only — exact per-span
+        # string equality (md5 collisions negligible). The engine groups
+        # on 64-bit blake2b polynomial window hashes; an engine-side key
+        # collision in a test corpus fails parity loudly.
         "repeated_spans": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
             sp AS (SELECT doc_id,

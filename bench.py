@@ -123,10 +123,14 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
         finally:
             shutil.rmtree(ann_dir, ignore_errors=True)
         # .agg over computed columns, NOT .count(): count() lets Catalyst
-        # prune the whole stat computation and time only the parquet scan
+        # prune the whole stat computation and time only the parquet scan.
+        # Sum EVERY output column — summing a subset lets Catalyst prune
+        # the others (avg_token_len's F.aggregate is real per-row work).
         with timed("quality_stats"):
             quality_stats(docs).agg(
-                F.sum("distinct_ratio"), F.sum("punct_ratio")).collect()
+                F.sum("n_chars"), F.sum("n_tokens"), F.sum("distinct_ratio"),
+                F.sum("avg_token_len"), F.sum("punct_ratio"),
+                F.sum("stopword_ratio")).collect()
         with timed("repetition_stats"):
             repetition_stats(docs).agg(
                 F.sum("top2gram_frac"), F.sum("dup5gram_frac")).collect()

@@ -103,12 +103,12 @@ def _repetition_frame(texts: pd.Series, top_ns, dup_ns) -> pd.DataFrame:
     (combine level n-1 code with the next token code, re-densify — exact
     string-equality semantics, no n-gram strings ever materialized), and
     per-row mode/distinct/total come from one lexsort per level."""
-    from pysearchlite_spark.tokenizer import flat_tokens
-    flat, lens = flat_tokens(texts)
+    from pysearchlite_spark.tokenizer import occurrence_codes
+    rows, codes, _uniq, lens = occurrence_codes(texts)
     n_rows = len(texts)
     cols: dict = {}
     levels = sorted(set(top_ns) | set(dup_ns))
-    if flat.size == 0:
+    if codes.size == 0:
         for n in top_ns:
             cols[f"top{n}gram_frac"] = np.zeros(n_rows)
         for n in dup_ns:
@@ -117,11 +117,9 @@ def _repetition_frame(texts: pd.Series, top_ns, dup_ns) -> pd.DataFrame:
     lens = np.asarray(lens, dtype=np.int64)
     offs = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    m = flat.size
-    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    m = codes.size
     ends = np.repeat(offs[1:], lens)       # row-end offset per position
     pos = np.arange(m, dtype=np.int64)
-    codes, _ = pd.factorize(flat)
     codes = codes.astype(np.int64)
     key = codes                            # level-1 keys, length m
     max_n = max(levels)

@@ -549,7 +549,8 @@ def _span_key_frame(df: DataFrame, id_col: str, text_col: str,
 
 
 def repeated_spans(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text", n: int = 20) -> DataFrame:
+                   text_col: str = "text", n: int = 20,
+                   cache: bool = True) -> DataFrame:
     """Cross-document repeated n-token-span detection — the exact-substring
     duplication signal of Lee et al. 2021 ("Deduplicating Training Data
     Makes Language Models Better"; theirs is a corpus suffix array, the
@@ -585,8 +586,14 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
     colliding on the 64-bit key would merge (p ~ n_spans^2/2^64 — a
     handful of mislabeled spans per 10^12, fine for a dup SIGNAL; the SQL
     oracle keeps exact string spans, so a collision in a test corpus
-    would surface as a parity failure, not pass silently)."""
-    ex = _span_key_frame(df, id_col, text_col, n).persist()
+    would surface as a parity failure, not pass silently).
+
+    cache=False trades a second tokenize pass for not holding storage a
+    caller with no unpersist hook (e.g. a long-lived harness consuming
+    the lazy frame) would otherwise leak."""
+    ex = _span_key_frame(df, id_col, text_col, n)
+    if cache:
+        ex = ex.persist()
     tot = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
     uniq = (ex.groupBy("k")
             .agg(F.count("*").alias("nd"), F.first("doc_id").alias("doc_id"))
@@ -609,7 +616,7 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
 def span_contamination(df: DataFrame, probe_df: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        probe_text_col: str = "text",
-                       n: int = 8) -> DataFrame:
+                       n: int = 8, cache: bool = True) -> DataFrame:
     """Benchmark decontamination signal: for each corpus doc, how many of
     its DISTINCT n-token spans also occur anywhere in `probe_df` (the
     eval/benchmark set a training corpus must not leak) — the standard
@@ -627,8 +634,11 @@ def span_contamination(df: DataFrame, probe_df: DataFrame,
     counts. The persisted span frame serves both the total and the
     contaminated count (one tokenize pass). Same 64-bit span-hash
     collision acceptance as repeated_spans — the SQL oracle keeps exact
-    string spans, so a test-corpus collision fails parity loudly."""
-    ex = _span_key_frame(df, id_col, text_col, n).persist()
+    string spans, so a test-corpus collision fails parity loudly.
+    cache=False: see repeated_spans."""
+    ex = _span_key_frame(df, id_col, text_col, n)
+    if cache:
+        ex = ex.persist()
     # the probe side needs no id of its own — only its distinct span keys
     probe_keys = (_span_key_frame(
         probe_df.select(F.lit(0).alias("_pid"),

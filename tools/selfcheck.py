@@ -61,6 +61,9 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf}/{t}.parquet')")
     qs, osql = E.queries(), E.oracle_sql()
+    if len(sys.argv) > 2:          # optional comma-list of keys to check
+        keep = set(sys.argv[2].split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     fails = 0
     for name, fn in qs.items():
         try:
