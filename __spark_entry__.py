@@ -60,6 +60,25 @@ def _index(spark: SparkSession, sf_dir: str):
     return _IDX_CACHE[sf_dir]
 
 
+def _index_pos(spark: SparkSession, sf_dir: str):
+    """Positional index over documents (built separately so the boolean /
+    top-k entries keep measuring the position-free build): feeds the
+    exact-phrase entries. Position pages live in their own parquet
+    columns, so the boolean paths on THIS index would still prune them."""
+    from pysearchlite_spark.engine import SearchIndex
+    from pysearchlite_spark.plans.builder import build_index
+
+    key = ("pos", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="pslspark_posidx_")
+        _TMP_DIRS.append(d)
+        build_index(spark, _docs(spark, sf_dir), d, id_col="doc_id",
+                    segment_docs=256, with_positions=True,
+                    lineage={"source": f"{sf_dir}/documents.parquet"})
+        _IDX_CACHE[key] = SearchIndex(spark, d)
+    return _IDX_CACHE[key]
+
+
 DELETE_MOD = 7  # search_and_deleted tombstones doc_id % 7 == 0
 
 
@@ -177,6 +196,8 @@ Q_AND = "table part"          # terms present in the synthetic vocabulary
 Q_OR = "spark merge"
 Q_BM25 = "query value"
 Q_TERMS = ["table", "part", "query", "value", "spark", "merge", "zzmissing"]
+Q_PHRASE = "table part"       # consecutive-token phrase, non-trivial hits
+Q_PHRASE3 = "value table part"
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +229,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def search_or(spark, sf):
         return _ids_df(spark, _index(spark, sf).search_or_ids(Q_OR))
+
+    def search_phrase(spark, sf):
+        # exact consecutive-token phrase over positional postings
+        # (operators/phrase.py): 3-gram, local block-selective kernel
+        return _ids_df(spark,
+                       _index_pos(spark, sf).search_phrase_ids(Q_PHRASE3))
+
+    def search_phrase_dist(spark, sf):
+        # distributed phrase path: per-segment applyInPandas kernel, only
+        # matching ids cross the exchange, docmap join resolves urls
+        return (_index_pos(spark, sf).search_df(Q_PHRASE, mode="phrase")
+                .select("doc_id", "url"))
 
     def count_and(spark, sf):
         return spark.createDataFrame(
@@ -380,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and_deleted": search_and_deleted,
         "search_df_and": search_df_and,
         "search_or": search_or,
+        "search_phrase": search_phrase,
+        "search_phrase_dist": search_phrase_dist,
         "count_and": count_and,
         "term_df": term_df,
         "bm25_topk": bm25_topk,
@@ -663,6 +698,17 @@ LIMIT 10
                          f"FROM documents WHERE {and_pred} ORDER BY doc_id",
         "search_or": f"SELECT doc_id FROM documents WHERE {or_pred} "
                      f"ORDER BY doc_id",
+        # phrase oracle: rebuild the token stream with the SAME tokenizer
+        # expression and substring-match the space-joined form — exact
+        # consecutive-token semantics (tokens are alnum, so the single
+        # space is an unambiguous delimiter)
+        "search_phrase": f"SELECT doc_id FROM documents WHERE "
+                         f"' ' || array_to_string({_TOK}, ' ') || ' ' "
+                         f"LIKE '% {Q_PHRASE3} %' ORDER BY doc_id",
+        "search_phrase_dist": f"SELECT doc_id, CAST(doc_id AS VARCHAR) AS "
+                              f"url FROM documents WHERE "
+                              f"' ' || array_to_string({_TOK}, ' ') || ' ' "
+                              f"LIKE '% {Q_PHRASE} %' ORDER BY doc_id",
         "count_and": "SELECT count(*)::BIGINT AS cnt FROM documents WHERE "
                      + " AND ".join(f"list_contains({_TOK}, '{t}')"
                                     for t in bm_terms),

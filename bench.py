@@ -97,6 +97,20 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
             1000 * timings["bm25_top10_preloaded"]
             / (WARM_REPS * len(qset)), 3)
 
+        # positional variant: separate key so index_build stays comparable
+        # across rounds; the delta IS the cost of carrying positions
+        pos_dir = tempfile.mkdtemp(prefix="bench_posidx_")
+        try:
+            with timed("index_build_positional"):
+                build_index(spark, docs, pos_dir, id_col="doc_id",
+                            segment_docs=1024, with_positions=True)
+            pidx = SearchIndex(spark, pos_dir)
+            with timed("search_phrase"):
+                for q in qset:
+                    pidx.search_phrase_ids(q)
+        finally:
+            shutil.rmtree(pos_dir, ignore_errors=True)
+
         with timed("exact_dedup"):
             exact_dedup(docs).count()
         with timed("minhash_lsh_pairs"):

@@ -207,10 +207,14 @@ class PackedFlat(NamedTuple):
     blk_dl_offs: np.ndarray
     max_partial: np.ndarray  # float64 flat
     blk_row_off: np.ndarray  # int64 (R+1) block-count offsets per row
+    enc_pos: bytes | None = None      # per-doc-delta varbyte positions
+    row_pos_offs: np.ndarray | None = None  # int64 (R+1) byte offsets
+    blk_pos_offs: np.ndarray | None = None  # int32 flat, row-local
 
 
 def pack_flat(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-              row_lens: np.ndarray, avgdl: float) -> PackedFlat:
+              row_lens: np.ndarray, avgdl: float,
+              pos: np.ndarray | None = None) -> PackedFlat:
     """Pack MANY posting lists given as flat concatenated arrays + per-row
     lengths: three vectorized varbyte passes over the whole batch (instead
     of 3 numpy calls per term, which dominates build time at millions of
@@ -219,7 +223,15 @@ def pack_flat(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     Rows need NOT be pre-sorted by docID: when any row is out of order, a
     single numpy lexsort orders every list — far cheaper than JVM-side
     sort_array over generic structs, which profiled as the single most
-    CPU-expensive stage of the build."""
+    CPU-expensive stage of the build.
+
+    pos: OPTIONAL flat in-document token positions, one run of tfs[i]
+    ascending values per posting i (occurrence-major, same posting order
+    as docs/tfs/dls). Encoded as per-doc deltas (each doc's first position
+    absolute) so any doc's list decodes independently of its neighbours;
+    block byte offsets align with the SAME skip blocks the doc stream
+    uses, so phrase queries decode positions block-selectively for
+    intersection survivors only."""
     row_lens = np.ascontiguousarray(row_lens, dtype=np.int64)
     docs = np.ascontiguousarray(docs, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -228,6 +240,11 @@ def pack_flat(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     offs = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(row_lens, out=offs[1:])
     n = int(offs[-1])
+    if pos is not None:
+        pos = np.ascontiguousarray(pos, dtype=np.int64)
+        if pos.size != int(tfs.sum()):
+            raise ValueError(
+                f"positions/{pos.size} != sum(tfs)/{int(tfs.sum())}")
 
     # per-row docID sort in one global pass (stable; docIDs unique per row);
     # the check is row-aware so already-sorted batches skip the lexsort
@@ -237,6 +254,20 @@ def pack_flat(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                                              == rows_rep_all[:-1])
         if disorder.any():
             order = np.lexsort((docs, rows_rep_all))
+            if pos is not None:
+                # gather the ragged per-posting position runs in the same
+                # permutation: out occurrence i comes from the source run
+                # of the posting order[] maps it to
+                src_occ = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(tfs, out=src_occ[1:])
+                new_tfs = tfs[order]
+                new_occ = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(new_tfs, out=new_occ[1:])
+                total_occ = int(new_occ[-1])
+                take = (np.repeat(src_occ[order], new_tfs)
+                        + np.arange(total_occ, dtype=np.int64)
+                        - np.repeat(new_occ[:-1], new_tfs))
+                pos = pos[take]
             docs = docs[order]
             tfs = tfs[order]
             dls = dls[order]
@@ -267,6 +298,26 @@ def pack_flat(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     bpos_l = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(len_l, out=bpos_l[1:])
 
+    enc_p = row_pos_offs = blk_pos_offs = None
+    if pos is not None:
+        total_occ = pos.size
+        occ_offs = np.zeros(n + 1, dtype=np.int64)  # posting → occurrence
+        np.cumsum(tfs, out=occ_offs[1:])
+        pdeltas = np.empty(total_occ, dtype=np.int64)
+        if total_occ:
+            pdeltas[0] = pos[0]
+            np.subtract(pos[1:], pos[:-1], out=pdeltas[1:])
+            pstarts = occ_offs[:-1][tfs > 0]  # each doc's first: absolute
+            pdeltas[pstarts] = pos[pstarts]
+        enc_p, len_p = varbyte_encode_with_lengths(pdeltas)
+        bpos_p = np.zeros(total_occ + 1, dtype=np.int64)
+        np.cumsum(len_p, out=bpos_p[1:])
+        # byte offset of posting j's positions = bpos_p[occ_offs[j]]
+        row_pos_offs = bpos_p[occ_offs[offs]]
+        blk_pos_offs = (bpos_p[occ_offs[block_starts]]
+                        - np.repeat(bpos_p[occ_offs[offs[:-1]]], nblocks_row)
+                        ).astype(np.int32)
+
     partial = bm25_partial(tfs, dls, avgdl)
     blk_max = (np.maximum.reduceat(partial, block_starts)
                if total_blocks else np.empty(0, np.float64))
@@ -290,6 +341,8 @@ def pack_flat(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                      ).astype(np.int32),
         max_partial=blk_max,
         blk_row_off=blk_row_off,
+        enc_pos=enc_p, row_pos_offs=row_pos_offs,
+        blk_pos_offs=blk_pos_offs,
     )
 
 
@@ -403,3 +456,32 @@ def unpack_block_range(packed: PackedPostings, lo: int, hi: int):
 def unpack_stream(buf: bytes, df: int) -> np.ndarray:
     """Decode a full tf/dl stream (plain varbyte, no deltas)."""
     return varbyte_decode(buf, count=df)
+
+
+def unpack_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode a per-doc-delta position stream back to absolute in-doc
+    positions: tfs[i] gives doc i's occurrence count, so the run
+    boundaries (where the delta chain resets to an absolute value) come
+    from cumsum(tfs). Returns the flat position array; slice doc i's
+    positions at [occ_offs[i], occ_offs[i+1])."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    d = varbyte_decode(buf, count=total).astype(np.int64)
+    if d.size == 0:
+        return d
+    occ_offs = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=occ_offs[1:])
+    c = np.cumsum(d)
+    starts = occ_offs[:-1][tfs > 0]
+    base = c[starts] - d[starts]  # prefix sum accumulated before each doc
+    out = c - np.repeat(base, tfs[tfs > 0])
+    return out
+
+
+def unpack_block_positions(pos_buf: bytes, pos_offs: np.ndarray,
+                           tfs_block: np.ndarray, bidx: int) -> np.ndarray:
+    """Decode ONE skip block's positions (selective decode for phrase
+    queries): tfs_block is the block's decoded tf stream — per-doc counts
+    are what delimit the delta runs inside the block's byte slice."""
+    return unpack_positions(_block_slice(pos_buf, pos_offs, bidx),
+                            tfs_block)

@@ -32,11 +32,20 @@ from pyspark.sql import functions as F
 
 from pysearchlite_spark import codec
 from pysearchlite_spark.operators import intersect as I
+from pysearchlite_spark.operators import phrase as P
 from pysearchlite_spark.operators import wand as W
 from pysearchlite_spark.plans.builder import term_bucket
 from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA,
                                                 POSTINGS_SCHEMA, IndexCatalog)
 from pysearchlite_spark.tokenizer import query_terms
+
+
+# Columns the boolean/top-k kernels consume — every distributed scan
+# selects EXACTLY these so the (heavier) positional sidecar pages are
+# pruned at the parquet reader unless a phrase query asks for them.
+QUERY_COLS = ["term", "seg", "df", "docs", "tfs", "dls", "first_docs",
+              "doc_offs", "tf_offs", "dl_offs", "max_partial"]
+PHRASE_COLS = QUERY_COLS + ["pos", "pos_offs"]
 
 
 def bm25_idf(n_docs: int, df: int) -> float:
@@ -420,6 +429,9 @@ class SearchIndex:
         """AND query → doc names (urls), ascending docID order
         (search_engine.py:49-55 semantics)."""
         ids = self.search_and_ids(query, distributed=distributed)
+        return self._urls_for_ids(ids)
+
+    def _urls_for_ids(self, ids: np.ndarray) -> List[str]:
         if ids.size == 0:
             return []
         if ids.size <= 10_000:
@@ -436,6 +448,78 @@ class SearchIndex:
                     .select("doc_id", "url").collect())
         name = {r["doc_id"]: r["url"] for r in rows}
         return [name[int(i)] for i in ids]
+
+    # ------------------------------------------------------------ phrase --
+    def _phrase_terms(self, phrase: str) -> List[str]:
+        if not self.stats.get("has_positions"):
+            raise ValueError(
+                "phrase queries need a positional index — "
+                "build_index(..., with_positions=True)")
+        return query_terms(phrase, dedup=False)  # order + dups significant
+
+    def search_phrase_ids(self, phrase: str, distributed: bool = False
+                          ) -> np.ndarray:
+        """Docs containing the EXACT consecutive token sequence (after the
+        reference tokenizer: ASCII runs, lowercased). Extension beyond the
+        reference's boolean protocol — see operators/phrase.py for the
+        kernel; per-segment intersect + block-selective position decode."""
+        terms = self._phrase_terms(phrase)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if distributed:
+            return self._search_phrase_ids_dist(terms)
+        distinct = list(dict.fromkeys(terms))
+        fetched = (self.postings_df(distinct).select(*PHRASE_COLS)
+                   .toPandas().to_dict("records"))
+        dfs = self.global_dfs(fetched, distinct)
+        if any(dfs[t] == 0 for t in distinct):  # P4 short-circuit
+            return np.empty(0, dtype=np.int64)
+        dmap = self._deleted_by_seg() or {}
+        parts = [P.phrase_match_ids(rows, terms,
+                                    deleted=dmap.get(int(seg)))
+                 for seg, rows in sorted(self._rows_by_seg(fetched).items())]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)  # segments are disjoint ascending
+
+    def count_phrase(self, phrase: str, distributed: bool = False) -> int:
+        return int(self.search_phrase_ids(phrase,
+                                          distributed=distributed).size)
+
+    def search_phrase(self, phrase: str, distributed: bool = False
+                      ) -> List[str]:
+        return self._urls_for_ids(
+            self.search_phrase_ids(phrase, distributed=distributed))
+
+    def _phrase_ids_dist_df(self, terms: List[str]) -> DataFrame:
+        """Per-segment phrase kernel as a lazy doc_id DataFrame (the
+        phrase analogue of _matching_ids_dist): only MATCHING ids cross
+        the exchange; position pages are read only here."""
+        def match(pdf: pd.DataFrame, ddf: Optional[pd.DataFrame]
+                  ) -> pd.DataFrame:
+            deleted = (np.unique(ddf["doc_id"].to_numpy(np.int64))
+                       if ddf is not None and len(ddf) else None)
+            ids = P.phrase_match_ids(pdf.to_dict("records"), terms,
+                                     deleted=deleted)
+            return pd.DataFrame({"doc_id": ids})
+
+        distinct = list(dict.fromkeys(terms))
+        grouped = (self.postings_df(distinct).select(*PHRASE_COLS)
+                   .groupBy("seg"))
+        if not self.delete_files:
+            return grouped.applyInPandas(
+                lambda key, pdf: match(pdf, None), "doc_id long")
+        return grouped.cogroup(self._seg_deletes_grouped()).applyInPandas(
+            lambda key, pdf, ddf: match(pdf, ddf), "doc_id long")
+
+    def _search_phrase_ids_dist(self, terms: List[str]) -> np.ndarray:
+        distinct = list(dict.fromkeys(terms))
+        dfs = self._global_dfs_dist(distinct)
+        if any(dfs[t] == 0 for t in distinct):
+            return np.empty(0, dtype=np.int64)
+        out = (self._phrase_ids_dist_df(terms)
+               .orderBy("doc_id").toPandas())
+        return out["doc_id"].to_numpy(np.int64)
 
     # ------------------------------------------------------------- BM25 --
     def _bound_scale(self, seg: int) -> float:
@@ -534,7 +618,7 @@ class SearchIndex:
                     ids, np.unique(ddf["doc_id"].to_numpy(np.int64)))
             return pd.DataFrame({"doc_id": ids})
 
-        grouped = self.postings_df(terms).groupBy("seg")
+        grouped = self.postings_df(terms).select(*QUERY_COLS).groupBy("seg")
         if not self.delete_files:
             return grouped.applyInPandas(
                 lambda key, pdf: match(pdf, None), "doc_id long")
@@ -546,17 +630,22 @@ class SearchIndex:
         DataFrame — per-segment kernels produce ids, a join against the
         docmap resolves names, and NOTHING reaches the driver; sink with
         .write or feed downstream joins. (search() stays the interactive
-        list-returning API.)"""
-        terms = query_terms(query)
+        list-returning API.) mode: "and" | "or" | "phrase"."""
+        if mode == "phrase":
+            terms = self._phrase_terms(query)
+        else:
+            terms = query_terms(query)
         empty = self.spark.createDataFrame([], "doc_id long, url string")
         if not terms:
             return empty
-        if mode == "and":
-            dfs = self._global_dfs_dist(terms)
-            if any(dfs[t] == 0 for t in terms):  # P4 short-circuit
+        if mode in ("and", "phrase"):
+            distinct = list(dict.fromkeys(terms))
+            dfs = self._global_dfs_dist(distinct)
+            if any(dfs[t] == 0 for t in distinct):  # P4 short-circuit
                 return empty
-        return (self._matching_ids_dist(terms, mode)
-                .join(self._docmap.select("doc_id", "url"), "doc_id"))
+        ids = (self._phrase_ids_dist_df(terms) if mode == "phrase"
+               else self._matching_ids_dist(terms, mode))
+        return ids.join(self._docmap.select("doc_id", "url"), "doc_id")
 
     def _search_and_ids_dist(self, terms: List[str]) -> np.ndarray:
         dfs = self._global_dfs_dist(terms)
@@ -601,7 +690,7 @@ class SearchIndex:
             return pd.DataFrame({"cnt": pd.Series([ids.size],
                                                   dtype="int64")})
 
-        grouped = self.postings_df(terms).groupBy("seg")
+        grouped = self.postings_df(terms).select(*QUERY_COLS).groupBy("seg")
         if not self.delete_files:
             counted = grouped.applyInPandas(
                 lambda key, pdf: cnt(pdf, None), "cnt long")
@@ -637,7 +726,7 @@ class SearchIndex:
                                       deleted=deleted)
             return pd.DataFrame({"doc_id": d, "score": s})
 
-        grouped = self.postings_df(terms).groupBy("seg")
+        grouped = self.postings_df(terms).select(*QUERY_COLS).groupBy("seg")
         if not self.delete_files:
             # 2-arg wrapper: applyInPandas rejects 3-arg callables even
             # when the third argument is defaulted

@@ -1,0 +1,112 @@
+"""Exact phrase matching over positional postings.
+
+The reference engine has no phrase operator (its protocol is COUNT /
+TOP_10 boolean AND, do_query.py:9-24) — this is the standard positional-
+index extension of the same machinery: leapfrog AND over the phrase's
+distinct terms produces candidate docs, then ONLY the skip blocks holding
+candidates have their position streams decoded (the same block-selective
+discipline the AND top-k path uses for tf/dl, engine._streams_for_ids).
+
+Adjacency is verified fully vectorized: for phrase slot k the candidate
+start positions are encoded as composite keys
+    candidate_index * M + (position - k)
+and the per-slot key sets are intersected — a doc matches iff some start
+key survives every slot. No per-document Python loop; hot phrases cost
+one sorted intersect per slot, like the boolean path.
+
+Scale shape: positions are a per-row binary sidecar (pos/pos_offs in
+POSTINGS_SCHEMA) with byte offsets per 128-doc skip block, so a phrase
+against a df=10^7 term decodes positions for the blocks of the (post-AND)
+survivors only; the distributed path runs this kernel per segment inside
+applyInPandas with only matching doc_ids crossing the exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from pysearchlite_spark import codec
+from pysearchlite_spark.operators import intersect as I
+
+
+def positions_for_ids(r: dict, ids: np.ndarray):
+    """Decode row `r`'s in-doc positions for candidate docs `ids` (sorted,
+    each guaranteed present in the row — they came from intersecting this
+    very row). Returns (flat positions, per-id counts), block-selective:
+    only skip blocks containing a candidate are touched."""
+    if r.get("pos") is None:
+        raise ValueError(
+            "posting row has no position stream — the index was built "
+            "without with_positions=True")
+    df = int(r["df"])
+    fd = np.asarray(r["first_docs"], dtype=np.int64)
+    tf_offs = np.asarray(r["tf_offs"], dtype=np.int32)
+    pos_offs = np.asarray(r["pos_offs"], dtype=np.int32)
+    packed = codec.packed_from_row(r)
+    bidx = np.clip(np.searchsorted(fd, ids, side="right") - 1,
+                   0, fd.size - 1)
+    out_parts: List[np.ndarray] = []
+    counts = np.empty(ids.size, dtype=np.int64)
+    filled = 0
+    for b in np.unique(bidx):  # ids sorted → block visits ascend with ids
+        sel = ids[bidx == b]
+        docs_b = codec.unpack_block_docs(packed, int(b))
+        tfs_b = codec.unpack_block_stream(
+            r["tfs"], tf_offs, df, int(b)).astype(np.int64)
+        pos_b = codec.unpack_block_positions(r["pos"], pos_offs,
+                                             tfs_b, int(b))
+        occ = np.zeros(tfs_b.size + 1, dtype=np.int64)
+        np.cumsum(tfs_b, out=occ[1:])
+        j = np.searchsorted(docs_b, sel)
+        kt = tfs_b[j]
+        oocc = np.zeros(j.size + 1, dtype=np.int64)
+        np.cumsum(kt, out=oocc[1:])
+        take = (np.repeat(occ[j], kt)
+                + np.arange(int(oocc[-1]), dtype=np.int64)
+                - np.repeat(oocc[:-1], kt))
+        out_parts.append(pos_b[take])
+        counts[filled:filled + j.size] = kt
+        filled += j.size
+    flat = (np.concatenate(out_parts) if out_parts
+            else np.empty(0, dtype=np.int64))
+    return flat, counts
+
+
+def phrase_match_ids(seg_rows: List[dict], terms: List[str],
+                     deleted: Optional[np.ndarray] = None) -> np.ndarray:
+    """Doc ids (ascending) of ONE segment matching the exact token phrase
+    `terms` (order + duplicates significant). seg_rows: the segment's
+    posting rows for the phrase's distinct terms; tombstoned ids in
+    `deleted` (sorted) are dropped BEFORE position decode."""
+    empty = np.empty(0, dtype=np.int64)
+    if not terms:
+        return empty
+    by_term: Dict[str, dict] = {}
+    for r in seg_rows:
+        by_term[r["term"]] = r
+    distinct = list(dict.fromkeys(terms))
+    if any(t not in by_term for t in distinct):
+        return empty  # P4 short-circuit per segment
+    rows = [by_term[t] for t in distinct]
+    ids = I.intersect_packed(rows)
+    if deleted is not None and deleted.size and ids.size:
+        ids = ids[codec.tombstone_keep_mask(ids, deleted)]
+    if ids.size == 0 or len(terms) == 1:
+        return ids
+    pos_of = {t: positions_for_ids(by_term[t], ids) for t in distinct}
+    maxp = max((int(p.max()) if p.size else 0) for p, _ in pos_of.values())
+    M = np.int64(maxp + len(terms) + 2)
+    survivors = None
+    for k, t in enumerate(terms):
+        pvals, cnts = pos_of[t]
+        idxrep = np.repeat(np.arange(ids.size, dtype=np.int64), cnts)
+        keys = idxrep * M + (pvals - np.int64(k))
+        if k:
+            keys = keys[pvals >= k]  # a slot-k token can't start before k
+        survivors = (keys if survivors is None else
+                     np.intersect1d(survivors, keys, assume_unique=True))
+        if survivors.size == 0:
+            return empty
+    return ids[np.unique(survivors // M)]

@@ -105,6 +105,17 @@ def _tf_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             "terms": terms, "tfs": tfs})
 
 
+def _tf_pos_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """_tf_stage plus per-doc flat position runs (poss) — the ingest path
+    of POSITIONAL indexes; see tokenizer.tf_pos_series for the layout."""
+    from pysearchlite_spark.tokenizer import tf_pos_series
+    for b in batches:
+        terms, tfs, poss, lens = tf_pos_series(b["text"])
+        yield pd.DataFrame({"doc_id": b["doc_id"], "url": b["url"],
+                            "doc_len": lens.astype("int64"),
+                            "terms": terms, "tfs": tfs, "poss": poss})
+
+
 # The staged table of the batch build: SPIMI runs (term rows, tb >= 0),
 # doc rows (tb == -1, term NULL, doc_ids=[doc_id], dls=[doc_len]) and
 # per-batch stats rows (tb == -2, doc_ids=[n_docs], dls=[sum_doc_len]) in ONE
@@ -117,7 +128,8 @@ def _tf_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 # global (n_docs, avgdl) in ONE tiny job — and make pack-time avgdl always
 # the FULL-corpus value even when a resumed run packs only some segments.
 RUNS_SCHEMA = ("seg long, tb int, term string, doc_ids array<long>, "
-               "tfs array<long>, dls array<long>, url string")
+               "tfs array<long>, dls array<long>, url string, "
+               "poss array<long>")
 
 
 RUNS_PA_SCHEMA = None  # built lazily (pyarrow import kept off the driver-import path)
@@ -130,12 +142,14 @@ def _runs_pa_schema():
         RUNS_PA_SCHEMA = pa.schema([
             ("seg", pa.int64()), ("tb", pa.int32()), ("term", pa.string()),
             ("doc_ids", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int64())),
-            ("dls", pa.list_(pa.int64())), ("url", pa.string())])
+            ("dls", pa.list_(pa.int64())), ("url", pa.string()),
+            ("poss", pa.list_(pa.int64()))])
     return RUNS_PA_SCHEMA
 
 
 def _invert_flush(doc_ids: np.ndarray, urls: np.ndarray, texts: pd.Series,
-                  segment_docs: int, n_buckets: int):
+                  segment_docs: int, n_buckets: int,
+                  with_positions: bool = False):
     """One accumulated slab of docs → RUNS RecordBatches (term runs +
     doc rows + stats rows), fully vectorized.
 
@@ -167,6 +181,16 @@ def _invert_flush(doc_ids: np.ndarray, urls: np.ndarray, texts: pd.Series,
         order = np.argsort(key, kind="stable")
         k_s = key[order]
         r_s = occ_rows[order]
+        pos_s = None
+        if with_positions:
+            # in-doc token position of each occurrence: flat index minus
+            # its row's start (occurrences are row-major); the stable sort
+            # keeps each (seg, term, doc) entry's positions ascending
+            row_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=row_offs[1:])
+            pos_occ = (np.arange(total, dtype=np.int64)
+                       - np.repeat(row_offs[:-1], lens))
+            pos_s = pos_occ[order]
         echange = np.empty(total, dtype=bool)
         echange[0] = True
         echange[1:] = (k_s[1:] != k_s[:-1]) | (r_s[1:] != r_s[:-1])
@@ -189,11 +213,20 @@ def _invert_flush(doc_ids: np.ndarray, urls: np.ndarray, texts: pd.Series,
         offs = np.append(tstarts, m).astype(np.int32)
         lists = [pa.ListArray.from_arrays(pa.array(offs), pa.array(arr))
                  for arr in (docs_e, tfs_e, dls_e)]
+        if pos_s is not None:
+            # group g's occurrences span [estarts[tstarts[g]],
+            # estarts[tstarts[g+1]]) in the sorted occurrence order
+            occ_goffs = np.append(estarts[tstarts], total).astype(np.int32)
+            poss_arr = pa.ListArray.from_arrays(pa.array(occ_goffs),
+                                                pa.array(pos_s))
+        else:
+            poss_arr = pa.nulls(g_term.size, pa.list_(pa.int64()))
         out.append(pa.RecordBatch.from_arrays([
             pa.array(g_seg), pa.array(g_tb),
             pa.array(g_term, type=pa.string()),
             lists[0], lists[1], lists[2],
             pa.nulls(g_term.size, pa.string()),
+            poss_arr,
         ], schema=schema))
 
     # doc rows (docmap payload): one single-element list per doc — offsets
@@ -206,6 +239,7 @@ def _invert_flush(doc_ids: np.ndarray, urls: np.ndarray, texts: pd.Series,
         pa.nulls(n, pa.list_(pa.int64())),
         pa.ListArray.from_arrays(pa.array(one), pa.array(lens)),
         pa.array(urls, type=pa.string()),
+        pa.nulls(n, pa.list_(pa.int64())),
     ], schema=schema))
 
     # per-(slab, seg) stats rows: segment discovery + global stats in one
@@ -222,6 +256,7 @@ def _invert_flush(doc_ids: np.ndarray, urls: np.ndarray, texts: pd.Series,
         pa.nulls(m, pa.list_(pa.int64())),
         pa.ListArray.from_arrays(pa.array(onem), pa.array(seg_dlsums)),
         pa.nulls(m, pa.string()),
+        pa.nulls(m, pa.list_(pa.int64())),
     ], schema=schema))
     return out
 
@@ -233,7 +268,8 @@ DEFAULT_STAGE0_SLAB_DOCS = int(os.environ.get("PSL_STAGE0_SLAB_DOCS",
 def make_stage0(segment_docs: int, n_buckets: int, *,
                 text_col: str = "text", html_col: Optional[str] = None,
                 offsets_bc=None,
-                slab_docs: int = DEFAULT_STAGE0_SLAB_DOCS):
+                slab_docs: int = DEFAULT_STAGE0_SLAB_DOCS,
+                with_positions: bool = False):
     """ONE mapInArrow for the whole of stage 0: (optional) docID assignment
     from the (_b, url)-sorted exchange + (optional) HTML→text extraction +
     tokenize + tf + SPIMI inversion → RUNS RecordBatches.
@@ -269,7 +305,8 @@ def make_stage0(segment_docs: int, n_buckets: int, *,
             urls = np.concatenate(buf_urls)
             texts = pd.Series(np.concatenate(buf_texts), dtype=object)
             buf_ids.clear(); buf_urls.clear(); buf_texts.clear()
-            return _invert_flush(ids, urls, texts, segment_docs, n_buckets)
+            return _invert_flush(ids, urls, texts, segment_docs, n_buckets,
+                                 with_positions=with_positions)
 
         for batch in batches:
             n = batch.num_rows
@@ -313,7 +350,8 @@ def make_stage0(segment_docs: int, n_buckets: int, *,
 def make_stage0_sink(out_dir: str, segment_docs: int, n_buckets: int, *,
                      text_col: str = "text", html_col: Optional[str] = None,
                      offsets_bc=None,
-                     slab_docs: int = DEFAULT_STAGE0_SLAB_DOCS):
+                     slab_docs: int = DEFAULT_STAGE0_SLAB_DOCS,
+                     with_positions: bool = False):
     """make_stage0 wrapped in a worker-side parquet SINK: each task writes
     its RUNS batches straight to `out_dir/part-<pid>.parquet` with pyarrow
     (C++ encoder, one file per task) and emits a single count row.
@@ -327,7 +365,7 @@ def make_stage0_sink(out_dir: str, segment_docs: int, n_buckets: int, *,
     marker written after the job completes."""
     inner = make_stage0(segment_docs, n_buckets, text_col=text_col,
                         html_col=html_col, offsets_bc=offsets_bc,
-                        slab_docs=slab_docs)
+                        slab_docs=slab_docs, with_positions=with_positions)
 
     def stage0_sink(batches):
         import pyarrow as pa
@@ -447,7 +485,8 @@ def _stage0_df(spark: SparkSession, df: DataFrame, *, text_col: str,
                id_col: Optional[str], url_col: Optional[str],
                html_col: Optional[str], lang_filter: Optional[str],
                segment_docs: int, n_buckets: int,
-               out_dir: Optional[str] = None) -> DataFrame:
+               out_dir: Optional[str] = None,
+               with_positions: bool = False) -> DataFrame:
     """Any input → staged RUNS via the fused stage-0.
 
     Only the payload column (html OR text) plus url is carried through the
@@ -466,9 +505,11 @@ def _stage0_df(spark: SparkSession, df: DataFrame, *, text_col: str,
         if out_dir is not None:
             return make_stage0_sink(out_dir, segment_docs, n_buckets,
                                     text_col=text_col, html_col=html_col,
-                                    offsets_bc=offsets_bc)
+                                    offsets_bc=offsets_bc,
+                                    with_positions=with_positions)
         return make_stage0(segment_docs, n_buckets, text_col=text_col,
-                           html_col=html_col, offsets_bc=offsets_bc)
+                           html_col=html_col, offsets_bc=offsets_bc,
+                           with_positions=with_positions)
 
     out_schema = "n long" if out_dir is not None else RUNS_SCHEMA
     if id_col is not None:
@@ -495,7 +536,8 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
                 segment_docs: int = DEFAULT_SEGMENT_DOCS,
                 n_buckets: int = DEFAULT_TERM_BUCKETS,
                 lineage: Optional[dict] = None,
-                max_segments: Optional[int] = None) -> BuildResult:
+                max_segments: Optional[int] = None,
+                with_positions: bool = False) -> BuildResult:
     """Full pages→segments build. See module docstring for the plan.
 
     max_segments limits how many missing segments are built this run (used by
@@ -511,7 +553,8 @@ def build_index(spark: SparkSession, df: DataFrame, index_dir: str, *,
             spark, df, index_dir, text_col=text_col, html_col=html_col,
             id_col=id_col, url_col=url_col, lang_filter=lang_filter,
             segment_docs=segment_docs, n_buckets=n_buckets,
-            lineage=lineage, max_segments=max_segments)
+            lineage=lineage, max_segments=max_segments,
+            with_positions=with_positions)
 
 
 def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
@@ -519,7 +562,8 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
                         id_col: Optional[str], url_col: Optional[str],
                         lang_filter: Optional[str], segment_docs: int,
                         n_buckets: int, lineage: Optional[dict],
-                        max_segments: Optional[int]) -> BuildResult:
+                        max_segments: Optional[int],
+                        with_positions: bool = False) -> BuildResult:
     t0 = time.time()
     timing = os.environ.get("PSL_BUILD_TIMING")
     t_last = [time.time()]
@@ -552,7 +596,8 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
                     "n_buckets": int(n_buckets),
                     "lang_filter": lang_filter, "text_col": text_col,
                     "id_col": id_col, "url_col": url_col,
-                    "html_col": html_col}
+                    "html_col": html_col,
+                    "with_positions": bool(with_positions)}
     snap0 = cat.current_snapshot()
     if snap0 is not None:
         old = snap0["stats"]
@@ -593,13 +638,15 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
             (_stage0_df(spark, df, text_col=text_col, id_col=id_col,
                         url_col=url_col, html_col=html_col,
                         lang_filter=lang_filter, segment_docs=segment_docs,
-                        n_buckets=n_buckets, out_dir=stage_dir)
+                        n_buckets=n_buckets, out_dir=stage_dir,
+                        with_positions=with_positions)
              .groupBy().sum("n").collect())
         else:
             (_stage0_df(spark, df, text_col=text_col, id_col=id_col,
                         url_col=url_col, html_col=html_col,
                         lang_filter=lang_filter, segment_docs=segment_docs,
-                        n_buckets=n_buckets)
+                        n_buckets=n_buckets,
+                        with_positions=with_positions)
              .write.mode("overwrite").parquet(stage_dir))
         with open(stage_marker, "w") as fh:
             json.dump({"ts": time.time(), "params": build_params}, fh)
@@ -718,6 +765,7 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
     if set(all_segs) <= staged_all:
         stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
                  "segment_docs": segment_docs, "n_buckets": n_buckets,
+                 "has_positions": bool(with_positions),
                  # per-segment pack-time avgdl: block-max max_partial bounds
                  # are exact only at this avgdl; queries scale them by
                  # current/pack when streaming appends drift the global stat
@@ -776,7 +824,8 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
 
 
 def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
-                    n_out_parts: int = 64) -> DataFrame:
+                    n_out_parts: int = 64,
+                    with_positions: bool = False) -> DataFrame:
     """tokens → packed posting rows.
 
     Plan: map-side SPIMI combine (per-Arrow-batch mini posting lists; one
@@ -804,11 +853,11 @@ def _build_postings(toks: DataFrame, *, avgdl: float, n_buckets: int,
     # inverted_index_skip_list.py:48-57). For Zipf-hot terms this shrinks
     # the shuffle by orders of magnitude.
     combine_schema = ("seg long, tb int, term string, doc_ids array<long>, "
-                      "tfs array<long>, dls array<long>")
+                      "tfs array<long>, dls array<long>, poss array<long>")
 
     def map_combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = _mini_invert(b, n_buckets)
+            out = _mini_invert(b, n_buckets, with_positions=with_positions)
             if out is not None:
                 yield out
 
@@ -831,7 +880,9 @@ def _postings_pa_schema():
             ("doc_offs", pa.list_(pa.int32())),
             ("tf_offs", pa.list_(pa.int32())),
             ("dl_offs", pa.list_(pa.int32())),
-            ("max_partial", pa.list_(pa.float64()))])
+            ("max_partial", pa.list_(pa.float64())),
+            ("pos", pa.binary()),
+            ("pos_offs", pa.list_(pa.int32()))])
     return POSTINGS_PA_SCHEMA
 
 
@@ -856,6 +907,14 @@ def _pack_table(t, avgdl: float):
     d_flat = d_col.flatten().to_numpy()
     tf_flat = tf_col.flatten().to_numpy()
     dl_flat = dl_col.flatten().to_numpy()
+    pos_flat = None
+    p_col = t.column("poss").chunk(0)
+    if p_col.null_count < n:
+        if p_col.null_count:
+            raise ValueError(
+                "mixed positional and non-positional runs in one pack "
+                "batch — an index is positional or it is not")
+        pos_flat = p_col.flatten().to_numpy()
 
     # group boundaries: term change (same term ⇒ same tb; seg guard anyway)
     gchange = np.empty(n, dtype=bool)
@@ -868,7 +927,8 @@ def _pack_table(t, avgdl: float):
     gstarts = np.flatnonzero(gchange)
     row_lens = np.add.reduceat(run_lens, gstarts)
 
-    pf = codec.pack_flat(d_flat, tf_flat, dl_flat, row_lens, avgdl)
+    pf = codec.pack_flat(d_flat, tf_flat, dl_flat, row_lens, avgdl,
+                         pos=pos_flat)
 
     R = gstarts.size
     def binary_arr(enc: bytes, row_offs: np.ndarray):
@@ -879,6 +939,13 @@ def _pack_table(t, avgdl: float):
              pa.py_buffer(enc)])
 
     blk_off32 = pf.blk_row_off.astype(np.int32)
+    if pf.enc_pos is not None:
+        pos_arr = binary_arr(pf.enc_pos, pf.row_pos_offs)
+        pos_offs_arr = pa.ListArray.from_arrays(pa.array(blk_off32),
+                                                pa.array(pf.blk_pos_offs))
+    else:
+        pos_arr = pa.nulls(R, pa.binary())
+        pos_offs_arr = pa.nulls(R, pa.list_(pa.int32()))
     return pa.RecordBatch.from_arrays([
         term.take(pa.array(gstarts)),
         pa.array(seg[gstarts]), pa.array(tb[gstarts]), pa.array(pf.df),
@@ -895,6 +962,8 @@ def _pack_table(t, avgdl: float):
                                  pa.array(pf.blk_dl_offs)),
         pa.ListArray.from_arrays(pa.array(blk_off32),
                                  pa.array(pf.max_partial)),
+        pos_arr,
+        pos_offs_arr,
     ], schema=_postings_pa_schema())
 
 
@@ -1035,9 +1104,11 @@ def _pack_runs(mini: DataFrame, *, avgdl: float, n_out_parts: int = 64,
     return runs.mapInArrow(pack_sink, PACK_METRICS_SCHEMA)
 
 
-def _mini_invert(b: pd.DataFrame, n_buckets: int) -> Optional[pd.DataFrame]:
+def _mini_invert(b: pd.DataFrame, n_buckets: int,
+                 with_positions: bool = False) -> Optional[pd.DataFrame]:
     """Vectorized per-batch inversion: staged rows (doc_id, doc_len, seg,
-    terms, tfs) -> one row per (seg, term) with doc/tf/dl arrays."""
+    terms, tfs[, poss]) -> one row per (seg, term) with doc/tf/dl arrays
+    (plus per-entry in-doc position runs when with_positions)."""
     lens = b["terms"].map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
@@ -1064,6 +1135,25 @@ def _mini_invert(b: pd.DataFrame, n_buckets: int) -> Optional[pd.DataFrame]:
     uniq = np.asarray(uniq, dtype=object)
     g_term = uniq[g_code]
     docs_s, tfs_s, dls_s = docs_rep[order], flat_tfs[order], dls_rep[order]
+    if with_positions:
+        # per-entry position runs follow their entry through the sort
+        # (ragged gather, same construction as codec.pack_flat's)
+        flat_pos = (np.concatenate(
+            [np.asarray(t, dtype=np.int64) for t in b["poss"] if len(t)])
+            if int(flat_tfs.sum()) else np.empty(0, dtype=np.int64))
+        src_occ = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(flat_tfs, out=src_occ[1:])
+        new_occ = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(tfs_s, out=new_occ[1:])
+        T = int(new_occ[-1])
+        take = (np.repeat(src_occ[:-1][order], tfs_s)
+                + np.arange(T, dtype=np.int64)
+                - np.repeat(new_occ[:-1], tfs_s))
+        pos_g = flat_pos[take]
+        poss_col = [pos_g[new_occ[s]:new_occ[e]]
+                    for s, e in zip(starts, ends)]
+    else:
+        poss_col = [None] * starts.size
     tb_of = {t: term_bucket(t, n_buckets) for t in uniq}
     return pd.DataFrame({
         "seg": g_seg,
@@ -1073,6 +1163,7 @@ def _mini_invert(b: pd.DataFrame, n_buckets: int) -> Optional[pd.DataFrame]:
         "doc_ids": [docs_s[s:e] for s, e in zip(starts, ends)],
         "tfs": [tfs_s[s:e] for s, e in zip(starts, ends)],
         "dls": [dls_s[s:e] for s, e in zip(starts, ends)],
+        "poss": poss_col,
     })
 
 

@@ -62,7 +62,8 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
         out_schema = pa.schema([
             ("seg", pa.int64()), ("tb", pa.int32()), ("term", pa.string()),
             ("doc_ids", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int64())),
-            ("dls", pa.list_(pa.int64())), ("url", pa.string())])
+            ("dls", pa.list_(pa.int64())), ("url", pa.string()),
+            ("poss", pa.list_(pa.int64()))])
         tomb_cache: dict = {}
         fs_cache: list = []  # [(filesystem, base_path)] once resolved
 
@@ -106,7 +107,9 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
                     for i, name in enumerate(batch.schema.names)}
             segs = cols["seg"].to_numpy()
             dfs = cols["df"].to_numpy()
-            doc_parts, tf_parts, dl_parts = [], [], []
+            pos_bufs = (cols["pos"].to_pylist() if "pos" in cols
+                        else [None] * n)
+            doc_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
             sizes = np.empty(n, dtype=np.int64)
             for i, (docs_b, tfs_b, dls_b, df) in enumerate(zip(
                     cols["docs"].to_pylist(), cols["tfs"].to_pylist(),
@@ -115,15 +118,32 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
                 docs = codec.unpack_docs(docs_b, df)
                 tfs = codec.unpack_stream(tfs_b, df).astype(np.int64)
                 dls = codec.unpack_stream(dls_b, df).astype(np.int64)
+                pvals = None
+                if pos_bufs[i] is not None:
+                    # per-doc runs are delimited by the PRE-mask tfs
+                    pvals = codec.unpack_positions(pos_bufs[i], tfs)
                 if masking:
                     t = tombs(int(segs[i]))
                     if t.size and docs.size:
                         keep = codec.tombstone_keep_mask(docs, t)
+                        if pvals is not None and not keep.all():
+                            occ = np.zeros(tfs.size + 1, dtype=np.int64)
+                            np.cumsum(tfs, out=occ[1:])
+                            kidx = np.flatnonzero(keep)
+                            kt = tfs[kidx]
+                            oocc = np.zeros(kidx.size + 1, dtype=np.int64)
+                            np.cumsum(kt, out=oocc[1:])
+                            take = (np.repeat(occ[kidx], kt)
+                                    + np.arange(int(oocc[-1]),
+                                                dtype=np.int64)
+                                    - np.repeat(oocc[:-1], kt))
+                            pvals = pvals[take]
                         docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 sizes[i] = docs.size
                 doc_parts.append(docs)
                 tf_parts.append(tfs)
                 dl_parts.append(dls)
+                pos_parts.append(pvals)
             # rows whose postings were deleted away vanish (df would be 0)
             rkeep = sizes > 0
             if not rkeep.all():
@@ -132,6 +152,7 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
                 doc_parts = [doc_parts[i] for i in idx]
                 tf_parts = [tf_parts[i] for i in idx]
                 dl_parts = [dl_parts[i] for i in idx]
+                pos_parts = [pos_parts[i] for i in idx]
                 sizes = sizes[idx]
                 tb_arr = cols["tb"].take(pa.array(idx))
                 term_arr = cols["term"].take(pa.array(idx))
@@ -145,6 +166,20 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
             offs = np.zeros(m + 1, dtype=np.int64)
             np.cumsum(sizes, out=offs[1:])
             offs32 = pa.array(offs.astype(np.int32))
+            with_pos = [pv is not None for pv in pos_parts]
+            if any(with_pos):
+                if not all(with_pos):
+                    raise ValueError("mixed positional and non-positional "
+                                     "posting rows in one compaction batch")
+                pocc = np.zeros(m + 1, dtype=np.int64)
+                np.cumsum(np.fromiter((p.size for p in pos_parts),
+                                      dtype=np.int64, count=m),
+                          out=pocc[1:])
+                poss_arr = pa.ListArray.from_arrays(
+                    pa.array(pocc.astype(np.int32)),
+                    pa.array(np.concatenate(pos_parts)))
+            else:
+                poss_arr = pa.nulls(m, pa.list_(pa.int64()))
             yield pa.RecordBatch.from_arrays([
                 pa.array(new_segs), tb_arr, term_arr,
                 pa.ListArray.from_arrays(
@@ -154,6 +189,7 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
                 pa.ListArray.from_arrays(
                     offs32, pa.array(np.concatenate(dl_parts))),
                 pa.nulls(m, pa.string()),
+                poss_arr,
             ], schema=out_schema)
 
     return decode
@@ -270,7 +306,8 @@ def _compact_segments_locked(spark: SparkSession, index_dir: str,
         delete_file_ids=tuple(pending) if deleted_global is None else (),
         deleted_global=deleted_global)
     runs_like = (postings
-                 .select("seg", "tb", "term", "df", "docs", "tfs", "dls")
+                 .select("seg", "tb", "term", "df", "docs", "tfs", "dls",
+                         "pos")
                  .mapInArrow(decode, RUNS_SCHEMA))
 
     par = spark.sparkContext.defaultParallelism

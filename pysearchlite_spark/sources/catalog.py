@@ -35,7 +35,13 @@ POSTINGS_SCHEMA = (
     "term string, seg long, tb int, df long, "
     "docs binary, tfs binary, dls binary, "
     "first_docs array<long>, doc_offs array<int>, tf_offs array<int>, "
-    "dl_offs array<int>, max_partial array<double>"
+    "dl_offs array<int>, max_partial array<double>, "
+    # positional sidecar (NULL on non-positional indexes; parquet files
+    # written before positions existed simply lack the columns and read
+    # as NULL under this explicit schema). Kept in the same row so one
+    # pruned scan serves phrase queries; column pruning means boolean /
+    # top-k queries never read the (heavier) position pages.
+    "pos binary, pos_offs array<int>"
 )
 
 DOCMAP_SCHEMA = "doc_id long, url string, doc_len long, seg long"

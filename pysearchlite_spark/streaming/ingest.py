@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pysearchlite_spark.plans.builder import (DEFAULT_TERM_BUCKETS,
-                                              _build_postings, _tf_stage)
+                                              _build_postings, _tf_stage,
+                                              _tf_pos_stage)
 from pysearchlite_spark.extract import make_extract_udf
 from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA, IndexCatalog)
 
@@ -62,6 +63,7 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
                  text_col: str = "text", html_col: Optional[str] = None,
                  url_col: str = "url", lang_filter: Optional[str] = None,
                  segment_docs: int = 1 << 20, batch_id: Optional[int] = None,
+                 with_positions: bool = False,
                  _pre_commit_hook=None) -> int:
     """Index `batch` as new segments appended to an existing (or empty)
     index. Returns the new snapshot id. Idempotent per batch_id: if the
@@ -84,6 +86,7 @@ def append_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
             spark, batch, index_dir, cat, text_col=text_col,
             html_col=html_col, url_col=url_col, lang_filter=lang_filter,
             segment_docs=segment_docs, batch_id=batch_id,
+            with_positions=with_positions,
             _pre_commit_hook=_pre_commit_hook)
 
 
@@ -92,6 +95,7 @@ def _append_batch_locked(spark: SparkSession, batch: DataFrame,
                          text_col: str, html_col: Optional[str],
                          url_col: str, lang_filter: Optional[str],
                          segment_docs: int, batch_id: Optional[int],
+                         with_positions: bool = False,
                          _pre_commit_hook=None) -> int:
     _refuse_if_suspended_build(index_dir)
     snap = cat.current_snapshot()
@@ -115,6 +119,9 @@ def _append_batch_locked(spark: SparkSession, batch: DataFrame,
         # arithmetic of every existing doc depends on it, so a differing
         # caller value would assign COLLIDING doc ids
         segment_docs = int(old_stats.get("segment_docs", segment_docs))
+        # ...and pins positionality: appended segments must match, or
+        # phrase queries would silently miss the appended docs
+        with_positions = bool(old_stats.get("has_positions"))
     # crash recovery: a replayed batch (driver died between the append-mode
     # writes and the commit) must not append DUPLICATE rows into the
     # half-written dirs — drop every uncommitted seg dir first (the live-
@@ -141,9 +148,12 @@ def _append_batch_locked(spark: SparkSession, batch: DataFrame,
     docs = assign_doc_ids(base, "url").select(
         (F.col("doc_id") + F.lit(next_doc)).alias("doc_id"), "url", "text")
 
-    toks = (docs.mapInPandas(
-                _tf_stage, "doc_id long, url string, doc_len long, "
-                           "terms array<string>, tfs array<int>")
+    stage = _tf_pos_stage if with_positions else _tf_stage
+    stage_schema = ("doc_id long, url string, doc_len long, "
+                    "terms array<string>, tfs array<int>")
+    if with_positions:
+        stage_schema += ", poss array<long>"
+    toks = (docs.mapInPandas(stage, stage_schema)
             .withColumn("seg", (F.col("doc_id") / F.lit(segment_docs))
                         .cast("long")))
     toks = toks.persist()  # micro-batches are small; cache build is cheap
@@ -164,7 +174,8 @@ def _append_batch_locked(spark: SparkSession, batch: DataFrame,
 
     n_buckets = int(old_stats.get("n_buckets", DEFAULT_TERM_BUCKETS))
     packed = _build_postings(toks, avgdl=avgdl, n_buckets=n_buckets,
-                             n_out_parts=max(len(new_segs), 1) * n_buckets)
+                             n_out_parts=max(len(new_segs), 1) * n_buckets,
+                             with_positions=with_positions)
     (packed.write.partitionBy("seg", "tb").mode("append")
      .parquet(cat.postings_dir()))
     for s in new_segs:
@@ -182,6 +193,7 @@ def _append_batch_locked(spark: SparkSession, batch: DataFrame,
     stats = dict(old_stats)
     stats.update({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
                   "segment_docs": segment_docs, "n_buckets": n_buckets,
+                  "has_positions": bool(with_positions),
                   "pack_avgdl": pack_avgdl})
     lineage = {"job": "streaming.append_batch",
                "ingested_batches": done_batches + (

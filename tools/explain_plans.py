@@ -100,6 +100,21 @@ def main() -> None:
                      fmt(rs), []))
     spark.catalog.clearCache()  # repeated_spans persists its span frame
 
+    # positional index: the (heavier) position sidecar columns must be
+    # invisible to boolean/top-k scans (column pruning — ReadSchema has no
+    # pos) and read ONLY by the phrase kernel's scan, term-pushed-down
+    from pysearchlite_spark.engine import QUERY_COLS
+    pos_dir = tempfile.mkdtemp(prefix="explain_posidx_")
+    build_index(spark, docs, pos_dir, id_col="doc_id", segment_docs=256,
+                with_positions=True)
+    pidx = SearchIndex(spark, pos_dir)
+    bool_scan = pidx.postings_df(["table", "part"]).select(*QUERY_COLS)
+    sections.append(("Boolean scan on a POSITIONAL index "
+                     "(position pages pruned)", fmt(bool_scan), []))
+    phrase_plan = pidx._phrase_ids_dist_df(["table", "part"])
+    sections.append(("Distributed phrase kernel (positions read, "
+                     "term pushdown)", fmt(phrase_plan), []))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plans (explain formatted)\n\n"
                 "Generated by tools/explain_plans.py — the properties the\n"
@@ -128,6 +143,11 @@ def main() -> None:
             sections[7][1].count(") Exchange") == 3,
         "repeated spans hashes spans once":
             sections[7][1].count("spans_udf") == 1,
+        "boolean scan prunes position pages":
+            "pos:binary" not in sections[8][1],
+        "phrase scan reads positions + pushes terms":
+            "pos:binary" in sections[9][1] and
+            "PushedFilters" in sections[9][1],
     }
     print(checks)
     spark.stop()
