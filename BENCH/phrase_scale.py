@@ -1,0 +1,124 @@
+"""Positional index + phrase queries at scale: 1M deterministic synthetic
+docs (datagen.generate_pages), unpinned local[32].
+
+Measures
+  * build cost of carrying positions: plain vs with_positions=True build
+    over the identical corpus (secs, docs/sec, postings bytes on disk);
+  * phrase query latency (driver path, best-of-3) for a Zipf-HEAD bigram,
+    a mid bigram and a selective trigram, with match counts;
+  * distributed count_phrase (per-segment kernel, only counts collected);
+  * boolean count on the SAME positional index — position pages are a
+    separate parquet column, so the boolean path must stay at its
+    position-free cost (column pruning, PLANS.md §"Boolean scan on a
+    POSITIONAL index").
+
+Usage: python BENCH/phrase_scale.py [n_docs] → one JSON line + writes
+BENCH/phrase_scale.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pysearchlite_spark.session import get_spark  # noqa: E402
+
+PHRASES = ["st petersburg",               # Zipf ranks 1+2: the hot case
+           "high school",                 # ranks 3+4
+           "united states constitution"]  # selective trigram
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    from pysearchlite_spark.datagen import generate_pages
+    from pysearchlite_spark.engine import SearchIndex
+    from pysearchlite_spark.plans.builder import build_index
+
+    spark = get_spark("phrase_scale", master="local[32]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_docs": n, "cpus": 32, "pinned": False}
+
+    pages = generate_pages(spark, n, seed=42).select("url", "text")
+    pages.write.mode("overwrite").parquet("/tmp/phrase_scale_pages")
+    docs = spark.read.parquet("/tmp/phrase_scale_pages")
+
+    # warm the JVM/Arrow paths once so the FIRST measured build doesn't
+    # absorb codegen+classloading (it otherwise lands on "plain" and
+    # understates the positional overhead)
+    warm = tempfile.mkdtemp(prefix="phrase_scale_warm_")
+    try:
+        build_index(spark, docs.limit(10_000), warm, url_col="url",
+                    segment_docs=1 << 18)
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
+
+    dirs = {}
+    try:
+        for key, with_pos in (("plain", False), ("positional", True)):
+            d = tempfile.mkdtemp(prefix=f"phrase_scale_{key}_")
+            dirs[key] = d
+            t0 = time.monotonic()
+            build_index(spark, docs, d, url_col="url",
+                        segment_docs=1 << 18, with_positions=with_pos)
+            dt = time.monotonic() - t0
+            out[f"build_{key}_sec"] = round(dt, 2)
+            out[f"build_{key}_docs_per_sec"] = round(n / dt, 1)
+            out[f"postings_{key}_bytes"] = _du(
+                os.path.join(d, "postings"))
+        out["position_build_overhead"] = round(
+            out["build_positional_sec"] / out["build_plain_sec"], 3)
+        out["position_bytes_overhead"] = round(
+            out["postings_positional_bytes"] / out["postings_plain_bytes"],
+            3)
+
+        idx = SearchIndex(spark, dirs["positional"])
+        for q in PHRASES:
+            k = q.replace(" ", "_")
+            best = None
+            for _ in range(3):
+                t0 = time.monotonic()
+                ids = idx.search_phrase_ids(q)
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            out[f"phrase[{k}]_sec"] = round(best, 3)
+            out[f"phrase[{k}]_matches"] = int(ids.size)
+            t0 = time.monotonic()
+            cnt = idx.count_phrase(q, distributed=True)
+            out[f"phrase[{k}]_dist_sec"] = round(time.monotonic() - t0, 3)
+            assert cnt == ids.size, (q, cnt, ids.size)
+        # boolean AND on the positional index: must not pay for positions
+        t0 = time.monotonic()
+        out["bool_count_matches"] = idx.count("st petersburg")
+        out["bool_count_on_positional_sec"] = round(
+            time.monotonic() - t0, 3)
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree("/tmp/phrase_scale_pages", ignore_errors=True)
+    spark.stop()
+
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "phrase_scale.json"), "w") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

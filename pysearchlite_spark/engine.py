@@ -246,9 +246,7 @@ class SearchIndex:
         memory — it is delta+varbyte compressed; for 10^12-doc indexes pass
         the query workload's terms or stay on the scan path)."""
         df = self._postings if terms is None else self.postings_df(terms)
-        pdf = df.select("term", "seg", "df", "docs", "tfs", "dls",
-                        "first_docs", "doc_offs", "tf_offs", "dl_offs",
-                        "max_partial").toPandas()
+        pdf = df.select(*QUERY_COLS).toPandas()
         # LAZY row materialization: building one dict per row up front cost
         # minutes on a 1M-doc index (1.2M python dicts); instead keep the
         # frame + a term→positions map and materialize a term's row dicts on
@@ -361,10 +359,7 @@ class SearchIndex:
 
         if all(have(t) for t in terms):
             return [r for t in set(terms) for r in self._cached_rows(t)]
-        return (self.postings_df(terms)
-                .select("term", "seg", "df", "docs", "tfs", "dls",
-                        "first_docs", "doc_offs", "tf_offs", "dl_offs",
-                        "max_partial")
+        return (self.postings_df(terms).select(*QUERY_COLS)
                 .toPandas().to_dict("records"))
 
     @staticmethod
@@ -483,8 +478,21 @@ class SearchIndex:
         return np.concatenate(parts)  # segments are disjoint ascending
 
     def count_phrase(self, phrase: str, distributed: bool = False) -> int:
-        return int(self.search_phrase_ids(phrase,
-                                          distributed=distributed).size)
+        if distributed:
+            # per-segment sizes are the only thing collected — same
+            # discipline as _count_and_dist (no id materialization, no
+            # global sort, no driver transfer of matches)
+            terms = self._phrase_terms(phrase)
+            if not terms:
+                return 0
+            distinct = list(dict.fromkeys(terms))
+            dfs = self._global_dfs_dist(distinct)
+            if any(dfs[t] == 0 for t in distinct):
+                return 0
+            out = (self._phrase_ids_dist_df(terms)
+                   .agg(F.count("doc_id").alias("total")).collect())
+            return int(out[0]["total"] or 0)
+        return int(self.search_phrase_ids(phrase).size)
 
     def search_phrase(self, phrase: str, distributed: bool = False
                       ) -> List[str]:

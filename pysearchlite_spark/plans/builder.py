@@ -610,6 +610,15 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
                 f"{old.get('segment_docs')}; rebuilding with different "
                 "parameters over committed segments would corrupt query "
                 "routing — use a fresh directory (or compact, then match)")
+        if bool(old.get("has_positions")) != bool(with_positions):
+            # an in-place flip would recommit the existing segments
+            # unchanged under the new flag: has_positions=True over
+            # position-free postings makes every phrase query fail at
+            # decode time (and the reverse silently strands dead bytes)
+            raise ValueError(
+                f"index {index_dir} was committed with has_positions="
+                f"{bool(old.get('has_positions'))}; it cannot be flipped "
+                "in place — rebuild into a fresh directory")
     if os.path.exists(stage_marker):
         try:
             with open(stage_marker) as fh:

@@ -165,6 +165,14 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
                 [group_map[int(s)] for s in segs], dtype=np.int64)
             offs = np.zeros(m + 1, dtype=np.int64)
             np.cumsum(sizes, out=offs[1:])
+            # list offsets are int32: a decode Arrow batch must stay under
+            # 2^31 postings/occurrences (guaranteed by maxRecordsPerBatch
+            # in practice — guard loudly rather than wrap silently)
+            if offs[-1] > np.iinfo(np.int32).max:
+                raise OverflowError(
+                    f"decode batch holds {int(offs[-1])} postings, over "
+                    "the int32 list-offset limit — lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch")
             offs32 = pa.array(offs.astype(np.int32))
             with_pos = [pv is not None for pv in pos_parts]
             if any(with_pos):
@@ -175,6 +183,11 @@ def _make_decode_stage(group_map: dict, deletes_root: Optional[str] = None,
                 np.cumsum(np.fromiter((p.size for p in pos_parts),
                                       dtype=np.int64, count=m),
                           out=pocc[1:])
+                if pocc[-1] > np.iinfo(np.int32).max:
+                    raise OverflowError(
+                        f"decode batch holds {int(pocc[-1])} positions, "
+                        "over the int32 list-offset limit — lower "
+                        "spark.sql.execution.arrow.maxRecordsPerBatch")
                 poss_arr = pa.ListArray.from_arrays(
                     pa.array(pocc.astype(np.int32)),
                     pa.array(np.concatenate(pos_parts)))

@@ -120,7 +120,15 @@ def _append_batch_locked(spark: SparkSession, batch: DataFrame,
         # caller value would assign COLLIDING doc ids
         segment_docs = int(old_stats.get("segment_docs", segment_docs))
         # ...and pins positionality: appended segments must match, or
-        # phrase queries would silently miss the appended docs
+        # phrase queries would silently miss the appended docs. Inheriting
+        # positions (caller default False, index True) is the supported
+        # direction; an EXPLICIT upgrade request against a position-free
+        # index must fail loudly, not be silently dropped.
+        if with_positions and not old_stats.get("has_positions"):
+            raise ValueError(
+                f"index {index_dir} was committed without positions; "
+                "appended segments must match — rebuild positional into "
+                "a fresh directory")
         with_positions = bool(old_stats.get("has_positions"))
     # crash recovery: a replayed batch (driver died between the append-mode
     # writes and the commit) must not append DUPLICATE rows into the

@@ -53,6 +53,19 @@ def tokens_series(texts: pd.Series) -> pd.Series:
     return out
 
 
+
+def _split_rows(out_rows, out_codes, counts, uniques, n: int):
+    """Slice _tf_flat's flat per-(row, term) entries into per-row lists
+    (out_rows is non-decreasing, see _tf_flat). Shared by tf_series and
+    tf_pos_series so the boundary logic cannot diverge."""
+    row_bounds = np.searchsorted(out_rows, np.arange(n + 1))
+    per_row_terms = uniques[out_codes]
+    terms_out = [per_row_terms[s:e] for s, e in
+                 zip(row_bounds[:-1], row_bounds[1:])]
+    tfs_out = [counts[s:e] for s, e in zip(row_bounds[:-1], row_bounds[1:])]
+    return terms_out, tfs_out, row_bounds
+
+
 def tf_series(texts: pd.Series):
     """Vectorized per-doc term frequencies.
 
@@ -69,12 +82,8 @@ def tf_series(texts: pd.Series):
         empty_i = pd.Series([[] for _ in range(n)], index=texts.index)
         return empty_s, empty_i, pd.Series(lens, index=texts.index)
     out_rows, out_codes, counts, uniques, _k = _tf_flat(flat, lens, n)
-    # split per row (out_rows is non-decreasing, see _tf_flat)
-    row_bounds = np.searchsorted(out_rows, np.arange(n + 1))
-    per_row_terms = uniques[out_codes]
-    terms_out = [per_row_terms[s:e] for s, e in
-                 zip(row_bounds[:-1], row_bounds[1:])]
-    tfs_out = [counts[s:e] for s, e in zip(row_bounds[:-1], row_bounds[1:])]
+    terms_out, tfs_out, _bounds = _split_rows(out_rows, out_codes, counts,
+                                              uniques, n)
     return (pd.Series(terms_out, index=texts.index),
             pd.Series(tfs_out, index=texts.index),
             pd.Series(lens, index=texts.index))
@@ -162,11 +171,8 @@ def tf_pos_series(texts: pd.Series):
     E = counts.size
     entry_offs = np.zeros(E + 1, dtype=np.int64)
     np.cumsum(counts, out=entry_offs[1:])
-    row_bounds = np.searchsorted(out_rows, np.arange(n + 1))
-    per_row_terms = uniques[out_codes]
-    terms_out = [per_row_terms[s:e] for s, e in
-                 zip(row_bounds[:-1], row_bounds[1:])]
-    tfs_out = [counts[s:e] for s, e in zip(row_bounds[:-1], row_bounds[1:])]
+    terms_out, tfs_out, row_bounds = _split_rows(out_rows, out_codes,
+                                                 counts, uniques, n)
     poss_out = [pos_grouped[entry_offs[s]:entry_offs[e]] for s, e in
                 zip(row_bounds[:-1], row_bounds[1:])]
     return (pd.Series(terms_out, index=texts.index),

@@ -183,9 +183,28 @@ def test_phrase_distributed_and_search_df(phrase_idx, phrase_corpus):
     for q in PHRASES[:6]:
         want = sorted(_brute_phrase(phrase_corpus, q))
         assert sorted(phrase_idx.search_phrase(q, distributed=True)) == want
+        assert phrase_idx.count_phrase(q, distributed=True) == len(want)
         got = sorted(r["url"] for r in
                      phrase_idx.search_df(q, mode="phrase").collect())
         assert got == want
+
+
+def test_positionality_cannot_flip_in_place(spark, tmp_path_factory):
+    from pysearchlite_spark.streaming.ingest import append_batch
+    d = tmp_path_factory.mktemp("flip_idx")
+    df = spark.createDataFrame([(0, "a", "x y z")],
+                               "doc_id long, url string, text string")
+    build_index(spark, df, str(d), id_col="doc_id", url_col="url")
+    # rebuild with the flag flipped → refuse (would recommit position-free
+    # segments under has_positions=True and crash phrase decode later)
+    with pytest.raises(ValueError, match="has_positions"):
+        build_index(spark, df, str(d), id_col="doc_id", url_col="url",
+                    with_positions=True)
+    # explicit positional append onto a non-positional index → refuse
+    # (silent downgrade of the caller's request otherwise)
+    batch = spark.createDataFrame([("b", "x y")], "url string, text string")
+    with pytest.raises(ValueError, match="without positions"):
+        append_batch(spark, batch, str(d), batch_id=1, with_positions=True)
 
 
 def test_phrase_needs_positional_index(spark, tmp_path_factory):

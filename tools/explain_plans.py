@@ -105,15 +105,19 @@ def main() -> None:
     # pos) and read ONLY by the phrase kernel's scan, term-pushed-down
     from pysearchlite_spark.engine import QUERY_COLS
     pos_dir = tempfile.mkdtemp(prefix="explain_posidx_")
-    build_index(spark, docs, pos_dir, id_col="doc_id", segment_docs=256,
-                with_positions=True)
-    pidx = SearchIndex(spark, pos_dir)
-    bool_scan = pidx.postings_df(["table", "part"]).select(*QUERY_COLS)
-    sections.append(("Boolean scan on a POSITIONAL index "
-                     "(position pages pruned)", fmt(bool_scan), []))
-    phrase_plan = pidx._phrase_ids_dist_df(["table", "part"])
-    sections.append(("Distributed phrase kernel (positions read, "
-                     "term pushdown)", fmt(phrase_plan), []))
+    try:
+        build_index(spark, docs, pos_dir, id_col="doc_id", segment_docs=256,
+                    with_positions=True)
+        pidx = SearchIndex(spark, pos_dir)
+        bool_scan = pidx.postings_df(["table", "part"]).select(*QUERY_COLS)
+        sections.append(("Boolean scan on a POSITIONAL index "
+                         "(position pages pruned)", fmt(bool_scan), []))
+        phrase_plan = pidx._phrase_ids_dist_df(["table", "part"])
+        sections.append(("Distributed phrase kernel (positions read, "
+                         "term pushdown)", fmt(phrase_plan), []))
+    finally:
+        import shutil
+        shutil.rmtree(pos_dir, ignore_errors=True)
 
     with open("PLANS.md", "w") as f:
         f.write("# Physical plans (explain formatted)\n\n"
