@@ -198,6 +198,7 @@ Q_BM25 = "query value"
 Q_TERMS = ["table", "part", "query", "value", "spark", "merge", "zzmissing"]
 Q_PHRASE = "table part"       # consecutive-token phrase, non-trivial hits
 Q_PHRASE3 = "value table part"
+BATCH_QUERIES = [Q_BM25, Q_AND, Q_OR]  # bm25_topk_batch: one job, 3 queries
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +254,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(
             [(t, int(dfs[t])) for t in Q_TERMS if dfs[t] > 0],
             "term string, df long")
+
+    def bm25_topk_batch(spark, sf):
+        # N queries through ONE distributed job (qid-tagged per-segment
+        # partials, engine.topk_batch) — the text analogue of the batch
+        # ANN entry
+        res = _index(spark, sf).topk_batch(BATCH_QUERIES, k=10)
+        rows = [(qi, int(d), float(s))
+                for qi, lst in enumerate(res) for d, s in lst]
+        out = spark.createDataFrame(rows, "qid long, doc_id long, score double")
+        return out.select("qid", "doc_id",
+                          F.round("score", 6).alias("score"))
 
     def bm25_topk(spark, sf):
         top = _index(spark, sf).topk(Q_BM25, k=10)
@@ -418,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_and": count_and,
         "term_df": term_df,
         "bm25_topk": bm25_topk,
+        "bm25_topk_batch": bm25_topk_batch,
         "doc_len": doc_len,
         "token_count": token_count,
         "bpe_token_count": bpe_count,
@@ -451,7 +464,11 @@ def oracle_sql() -> dict[str, str]:
     bm_in = ", ".join(f"'{t}'" for t in bm_terms)
     df_in = ", ".join(f"'{t}'" for t in Q_TERMS)
 
-    bm25 = f"""
+    def bm25_sql(terms_in: str, qid: int | None = None) -> str:
+        head = ("SELECT doc_id, round(score, 6) AS score" if qid is None
+                else f"SELECT {qid} AS qid, doc_id, "
+                     "round(score, 6) AS score")
+        return f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents
 ), dl AS (
@@ -461,7 +478,7 @@ WITH tok AS (
   SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok
-  WHERE term IN ({bm_in}) GROUP BY doc_id, term
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term
 ), dft AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
 ), scores AS (
@@ -473,9 +490,14 @@ WITH tok AS (
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS score FROM scores
+{head} FROM scores
 ORDER BY score DESC, doc_id LIMIT 10
 """
+
+    bm25 = bm25_sql(bm_in)
+    bm25_batch_sql = " UNION ALL ".join(
+        f"SELECT * FROM ({bm25_sql(', '.join(repr(t) for t in q.split()), qid=i)})"
+        for i, q in enumerate(BATCH_QUERIES))
 
     jaccard = f"""
 WITH t AS (
@@ -717,6 +739,7 @@ LIMIT 10
             FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
             WHERE term IN ({df_in}) GROUP BY term""",
         "bm25_topk": bm25,
+        "bm25_topk_batch": bm25_batch_sql,
         "doc_len": f"SELECT doc_id, len({_TOK})::BIGINT AS doc_len "
                    f"FROM documents ORDER BY doc_id",
         "token_count": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens "

@@ -84,6 +84,11 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
                 idx.topk(q, k=10)
         with timed("bm25_top10_distributed"):
             idx.topk(qset[0], k=10, distributed=True)
+        # all 5 queries through ONE distributed job; per-query amortized
+        with timed("bm25_top10_batch5"):
+            idx.topk_batch(qset, k=10)
+        timings["bm25_top10_batch5"] = round(
+            timings["bm25_top10_batch5"] / len(qset), 4)
         extras["query_latency_ms"] = round(
             1000 * timings["bm25_top10"] / len(qset), 2)
         # warm path: preloaded term cache (the reference's mmap-residency

@@ -140,6 +140,33 @@ def test_search_df_lazy_surface(random_idx, random_corpus):
     assert random_idx.search_df("").count() == 0
 
 
+def test_topk_batch_matches_single_query(random_idx):
+    """topk_batch: ONE job for N queries == per-query topk(), both modes,
+    including all-missing and empty queries (empty results, aligned)."""
+    batch = QUERIES + ["", "zz1 zz2"]
+    for mode in ("or", "and"):
+        got = random_idx.topk_batch(batch, k=10, mode=mode)
+        assert len(got) == len(batch)
+        for q, res in zip(batch, got):
+            want = random_idx.topk(q, k=10, mode=mode)
+            assert [d for d, _ in res] == [d for d, _ in want], (mode, q)
+            np.testing.assert_allclose([s for _, s in res],
+                                       [s for _, s in want], rtol=1e-9)
+
+
+def test_topk_batch_with_deletes(spark, tmp_path_factory, random_corpus):
+    from pysearchlite_spark.plans.deletes import delete_docs
+    d = tmp_path_factory.mktemp("batch_del_idx")
+    idx = _build(spark, random_corpus, d, segment_docs=64)
+    delete_docs(spark, str(d), list(range(0, 300, 5)))
+    idx = SearchIndex(spark, str(d))
+    for mode in ("or", "and"):
+        got = idx.topk_batch(QUERIES, k=10, mode=mode)
+        for q, res in zip(QUERIES, got):
+            want = idx.topk(q, k=10, mode=mode)
+            assert [d_ for d_, _ in res] == [d_ for d_, _ in want], (mode, q)
+
+
 def test_preload_merge_not_replace(spark, tmp_path_factory, random_corpus):
     """Regression: a partial preload() after a full preload() must MERGE into
     the cache, not replace it — previously the second preload swapped in a
