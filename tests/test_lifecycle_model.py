@@ -33,7 +33,18 @@ def _batch_df(spark, rows):
     return spark.createDataFrame(rows, "url string, text string")
 
 
-def _verify(spark, idx_dir: str, live: dict, step: str) -> None:
+def _phrase_want(live: dict, terms: list) -> set:
+    L = len(terms)
+    out = set()
+    for u, t in live.items():
+        toks = normalized_tokens(t)
+        if any(toks[i:i + L] == terms for i in range(len(toks) - L + 1)):
+            out.add(u)
+    return out
+
+
+def _verify(spark, idx_dir: str, live: dict, step: str,
+            positional: bool = False) -> None:
     idx = SearchIndex(spark, idx_dir)
     assert idx.n_docs >= 0
     for q in QUERIES:
@@ -45,10 +56,20 @@ def _verify(spark, idx_dir: str, live: dict, step: str) -> None:
         assert idx.count(q) == len(want), (step, q)
         got_d = set(idx.search(q, distributed=True))
         assert got_d == want, (step, q, "distributed")
+    if positional:
+        # exact-adjacency results must also survive every op ordering
+        assert idx.stats.get("has_positions") is True, step
+        for q in QUERIES[:2]:
+            terms = q.split()
+            want_p = _phrase_want(live, terms)
+            got_p = set(idx.search_phrase(q))
+            assert got_p == want_p, (step, q, "phrase", got_p ^ want_p)
+            assert idx.count_phrase(q, distributed=True) == len(want_p), \
+                (step, q, "phrase dist")
 
 
-@pytest.mark.parametrize("seed", [11, 23])
-def test_lifecycle_random_model(spark, tmp_path_factory, seed):
+@pytest.mark.parametrize("seed,positional", [(11, False), (23, True)])
+def test_lifecycle_random_model(spark, tmp_path_factory, seed, positional):
     rng = random.Random(seed)
     idx_dir = str(tmp_path_factory.mktemp(f"life{seed}") / "idx")
     live: dict = {}
@@ -65,9 +86,9 @@ def test_lifecycle_random_model(spark, tmp_path_factory, seed):
     # seed corpus
     rows = new_rows(40)
     append_batch(spark, _batch_df(spark, rows), idx_dir,
-                 segment_docs=16, batch_id=0)
+                 segment_docs=16, batch_id=0, with_positions=positional)
     live.update(dict(rows))
-    _verify(spark, idx_dir, live, "seed")
+    _verify(spark, idx_dir, live, "seed", positional)
 
     ops = ["append", "upsert", "delete", "append", "compact", "delete",
            "upsert", "expire", "append", "delete", "compact", "upsert"]
@@ -98,4 +119,4 @@ def test_lifecycle_random_model(spark, tmp_path_factory, seed):
             compact_segments(spark, idx_dir)
         elif op == "expire":
             IndexCatalog(idx_dir).expire_snapshots(keep_last=1)
-        _verify(spark, idx_dir, live, step)
+        _verify(spark, idx_dir, live, step, positional)
