@@ -54,17 +54,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"n_docs": n, "cpus": 32, "pinned": False}
 
+    pages_dir = tempfile.mkdtemp(prefix="phrase_scale_pages_")
     pages = generate_pages(spark, n, seed=42).select("url", "text")
-    pages.write.mode("overwrite").parquet("/tmp/phrase_scale_pages")
-    docs = spark.read.parquet("/tmp/phrase_scale_pages")
+    pages.write.mode("overwrite").parquet(pages_dir)
+    docs = spark.read.parquet(pages_dir)
 
     # warm the JVM/Arrow paths once so the FIRST measured build doesn't
     # absorb codegen+classloading (it otherwise lands on "plain" and
     # understates the positional overhead)
     warm = tempfile.mkdtemp(prefix="phrase_scale_warm_")
     try:
+        # positional warmup: a superset of both measured plans, so neither
+        # measured build absorbs one-time codegen/classloading
         build_index(spark, docs.limit(10_000), warm, url_col="url",
-                    segment_docs=1 << 18)
+                    segment_docs=1 << 18, with_positions=True)
     finally:
         shutil.rmtree(warm, ignore_errors=True)
 
@@ -110,7 +113,7 @@ def main() -> None:
     finally:
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
-        shutil.rmtree("/tmp/phrase_scale_pages", ignore_errors=True)
+        shutil.rmtree(pages_dir, ignore_errors=True)
     spark.stop()
 
     line = json.dumps(out)

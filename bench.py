@@ -84,11 +84,13 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
                 idx.topk(q, k=10)
         with timed("bm25_top10_distributed"):
             idx.topk(qset[0], k=10, distributed=True)
-        # all 5 queries through ONE distributed job; per-query amortized
+        # all 5 queries through ONE distributed job (raw wall-clock for
+        # the batch, like bm25_top10 is raw for its 5 sequential queries;
+        # the per-query amortized figure is derived in extras)
         with timed("bm25_top10_batch5"):
             idx.topk_batch(qset, k=10)
-        timings["bm25_top10_batch5"] = round(
-            timings["bm25_top10_batch5"] / len(qset), 4)
+        extras["batch_query_latency_ms"] = round(
+            1000 * timings["bm25_top10_batch5"] / len(qset), 2)
         extras["query_latency_ms"] = round(
             1000 * timings["bm25_top10"] / len(qset), 2)
         # warm path: preloaded term cache (the reference's mmap-residency
@@ -204,6 +206,8 @@ def main() -> None:
         1000 * best["bm25_top10"] / len(QSET), 2)
     extras["query_latency_warm_ms"] = round(
         1000 * best["bm25_top10_preloaded"] / (WARM_REPS * len(QSET)), 3)
+    extras["batch_query_latency_ms"] = round(
+        1000 * best["bm25_top10_batch5"] / len(QSET), 2)
     print(json.dumps({"metric": "e2e_bench_sec", "value": total,
                       "unit": "sec", "queries": best, "sf": sf_dir,
                       "n_docs": n_docs, "cpus": int(cpus),

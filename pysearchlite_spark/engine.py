@@ -477,17 +477,21 @@ class SearchIndex:
             return np.empty(0, dtype=np.int64)
         return np.concatenate(parts)  # segments are disjoint ascending
 
+    def _phrase_dist_precheck(self, terms: List[str]) -> bool:
+        """Shared gate of the distributed phrase paths: global dfs in one
+        job, P4 short-circuit — False means the result is provably empty
+        without running the kernel."""
+        distinct = list(dict.fromkeys(terms))
+        dfs = self._global_dfs_dist(distinct)
+        return not any(dfs[t] == 0 for t in distinct)
+
     def count_phrase(self, phrase: str, distributed: bool = False) -> int:
         if distributed:
             # per-segment sizes are the only thing collected — same
             # discipline as _count_and_dist (no id materialization, no
             # global sort, no driver transfer of matches)
             terms = self._phrase_terms(phrase)
-            if not terms:
-                return 0
-            distinct = list(dict.fromkeys(terms))
-            dfs = self._global_dfs_dist(distinct)
-            if any(dfs[t] == 0 for t in distinct):
+            if not terms or not self._phrase_dist_precheck(terms):
                 return 0
             out = (self._phrase_ids_dist_df(terms)
                    .agg(F.count("doc_id").alias("total")).collect())
@@ -521,9 +525,7 @@ class SearchIndex:
             lambda key, pdf, ddf: match(pdf, ddf), "doc_id long")
 
     def _search_phrase_ids_dist(self, terms: List[str]) -> np.ndarray:
-        distinct = list(dict.fromkeys(terms))
-        dfs = self._global_dfs_dist(distinct)
-        if any(dfs[t] == 0 for t in distinct):
+        if not self._phrase_dist_precheck(terms):
             return np.empty(0, dtype=np.int64)
         out = (self._phrase_ids_dist_df(terms)
                .orderBy("doc_id").toPandas())
@@ -586,8 +588,15 @@ class SearchIndex:
         Amortizes the per-job dispatch that dominates single-query latency
         — a 100-TB pipeline evaluates query workloads, not single queries.
         Returns one (doc_id, score) list per input query, aligned."""
-        per_q = [query_terms(q) for q in queries]
-        results: List[List[Tuple[int, float]]] = [[] for _ in queries]
+        return self._topk_many([query_terms(q) for q in queries], k, mode,
+                               use_blockmax)
+
+    def _topk_many(self, per_q: List[List[str]], k: int, mode: str,
+                   use_blockmax) -> List[List[Tuple[int, float]]]:
+        """Shared distributed scoring core: _topk_dist is the 1-query
+        case, topk_batch the N-query case — ONE implementation so the
+        two can never diverge (rank identity is test-enforced)."""
+        results: List[List[Tuple[int, float]]] = [[] for _ in per_q]
         all_terms = list(dict.fromkeys(t for ts in per_q for t in ts))
         if not all_terms or k <= 0:
             return results
@@ -785,41 +794,4 @@ class SearchIndex:
 
     def _topk_dist(self, terms: List[str], k: int, mode: str,
                    use_blockmax) -> List[Tuple[int, float]]:
-        dfs = self._global_dfs_dist(terms)
-        if mode == "and" and any(dfs[t] == 0 for t in terms):
-            return []
-        idfs = self._idfs(dfs)
-        avgdl, uniq_terms = self.avgdl, len(set(terms))
-        scales = {int(s): self._bound_scale(s) for s in self.pack_avgdl}
-
-        def run(key, pdf: pd.DataFrame,
-                ddf: Optional[pd.DataFrame] = None) -> pd.DataFrame:
-            # score_segment_rows already applies the tie-safe per-segment
-            # top-k truncation (_truncate_topk) for every mode, and masks
-            # tombstones BEFORE it (a deleted doc must not hold a slot)
-            rows = pdf.to_dict("records")
-            deleted = (np.unique(ddf["doc_id"].to_numpy(np.int64))
-                       if ddf is not None and len(ddf) else None)
-            d, s = score_segment_rows(rows, idfs, uniq_terms, k, mode,
-                                      use_blockmax, avgdl,
-                                      scales.get(int(key[0]), 1.0),
-                                      deleted=deleted)
-            return pd.DataFrame({"doc_id": d, "score": s})
-
-        grouped = self.postings_df(terms).select(*QUERY_COLS).groupBy("seg")
-        if not self.delete_files:
-            # 2-arg wrapper: applyInPandas rejects 3-arg callables even
-            # when the third argument is defaulted
-            scored = grouped.applyInPandas(
-                lambda key, pdf: run(key, pdf, None),
-                "doc_id long, score double")
-        else:
-            scored = grouped.cogroup(
-                self._seg_deletes_grouped()).applyInPandas(
-                run, "doc_id long, score double")
-        out = scored.toPandas()
-        if out.empty:
-            return []
-        return W.topk_merge(
-            [(out["doc_id"].to_numpy(np.int64),
-              out["score"].to_numpy(np.float64))], k)
+        return self._topk_many([terms], k, mode, use_blockmax)[0]
