@@ -7,7 +7,9 @@ Speaks the reference's search-benchmark-game protocol
     TOP_10       → BM25 top-10 (doc_id:score pairs) — the north-rule upgrade
                    of the reference's unranked TOP_10 (:15-17)
     TOP_10_COUNT → count, like the reference (:18-19)
-Plus extensions: AND / OR (matching doc ids), SEARCH (doc names).
+Plus extensions: AND / OR (matching doc ids), SEARCH (doc names),
+PHRASE / PHRASE_COUNT (exact consecutive-token match; needs an index
+built with_positions=True).
 
     spark-submit --py-files pysearchlite_spark.zip jobs/query.py \
         --index-dir /path/to/idx [--distributed]
@@ -63,6 +65,11 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 q, distributed=dist).tolist())) + "\n")
         elif cmd == "SEARCH":
             out.write(" ".join(idx.search(q, distributed=dist)) + "\n")
+        elif cmd == "PHRASE":
+            out.write(" ".join(map(str, idx.search_phrase_ids(
+                q, distributed=dist).tolist())) + "\n")
+        elif cmd == "PHRASE_COUNT":
+            out.write(f"{idx.count_phrase(q, distributed=dist)}\n")
         else:
             err.write(f"ERR unknown command {cmd}\n")
         out.flush()

@@ -232,21 +232,40 @@ class SearchIndex:
         self._deleted_np: Optional[np.ndarray] = None
         self._deleted_by_seg_map: Optional[Dict[int, np.ndarray]] = None
         self._term_cache: Dict[str, List[dict]] = {}
+        self._cache_has_pos = False
         self._cache_pdf: Optional[pd.DataFrame] = None
         self._cache_pos: Optional[dict] = None
         self._cache_complete = False
 
     # -------------------------------------------------------- hot cache ---
-    def preload(self, terms: Optional[List[str]] = None) -> int:
+    def preload(self, terms: Optional[List[str]] = None,
+                with_positions: bool = False) -> int:
         """Load postings into a driver-side term cache — the analogue of the
         reference's mmap index residency (inverted_index_skip_list.py:147-180):
         after one distributed scan, queries run entirely in numpy with no
         Spark job dispatch (~µs–ms instead of ~100ms). With terms=None the
         whole index is cached (fine when the packed index fits driver
         memory — it is delta+varbyte compressed; for 10^12-doc indexes pass
-        the query workload's terms or stay on the scan path)."""
+        the query workload's terms or stay on the scan path).
+
+        with_positions=True also caches the position sidecar so PHRASE
+        queries run warm (needs a positional index). The cache is one
+        coherent frame with one column set: switching positionality resets
+        it (boolean queries read the positional cache fine — the kernels
+        select the keys they need — so warm mixed workloads should preload
+        once with positions)."""
+        if with_positions and not self.stats.get("has_positions"):
+            raise ValueError("preload(with_positions=True) needs a "
+                             "positional index")
+        if (self._cache_pdf is not None
+                and bool(with_positions) != self._cache_has_pos):
+            self._cache_pdf = None
+            self._cache_pos = None
+            self._term_cache.clear()
+            self._cache_complete = False
         df = self._postings if terms is None else self.postings_df(terms)
-        pdf = df.select(*QUERY_COLS).toPandas()
+        pdf = df.select(*(PHRASE_COLS if with_positions
+                          else QUERY_COLS)).toPandas()
         # LAZY row materialization: building one dict per row up front cost
         # minutes on a 1M-doc index (1.2M python dicts); instead keep the
         # frame + a term→positions map and materialize a term's row dicts on
@@ -268,6 +287,7 @@ class SearchIndex:
                                           kind="stable").reset_index(drop=True)
         self._cache_pos = self._cache_pdf.groupby("term", sort=False
                                                   ).indices
+        self._cache_has_pos = bool(with_positions)
         if terms is None:
             self._cache_complete = True
         else:
@@ -464,8 +484,7 @@ class SearchIndex:
         if distributed:
             return self._search_phrase_ids_dist(terms)
         distinct = list(dict.fromkeys(terms))
-        fetched = (self.postings_df(distinct).select(*PHRASE_COLS)
-                   .toPandas().to_dict("records"))
+        fetched = self._fetch_phrase(distinct)
         dfs = self.global_dfs(fetched, distinct)
         if any(dfs[t] == 0 for t in distinct):  # P4 short-circuit
             return np.empty(0, dtype=np.int64)
@@ -484,6 +503,20 @@ class SearchIndex:
         distinct = list(dict.fromkeys(terms))
         dfs = self._global_dfs_dist(distinct)
         return not any(dfs[t] == 0 for t in distinct)
+
+    def _fetch_phrase(self, distinct: List[str]) -> List[dict]:
+        """_fetch, but rows must carry the position sidecar: served from
+        the cache only when it was preloaded with_positions=True."""
+        if self._cache_has_pos:
+            def have(t: str) -> bool:
+                return (self._cache_complete or t in self._term_cache
+                        or (self._cache_pos is not None
+                            and t in self._cache_pos))
+            if all(have(t) for t in distinct):
+                return [r for t in set(distinct)
+                        for r in self._cached_rows(t)]
+        return (self.postings_df(distinct).select(*PHRASE_COLS)
+                .toPandas().to_dict("records"))
 
     def count_phrase(self, phrase: str, distributed: bool = False) -> int:
         if distributed:

@@ -265,6 +265,38 @@ def test_phrase_streaming_append_inherits_positions(spark, tmp_path_factory,
         assert sorted(si.search_phrase(q)) == want, q
 
 
+def test_phrase_preload_warm_path(spark, tmp_path_factory, phrase_corpus):
+    d = tmp_path_factory.mktemp("phrase_warm")
+    df = spark.createDataFrame(
+        [(i, n, t) for i, (n, t) in enumerate(phrase_corpus)],
+        "doc_id long, url string, text string")
+    build_index(spark, df, str(d), id_col="doc_id", url_col="url",
+                segment_docs=64, with_positions=True)
+    si = SearchIndex(spark, str(d))
+    # plain preload: phrase path must NOT trust the position-free cache
+    si.preload()
+    assert si._cache_has_pos is False
+    for q in PHRASES[:4]:
+        want = sorted(_brute_phrase(phrase_corpus, q))
+        assert sorted(si.search_phrase(q)) == want, q
+    # positional preload resets to one coherent positional frame; phrase
+    # AND boolean queries now both run warm off it
+    si.preload(with_positions=True)
+    assert si._cache_has_pos is True
+    for q in PHRASES:
+        want = sorted(_brute_phrase(phrase_corpus, q))
+        got = si.search_phrase_ids(q)
+        assert sorted(si._urls_for_ids(got)) == want, q
+    assert si.search("quick fox")  # boolean off the positional cache
+    # guard: positional preload needs a positional index
+    d2 = tmp_path_factory.mktemp("phrase_warm_nopos")
+    build_index(spark, df, str(d2), id_col="doc_id", url_col="url",
+                segment_docs=64)
+    si2 = SearchIndex(spark, str(d2))
+    with pytest.raises(ValueError, match="positional"):
+        si2.preload(with_positions=True)
+
+
 def test_phrase_random_property(spark, phrase_idx, phrase_corpus):
     """Random phrases sampled FROM documents (guaranteed non-trivial hits)
     plus random vocab phrases, vs brute force."""

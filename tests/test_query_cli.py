@@ -47,6 +47,39 @@ def test_protocol_counts_match_reference_semantics(spark, idx_dir):
     assert err == []
 
 
+@pytest.fixture(scope="module")
+def pos_idx_dir(spark, tmp_path_factory):
+    docs = micro_corpus()
+    df = spark.createDataFrame(
+        [(i, name, text) for i, (name, text) in enumerate(docs)],
+        "doc_id long, url string, text string")
+    d = str(tmp_path_factory.mktemp("cli_pos_idx"))
+    build_index(spark, df, d, id_col="doc_id", url_col="url",
+                segment_docs=2, with_positions=True)
+    return d
+
+
+def test_protocol_phrase_commands(spark, pos_idx_dir):
+    # micro corpus (test_search_engine.py:6-8): "this is a test" docs —
+    # exact adjacency distinguishes "this test" (no) from "a test" (yes)
+    out, err = _run(spark, pos_idx_dir, [
+        "PHRASE_COUNT\ta test",
+        "PHRASE_COUNT\tthis test",
+        "PHRASE\ta test",
+        "PHRASE_COUNT\tthat",
+    ])
+    assert err == []
+    n_a_test = int(out[0])
+    assert n_a_test >= 1
+    assert out[1] == "0"            # tokens present, never adjacent
+    assert len(out[2].split()) == n_a_test
+    assert out[3] == "0"
+    # distributed path agrees
+    out_d, _ = _run(spark, pos_idx_dir, ["PHRASE_COUNT\ta test"],
+                    distributed=True)
+    assert out_d == [str(n_a_test)]
+
+
 def test_protocol_top10_and_extensions(spark, idx_dir):
     oracle = OracleEngine()
     oracle.index_corpus(micro_corpus())
