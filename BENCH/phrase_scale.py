@@ -90,42 +90,54 @@ def main() -> None:
             out["postings_positional_bytes"] / out["postings_plain_bytes"],
             3)
 
+        # boolean AND on the positional index FIRST, on a never-preloaded
+        # handle: must not pay for positions (column pruning, PLANS.md
+        # §"Boolean scan on a POSITIONAL index"). Measuring after a preload
+        # would time a driver-cache hit, not the pruned Spark scan.
         idx = SearchIndex(spark, dirs["positional"])
-        for q in PHRASES:
-            k = q.replace(" ", "_")
-            best = best_d = None
-            for _ in range(3):  # interleaved best-of-3 (protocol)
-                t0 = time.monotonic()
-                ids = idx.search_phrase_ids(q)
-                best = (time.monotonic() - t0 if best is None
-                        else min(best, time.monotonic() - t0))
-                t0 = time.monotonic()
-                cnt = idx.count_phrase(q, distributed=True)
-                best_d = (time.monotonic() - t0 if best_d is None
-                          else min(best_d, time.monotonic() - t0))
-                assert cnt == ids.size, (q, cnt, ids.size)
-            out[f"phrase[{k}]_sec"] = round(best, 3)
-            out[f"phrase[{k}]_matches"] = int(ids.size)
-            out[f"phrase[{k}]_dist_sec"] = round(best_d, 3)
-        # warm path: positions cached driver-side (preload with_positions)
+        best_b = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            out["bool_count_matches"] = idx.count("st petersburg")
+            dt = time.monotonic() - t0
+            best_b = dt if best_b is None else min(best_b, dt)
+        out["bool_count_on_positional_sec"] = round(best_b, 3)
+
+        # warm handle: positions cached driver-side (preload with_positions)
+        idx_warm = SearchIndex(spark, dirs["positional"])
         t0 = time.monotonic()
         out["preload_positions_sec"] = None
-        idx.preload(with_positions=True)
+        idx_warm.preload(with_positions=True)
         out["preload_positions_sec"] = round(time.monotonic() - t0, 2)
+
+        # cold (scan), warm (driver cache) and distributed reps INTERLEAVED
+        # within each best-of-3 round — same-phase A/B on this drifting host
+        # is uninterpretable (round-workflow protocol)
+        best = {k: {} for k in ("cold", "warm", "dist")}
+        matches = {}
+        for _ in range(3):
+            for q in PHRASES:
+                k = q.replace(" ", "_")
+                t0 = time.monotonic()
+                ids = idx.search_phrase_ids(q)
+                dt = time.monotonic() - t0
+                best["cold"][k] = min(best["cold"].get(k, dt), dt)
+                matches[k] = int(ids.size)
+                t0 = time.monotonic()
+                idx_warm.search_phrase_ids(q)
+                dt = time.monotonic() - t0
+                best["warm"][k] = min(best["warm"].get(k, dt), dt)
+                t0 = time.monotonic()
+                cnt = idx.count_phrase(q, distributed=True)
+                dt = time.monotonic() - t0
+                best["dist"][k] = min(best["dist"].get(k, dt), dt)
+                assert cnt == matches[k], (q, cnt, matches[k])
         for q in PHRASES:
             k = q.replace(" ", "_")
-            best = None
-            for _ in range(3):
-                t0 = time.monotonic()
-                idx.search_phrase_ids(q)
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            out[f"phrase[{k}]_warm_sec"] = round(best, 3)
-        # boolean AND on the positional index: must not pay for positions
-        t0 = time.monotonic()
-        out["bool_count_matches"] = idx.count("st petersburg")
-        out["bool_count_on_positional_sec"] = round(
-            time.monotonic() - t0, 3)
+            out[f"phrase[{k}]_sec"] = round(best["cold"][k], 3)
+            out[f"phrase[{k}]_matches"] = matches[k]
+            out[f"phrase[{k}]_dist_sec"] = round(best["dist"][k], 3)
+            out[f"phrase[{k}]_warm_sec"] = round(best["warm"][k], 3)
     finally:
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)

@@ -66,10 +66,23 @@ def run(spark, index_dir: str, lines, out=None, err=None,
         elif cmd == "SEARCH":
             out.write(" ".join(idx.search(q, distributed=dist)) + "\n")
         elif cmd == "PHRASE":
-            out.write(" ".join(map(str, idx.search_phrase_ids(
-                q, distributed=dist).tolist())) + "\n")
+            # a non-positional index raises ValueError — degrade to an ERR
+            # line like every other bad input instead of killing the loop
+            try:
+                ids = idx.search_phrase_ids(q, distributed=dist)
+            except ValueError as e:
+                err.write(f"ERR {e}\n")
+                out.write("\n")
+            else:
+                out.write(" ".join(map(str, ids.tolist())) + "\n")
         elif cmd == "PHRASE_COUNT":
-            out.write(f"{idx.count_phrase(q, distributed=dist)}\n")
+            try:
+                cnt = idx.count_phrase(q, distributed=dist)
+            except ValueError as e:
+                err.write(f"ERR {e}\n")
+                out.write("\n")
+            else:
+                out.write(f"{cnt}\n")
         else:
             err.write(f"ERR unknown command {cmd}\n")
         out.flush()

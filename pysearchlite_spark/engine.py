@@ -365,19 +365,20 @@ class SearchIndex:
                 .filter(F.col("tb").isin(buckets))
                 .filter(F.col("term").isin(terms)))
 
+    def _term_is_cached(self, t: str) -> bool:
+        """Single source of truth for preload-cache membership — the boolean
+        (_fetch) and phrase (_fetch_phrase) warm paths must agree on it."""
+        return (self._cache_complete or t in self._term_cache
+                or (self._cache_pos is not None
+                    and t in self._cache_pos))
+
     def _fetch(self, terms: List[str]) -> List[dict]:
         """Posting rows (as dicts) for `terms` — straight from the preload
         cache when every term is warm (no DataFrame round-trip on the hot
         cached path), else one pruned Spark scan."""
         if not terms:
             return []
-
-        def have(t: str) -> bool:
-            return (self._cache_complete or t in self._term_cache
-                    or (self._cache_pos is not None
-                        and t in self._cache_pos))
-
-        if all(have(t) for t in terms):
+        if all(self._term_is_cached(t) for t in terms):
             return [r for t in set(terms) for r in self._cached_rows(t)]
         return (self.postings_df(terms).select(*QUERY_COLS)
                 .toPandas().to_dict("records"))
@@ -508,12 +509,8 @@ class SearchIndex:
         """_fetch, but rows must carry the position sidecar: served from
         the cache only when it was preloaded with_positions=True."""
         if self._cache_has_pos:
-            def have(t: str) -> bool:
-                return (self._cache_complete or t in self._term_cache
-                        or (self._cache_pos is not None
-                            and t in self._cache_pos))
-            if all(have(t) for t in distinct):
-                return [r for t in set(distinct)
+            if all(self._term_is_cached(t) for t in distinct):
+                return [r for t in distinct
                         for r in self._cached_rows(t)]
         return (self.postings_df(distinct).select(*PHRASE_COLS)
                 .toPandas().to_dict("records"))

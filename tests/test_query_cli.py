@@ -155,3 +155,16 @@ def test_reference_protocol_byte_identical(spark, idx_dir):
     run(spark, idx_dir, lines, out, err, reference_protocol=True)
     assert out.getvalue() == ref_out
     assert err.getvalue() == ref_err == "UNSUPPORTED\n"
+
+
+def test_phrase_on_plain_index_degrades_to_err_line(spark, idx_dir):
+    # a non-positional index must NOT kill the protocol loop: each phrase
+    # command gets its one (empty) output line + an ERR line on stderr,
+    # and later queued commands still run
+    out, err = _run(spark, idx_dir, [
+        "PHRASE\ta test",
+        "PHRASE_COUNT\ta test",
+        "COUNT\tthis test",
+    ])
+    assert out == ["", "", "2"]
+    assert len(err) == 2 and all(e.startswith("ERR ") for e in err)
