@@ -198,6 +198,7 @@ Q_BM25 = "query value"
 Q_TERMS = ["table", "part", "query", "value", "spark", "merge", "zzmissing"]
 Q_PHRASE = "table part"       # consecutive-token phrase, non-trivial hits
 Q_PHRASE3 = "value table part"
+Q_PREFIX = "s"  # expands to 6 dictionary terms at sf0.01
 BATCH_QUERIES = [Q_BM25, Q_AND, Q_OR]  # bm25_topk_batch: one job, 3 queries
 
 
@@ -242,6 +243,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # matching ids cross the exchange, docmap join resolves urls
         return (_index_pos(spark, sf).search_df(Q_PHRASE, mode="phrase")
                 .select("doc_id", "url"))
+
+    def search_prefix(spark, sf):
+        # wildcard-prefix query (Lucene PrefixQuery shape): dictionary
+        # expansion via a StartsWith-pushed (term, df) scan, then the OR
+        # union over the expanded terms
+        return _ids_df(spark,
+                       _index(spark, sf).search_prefix_ids(Q_PREFIX))
 
     def count_and(spark, sf):
         return spark.createDataFrame(
@@ -427,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_or": search_or,
         "search_phrase": search_phrase,
         "search_phrase_dist": search_phrase_dist,
+        "search_prefix": search_prefix,
         "count_and": count_and,
         "term_df": term_df,
         "bm25_topk": bm25_topk,
@@ -731,6 +740,9 @@ LIMIT 10
                               f"url FROM documents WHERE "
                               f"' ' || array_to_string({_TOK}, ' ') || ' ' "
                               f"LIKE '% {Q_PHRASE} %' ORDER BY doc_id",
+        "search_prefix": f"SELECT doc_id FROM documents WHERE "
+                         f"len(list_filter({_TOK}, "
+                         f"t -> t LIKE '{Q_PREFIX}%')) > 0 ORDER BY doc_id",
         "count_and": "SELECT count(*)::BIGINT AS cnt FROM documents WHERE "
                      + " AND ".join(f"list_contains({_TOK}, '{t}')"
                                     for t in bm_terms),

@@ -75,6 +75,11 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 out.write("\n")
             else:
                 out.write(" ".join(map(str, ids.tolist())) + "\n")
+        elif cmd == "PREFIX":
+            out.write(" ".join(map(str, idx.search_prefix_ids(
+                q, distributed=dist).tolist())) + "\n")
+        elif cmd == "PREFIX_COUNT":
+            out.write(f"{idx.count_prefix(q, distributed=dist)}\n")
         elif cmd == "PHRASE_COUNT":
             try:
                 cnt = idx.count_phrase(q, distributed=dist)

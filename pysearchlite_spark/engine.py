@@ -37,7 +37,7 @@ from pysearchlite_spark.operators import wand as W
 from pysearchlite_spark.plans.builder import term_bucket
 from pysearchlite_spark.sources.catalog import (DOCMAP_SCHEMA,
                                                 POSTINGS_SCHEMA, IndexCatalog)
-from pysearchlite_spark.tokenizer import query_terms
+from pysearchlite_spark.tokenizer import ASCII_TOKEN, query_terms
 
 
 # Columns the boolean/top-k kernels consume — every distributed scan
@@ -427,6 +427,9 @@ class SearchIndex:
             return np.empty(0, dtype=np.int64)
         if distributed:
             return self._search_or_ids_dist(terms)
+        return self._or_ids_local(terms)
+
+    def _or_ids_local(self, terms: List[str]) -> np.ndarray:
         fetched = self._fetch(terms)
         parts = []
         for seg, rows in sorted(self._rows_by_seg(fetched).items()):
@@ -435,6 +438,67 @@ class SearchIndex:
         if not parts:
             return np.empty(0, dtype=np.int64)
         return _mask_deleted(np.concatenate(parts), self._deleted())
+
+    # ------------------------------------------------------------ prefix --
+    def expand_prefix(self, prefix: str,
+                      max_terms: Optional[int] = None) -> List[str]:
+        """Dictionary terms starting with `prefix` (a single [a-z0-9]+ run
+        under the reference tokenizer; anything else expands to nothing).
+        With max_terms set, keeps the highest-global-df terms (ties broken
+        by term) — Lucene's maxExpansions semantics, bounding query cost on
+        a huge dictionary; max_terms=None is the exact multi-term OR.
+
+        Scale: tb is a crc32 hash bucket (builder.py:64), so a prefix scan
+        cannot partition-prune — but postings are term-sorted within every
+        (seg,tb) file, so the pushed StartsWith filter skips row groups via
+        parquet min/max stats on `term`, and only (term, df) are read.
+        A fully-preloaded index expands driver-side with no Spark job."""
+        p = prefix.strip().lower()
+        if not p or ASCII_TOKEN.fullmatch(p) is None:
+            return []
+        if self._cache_complete and self._cache_pdf is not None:
+            sub = self._cache_pdf[
+                self._cache_pdf["term"].str.startswith(p)]
+            agg = sub.groupby("term", sort=False)["df"].sum()
+            if max_terms is None:
+                return sorted(agg.index)
+            agg = agg.reset_index()
+            agg = agg.sort_values(["df", "term"],
+                                  ascending=[False, True],
+                                  kind="stable")
+            return list(agg["term"].head(max_terms))
+        agg = (self._postings
+               .filter(F.col("term").startswith(p))
+               .groupBy("term").agg(F.sum("df").alias("df")))
+        if max_terms is None:
+            return sorted(r["term"]
+                          for r in agg.select("term").collect())
+        agg = agg.orderBy(F.desc("df"), F.asc("term")).limit(max_terms)
+        return [r["term"] for r in agg.select("term").collect()]
+
+    def search_prefix_ids(self, prefix: str, distributed: bool = False,
+                          max_terms: Optional[int] = None) -> np.ndarray:
+        """Docs containing ANY term starting with `prefix` (ascending
+        docID): dictionary expansion + the OR machinery. The distributed
+        path unions per-segment on the executors — the expansion list is
+        pushed as an In() filter exactly like a written-out OR query."""
+        terms = self.expand_prefix(prefix, max_terms=max_terms)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if distributed:
+            return self._search_or_ids_dist(terms)
+        return self._or_ids_local(terms)
+
+    def count_prefix(self, prefix: str, distributed: bool = False,
+                     max_terms: Optional[int] = None) -> int:
+        return int(self.search_prefix_ids(
+            prefix, distributed=distributed, max_terms=max_terms).size)
+
+    def search_prefix(self, prefix: str, distributed: bool = False,
+                      max_terms: Optional[int] = None) -> List[str]:
+        """Prefix query → doc names (urls), ascending docID order."""
+        return self._urls_for_ids(self.search_prefix_ids(
+            prefix, distributed=distributed, max_terms=max_terms))
 
     def count(self, query: str, distributed: bool = False) -> int:
         if distributed:
@@ -749,9 +813,14 @@ class SearchIndex:
         DataFrame — per-segment kernels produce ids, a join against the
         docmap resolves names, and NOTHING reaches the driver; sink with
         .write or feed downstream joins. (search() stays the interactive
-        list-returning API.) mode: "and" | "or" | "phrase"."""
+        list-returning API.) mode: "and" | "or" | "phrase" | "prefix"
+        (prefix: `query` is a single term prefix, expanded against the
+        dictionary then unioned like "or")."""
         if mode == "phrase":
             terms = self._phrase_terms(query)
+        elif mode == "prefix":
+            terms = self.expand_prefix(query)
+            mode = "or"
         else:
             terms = query_terms(query)
         empty = self.spark.createDataFrame([], "doc_id long, url string")
