@@ -199,6 +199,7 @@ Q_TERMS = ["table", "part", "query", "value", "spark", "merge", "zzmissing"]
 Q_PHRASE = "table part"       # consecutive-token phrase, non-trivial hits
 Q_PHRASE3 = "value table part"
 Q_PREFIX = "s"  # expands to 6 dictionary terms at sf0.01
+Q_NEAR, NEAR_SLOP = "value part", 2  # 71 docs at sf0.01 vs 28 exact
 BATCH_QUERIES = [Q_BM25, Q_AND, Q_OR]  # bm25_topk_batch: one job, 3 queries
 
 
@@ -243,6 +244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # matching ids cross the exchange, docmap join resolves urls
         return (_index_pos(spark, sf).search_df(Q_PHRASE, mode="phrase")
                 .select("doc_id", "url"))
+
+    def search_near(spark, sf):
+        # ordered proximity (SpanNearQuery inOrder=True shape): tokens in
+        # order, span ≤ n-1+slop over the positional index; greedy
+        # chained-searchsorted kernel (operators/phrase.py:near_match_ids)
+        return _ids_df(spark, _index_pos(spark, sf)
+                       .search_near_ids(Q_NEAR, NEAR_SLOP))
 
     def search_prefix(spark, sf):
         # wildcard-prefix query (Lucene PrefixQuery shape): dictionary
@@ -435,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_or": search_or,
         "search_phrase": search_phrase,
         "search_phrase_dist": search_phrase_dist,
+        "search_near": search_near,
         "search_prefix": search_prefix,
         "count_and": count_and,
         "term_df": term_df,
@@ -740,6 +749,20 @@ LIMIT 10
                               f"url FROM documents WHERE "
                               f"' ' || array_to_string({_TOK}, ' ') || ' ' "
                               f"LIKE '% {Q_PHRASE} %' ORDER BY doc_id",
+        # ordered-proximity oracle: token positions via range+list_filter,
+        # then an exists-chain check (2 terms: some pa<pb with gap ≤ 1+slop)
+        "search_near": f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(toks)+1),
+                    i -> toks[i] = '{Q_NEAR.split()[0]}') AS p1,
+        list_filter(range(1, len(toks)+1),
+                    i -> toks[i] = '{Q_NEAR.split()[1]}') AS p2
+      FROM t)
+SELECT doc_id FROM p
+WHERE len(list_filter(p1, pa -> len(list_filter(p2,
+          pb -> pb > pa AND pb - pa <= {1 + NEAR_SLOP})) > 0)) > 0
+ORDER BY doc_id""",
         "search_prefix": f"SELECT doc_id FROM documents WHERE "
                          f"len(list_filter({_TOK}, "
                          f"t -> t LIKE '{Q_PREFIX}%')) > 0 ORDER BY doc_id",

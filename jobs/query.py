@@ -75,6 +75,22 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 out.write("\n")
             else:
                 out.write(" ".join(map(str, ids.tolist())) + "\n")
+        elif cmd == "NEAR" or cmd == "NEAR_COUNT":
+            # payload is "<slop> <query>"; bad slop / non-positional
+            # index degrade to an ERR line like the phrase commands
+            s, _, nq = q.partition(" ")
+            try:
+                slop = int(s)
+                if cmd == "NEAR":
+                    res = " ".join(map(str, idx.search_near_ids(
+                        nq, slop, distributed=dist).tolist()))
+                else:
+                    res = str(idx.count_near(nq, slop, distributed=dist))
+            except ValueError as e:
+                err.write(f"ERR {e}\n")
+                out.write("\n")
+            else:
+                out.write(res + "\n")
         elif cmd == "PREFIX":
             out.write(" ".join(map(str, idx.search_prefix_ids(
                 q, distributed=dist).tolist())) + "\n")

@@ -544,18 +544,64 @@ class SearchIndex:
         reference's boolean protocol — see operators/phrase.py for the
         kernel; per-segment intersect + block-selective position decode."""
         terms = self._phrase_terms(phrase)
+        if distributed:
+            return self._positional_ids_dist(terms, P.phrase_match_ids)
+        return self._positional_ids_local(terms, P.phrase_match_ids)
+
+    def search_near_ids(self, query: str, slop: int,
+                        distributed: bool = False) -> np.ndarray:
+        """Ordered proximity (Lucene SpanNearQuery inOrder=True): docs
+        where the query tokens occur in order at strictly increasing
+        positions spanning ≤ len(terms)-1+slop. slop=0 is exactly the
+        consecutive phrase. Same positional machinery as phrase — see
+        operators/phrase.py:near_match_ids for the greedy-chain kernel."""
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        terms = self._phrase_terms(query)
+
+        def kernel(rows, ts, deleted=None):
+            return P.near_match_ids(rows, ts, slop, deleted=deleted)
+
+        if distributed:
+            return self._positional_ids_dist(terms, kernel)
+        return self._positional_ids_local(terms, kernel)
+
+    def count_near(self, query: str, slop: int,
+                   distributed: bool = False) -> int:
+        if distributed:
+            # count_phrase discipline: per-segment sizes only — no id
+            # materialization, no global sort, no driver transfer
+            terms = self._phrase_terms(query)
+            if not terms or not self._phrase_dist_precheck(terms):
+                return 0
+
+            def kernel(rows, ts, deleted=None):
+                return P.near_match_ids(rows, ts, slop, deleted=deleted)
+
+            out = (self._phrase_ids_dist_df(terms, kernel)
+                   .agg(F.count("doc_id").alias("total")).collect())
+            return int(out[0]["total"] or 0)
+        return int(self.search_near_ids(query, slop).size)
+
+    def search_near(self, query: str, slop: int,
+                    distributed: bool = False) -> List[str]:
+        """Proximity query → doc names (urls), ascending docID order."""
+        return self._urls_for_ids(self.search_near_ids(
+            query, slop, distributed=distributed))
+
+    def _positional_ids_local(self, terms: List[str], kernel) -> np.ndarray:
+        """Driver-path positional query: fetch the distinct terms' rows
+        (position sidecar included), P4 short-circuit on global dfs, then
+        run `kernel(rows, terms, deleted=...)` per segment."""
         if not terms:
             return np.empty(0, dtype=np.int64)
-        if distributed:
-            return self._search_phrase_ids_dist(terms)
         distinct = list(dict.fromkeys(terms))
         fetched = self._fetch_phrase(distinct)
         dfs = self.global_dfs(fetched, distinct)
         if any(dfs[t] == 0 for t in distinct):  # P4 short-circuit
             return np.empty(0, dtype=np.int64)
         dmap = self._deleted_by_seg() or {}
-        parts = [P.phrase_match_ids(rows, terms,
-                                    deleted=dmap.get(int(seg)))
+        parts = [kernel(rows, terms, deleted=dmap.get(int(seg)))
                  for seg, rows in sorted(self._rows_by_seg(fetched).items())]
         if not parts:
             return np.empty(0, dtype=np.int64)
@@ -597,16 +643,20 @@ class SearchIndex:
         return self._urls_for_ids(
             self.search_phrase_ids(phrase, distributed=distributed))
 
-    def _phrase_ids_dist_df(self, terms: List[str]) -> DataFrame:
-        """Per-segment phrase kernel as a lazy doc_id DataFrame (the
-        phrase analogue of _matching_ids_dist): only MATCHING ids cross
-        the exchange; position pages are read only here."""
+    def _phrase_ids_dist_df(self, terms: List[str],
+                            kernel=None) -> DataFrame:
+        """Per-segment positional kernel as a lazy doc_id DataFrame (the
+        positional analogue of _matching_ids_dist): only MATCHING ids
+        cross the exchange; position pages are read only here. kernel
+        defaults to the exact-phrase matcher; search_near_ids passes the
+        slop-bound proximity matcher."""
+        kernel = kernel or P.phrase_match_ids
+
         def match(pdf: pd.DataFrame, ddf: Optional[pd.DataFrame]
                   ) -> pd.DataFrame:
             deleted = (np.unique(ddf["doc_id"].to_numpy(np.int64))
                        if ddf is not None and len(ddf) else None)
-            ids = P.phrase_match_ids(pdf.to_dict("records"), terms,
-                                     deleted=deleted)
+            ids = kernel(pdf.to_dict("records"), terms, deleted=deleted)
             return pd.DataFrame({"doc_id": ids})
 
         distinct = list(dict.fromkeys(terms))
@@ -618,10 +668,11 @@ class SearchIndex:
         return grouped.cogroup(self._seg_deletes_grouped()).applyInPandas(
             lambda key, pdf, ddf: match(pdf, ddf), "doc_id long")
 
-    def _search_phrase_ids_dist(self, terms: List[str]) -> np.ndarray:
-        if not self._phrase_dist_precheck(terms):
+    def _positional_ids_dist(self, terms: List[str],
+                             kernel) -> np.ndarray:
+        if not terms or not self._phrase_dist_precheck(terms):
             return np.empty(0, dtype=np.int64)
-        out = (self._phrase_ids_dist_df(terms)
+        out = (self._phrase_ids_dist_df(terms, kernel)
                .orderBy("doc_id").toPandas())
         return out["doc_id"].to_numpy(np.int64)
 
@@ -808,16 +859,24 @@ class SearchIndex:
         return grouped.cogroup(self._seg_deletes_grouped()).applyInPandas(
             lambda key, pdf, ddf: match(pdf, ddf), "doc_id long")
 
-    def search_df(self, query: str, mode: str = "and") -> DataFrame:
+    def search_df(self, query: str, mode: str = "and",
+                  slop: int = 0) -> DataFrame:
         """The 10^12-doc search surface: matching (doc_id, url) as a LAZY
         DataFrame — per-segment kernels produce ids, a join against the
         docmap resolves names, and NOTHING reaches the driver; sink with
         .write or feed downstream joins. (search() stays the interactive
-        list-returning API.) mode: "and" | "or" | "phrase" | "prefix"
-        (prefix: `query` is a single term prefix, expanded against the
-        dictionary then unioned like "or")."""
-        if mode == "phrase":
+        list-returning API.) mode: "and" | "or" | "phrase" | "prefix" |
+        "near" (prefix: `query` is a single term prefix, expanded against
+        the dictionary then unioned like "or"; near: ordered proximity
+        within `slop`, see search_near_ids)."""
+        kernel = None
+        if mode in ("phrase", "near"):
             terms = self._phrase_terms(query)
+            if mode == "near":
+                def kernel(rows, ts, deleted=None):
+                    return P.near_match_ids(rows, ts, slop,
+                                            deleted=deleted)
+            mode = "phrase"
         elif mode == "prefix":
             terms = self.expand_prefix(query)
             mode = "or"
@@ -831,7 +890,7 @@ class SearchIndex:
             dfs = self._global_dfs_dist(distinct)
             if any(dfs[t] == 0 for t in distinct):  # P4 short-circuit
                 return empty
-        ids = (self._phrase_ids_dist_df(terms) if mode == "phrase"
+        ids = (self._phrase_ids_dist_df(terms, kernel) if mode == "phrase"
                else self._matching_ids_dist(terms, mode))
         return ids.join(self._docmap.select("doc_id", "url"), "doc_id")
 

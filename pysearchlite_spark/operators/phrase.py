@@ -74,6 +74,32 @@ def positions_for_ids(r: dict, ids: np.ndarray):
     return flat, counts
 
 
+def _candidate_positions(seg_rows: List[dict], terms: List[str],
+                         deleted: Optional[np.ndarray]):
+    """Shared prologue of the positional kernels: leapfrog-AND candidate
+    docs over the distinct terms (P4 short-circuit, tombstones dropped
+    BEFORE position decode), then block-selective position decode for the
+    survivors. Returns (ids, pos_of) — pos_of is None when no position
+    work is needed (no candidates, or a single-term query where the
+    candidates ARE the answer)."""
+    empty = np.empty(0, dtype=np.int64)
+    if not terms:
+        return empty, None
+    by_term: Dict[str, dict] = {}
+    for r in seg_rows:
+        by_term[r["term"]] = r
+    distinct = list(dict.fromkeys(terms))
+    if any(t not in by_term for t in distinct):
+        return empty, None  # P4 short-circuit per segment
+    rows = [by_term[t] for t in distinct]
+    ids = I.intersect_packed(rows)
+    if deleted is not None and deleted.size and ids.size:
+        ids = ids[codec.tombstone_keep_mask(ids, deleted)]
+    if ids.size == 0 or len(terms) == 1:
+        return ids, None
+    return ids, {t: positions_for_ids(by_term[t], ids) for t in distinct}
+
+
 def phrase_match_ids(seg_rows: List[dict], terms: List[str],
                      deleted: Optional[np.ndarray] = None) -> np.ndarray:
     """Doc ids (ascending) of ONE segment matching the exact token phrase
@@ -81,21 +107,9 @@ def phrase_match_ids(seg_rows: List[dict], terms: List[str],
     posting rows for the phrase's distinct terms; tombstoned ids in
     `deleted` (sorted) are dropped BEFORE position decode."""
     empty = np.empty(0, dtype=np.int64)
-    if not terms:
-        return empty
-    by_term: Dict[str, dict] = {}
-    for r in seg_rows:
-        by_term[r["term"]] = r
-    distinct = list(dict.fromkeys(terms))
-    if any(t not in by_term for t in distinct):
-        return empty  # P4 short-circuit per segment
-    rows = [by_term[t] for t in distinct]
-    ids = I.intersect_packed(rows)
-    if deleted is not None and deleted.size and ids.size:
-        ids = ids[codec.tombstone_keep_mask(ids, deleted)]
-    if ids.size == 0 or len(terms) == 1:
+    ids, pos_of = _candidate_positions(seg_rows, terms, deleted)
+    if pos_of is None:
         return ids
-    pos_of = {t: positions_for_ids(by_term[t], ids) for t in distinct}
     maxp = max((int(p.max()) if p.size else 0) for p, _ in pos_of.values())
     M = np.int64(maxp + len(terms) + 2)
     survivors = None
@@ -110,3 +124,47 @@ def phrase_match_ids(seg_rows: List[dict], terms: List[str],
         if survivors.size == 0:
             return empty
     return ids[np.unique(survivors // M)]
+
+
+def near_match_ids(seg_rows: List[dict], terms: List[str], slop: int,
+                   deleted: Optional[np.ndarray] = None) -> np.ndarray:
+    """Ordered proximity (Lucene SpanNearQuery inOrder=True shape): doc ids
+    (ascending) of ONE segment where the tokens of `terms` occur in order
+    at strictly increasing positions with span (last - first) ≤
+    len(terms)-1+slop. slop=0 degenerates to the exact consecutive phrase
+    (a strictly increasing n-chain spanning n-1 positions forces every gap
+    to 1) — parity with phrase_match_ids is test-enforced.
+
+    Vectorized greedy chaining: occurrences are composite keys
+    candidate_index * M + position (ascending); for each slot the minimal
+    strictly-later occurrence IN THE SAME candidate is found with one
+    searchsorted over the slot's key array. Greedy minimizes the chain's
+    final position for every start, so a start matches iff its greedy span
+    does — no per-document loop, cost O(occ(t1) · (n-1) · log occ)."""
+    empty = np.empty(0, dtype=np.int64)
+    ids, pos_of = _candidate_positions(seg_rows, terms, deleted)
+    if pos_of is None:
+        return ids
+    maxp = max((int(p.max()) if p.size else 0) for p, _ in pos_of.values())
+    M = np.int64(maxp + 2)
+    comp: Dict[str, np.ndarray] = {}
+    for t in pos_of:
+        pvals, cnts = pos_of[t]
+        idxrep = np.repeat(np.arange(ids.size, dtype=np.int64), cnts)
+        comp[t] = idxrep * M + pvals  # ascending by construction
+    cur = comp[terms[0]]
+    start = cur
+    for t in terms[1:]:
+        arr = comp[t]
+        j = np.searchsorted(arr, cur, side="right")
+        ok = j < arr.size
+        nxt = arr[np.minimum(j, arr.size - 1)]
+        ok &= (nxt // M) == (cur // M)  # stay inside the candidate
+        cur, start = nxt[ok], start[ok]
+        if cur.size == 0:
+            return empty
+    span = (cur % M) - (start % M)
+    hits = start[span <= np.int64(len(terms) - 1 + slop)]
+    if hits.size == 0:
+        return empty
+    return ids[np.unique(hits // M)]
