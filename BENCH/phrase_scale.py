@@ -72,6 +72,8 @@ def main() -> None:
         shutil.rmtree(warm, ignore_errors=True)
 
     dirs = {}
+    all_dirs = []  # every mkdtemp ever made — the finally sweeps these,
+    # so a mid-loop failure can't strand a replaced or partial index
     try:
         # builds INTERLEAVED best-of-2 (plain, positional, plain,
         # positional): a same-phase A/B on this drifting host can swing 2x
@@ -80,14 +82,17 @@ def main() -> None:
         for rep in range(2):
             for key, with_pos in (("plain", False), ("positional", True)):
                 d = tempfile.mkdtemp(prefix=f"phrase_scale_{key}_")
+                prev = dirs.get(key)
+                all_dirs.append(d)  # register BEFORE building: a failed
+                # build must not strand a partial index in /tmp
+                dirs[key] = d
                 t0 = time.monotonic()
                 build_index(spark, docs, d, url_col="url",
                             segment_docs=1 << 18, with_positions=with_pos)
                 dt = time.monotonic() - t0
                 best_build[key] = min(best_build.get(key, dt), dt)
-                if key in dirs:
-                    shutil.rmtree(dirs[key], ignore_errors=True)
-                dirs[key] = d
+                if prev is not None:
+                    shutil.rmtree(prev, ignore_errors=True)
         for key in ("plain", "positional"):
             out[f"build_{key}_sec"] = round(best_build[key], 2)
             out[f"build_{key}_docs_per_sec"] = round(n / best_build[key], 1)
@@ -115,7 +120,6 @@ def main() -> None:
         # warm handle: positions cached driver-side (preload with_positions)
         idx_warm = SearchIndex(spark, dirs["positional"])
         t0 = time.monotonic()
-        out["preload_positions_sec"] = None
         idx_warm.preload(with_positions=True)
         out["preload_positions_sec"] = round(time.monotonic() - t0, 2)
 
@@ -148,7 +152,7 @@ def main() -> None:
             out[f"phrase[{k}]_dist_sec"] = round(best["dist"][k], 3)
             out[f"phrase[{k}]_warm_sec"] = round(best["warm"][k], 3)
     finally:
-        for d in dirs.values():
+        for d in all_dirs:
             shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)
     spark.stop()

@@ -9,10 +9,14 @@ Speaks the reference's search-benchmark-game protocol
     TOP_10_COUNT → count, like the reference (:18-19)
 Plus extensions: AND / OR (matching doc ids), SEARCH (doc names),
 PHRASE / PHRASE_COUNT (exact consecutive-token match; needs an index
-built with_positions=True).
+built with_positions=True), NEAR / NEAR_COUNT (payload ``<slop> <query>``:
+ordered proximity within slop; positional index required), and
+PREFIX / PREFIX_COUNT (payload is a single term prefix, expanded against
+the dictionary and unioned like OR; cap the expansion with
+``--prefix-max-terms N`` — keeps the N highest-df matches).
 
     spark-submit --py-files pysearchlite_spark.zip jobs/query.py \
-        --index-dir /path/to/idx [--distributed]
+        --index-dir /path/to/idx [--distributed] [--prefix-max-terms N]
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(spark, index_dir: str, lines, out=None, err=None,
-        distributed: bool = False, reference_protocol: bool = False) -> None:
+        distributed: bool = False, reference_protocol: bool = False,
+        prefix_max_terms=None) -> None:
     """Protocol core (testable without owning the SparkSession): one output
     line per input line, matching do_query.py's line discipline.
 
@@ -93,9 +98,10 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 out.write(res + "\n")
         elif cmd == "PREFIX":
             out.write(" ".join(map(str, idx.search_prefix_ids(
-                q, distributed=dist).tolist())) + "\n")
+                q, distributed=dist,
+                max_terms=prefix_max_terms).tolist())) + "\n")
         elif cmd == "PREFIX_COUNT":
-            out.write(f"{idx.count_prefix(q, distributed=dist)}\n")
+            out.write(f"{idx.count_prefix(q, distributed=dist, max_terms=prefix_max_terms)}\n")
         elif cmd == "PHRASE_COUNT":
             try:
                 cnt = idx.count_phrase(q, distributed=dist)
@@ -117,6 +123,10 @@ def main() -> None:
                     help="byte-identical do_query.py output (TOP_10 prints "
                          "the constant 1; non-reference commands print 0 + "
                          "UNSUPPORTED on stderr)")
+    ap.add_argument("--prefix-max-terms", type=int, default=None,
+                    help="cap PREFIX/PREFIX_COUNT dictionary expansion to "
+                         "the N highest-df matching terms (unbounded by "
+                         "default)")
     ap.add_argument("--queries", default="-",
                     help="query file; '-' = stdin (NOTE: spark-submit's "
                          "PythonRunner does not forward stdin to the app — "
@@ -128,7 +138,8 @@ def main() -> None:
     spark = SparkSession.builder.appName("psl-query").getOrCreate()
     source = sys.stdin if args.queries == "-" else open(args.queries)
     run(spark, args.index_dir, source, distributed=args.distributed,
-        reference_protocol=args.reference_protocol)
+        reference_protocol=args.reference_protocol,
+        prefix_max_terms=args.prefix_max_terms)
     spark.stop()
 
 

@@ -47,6 +47,12 @@ QUERY_COLS = ["term", "seg", "df", "docs", "tfs", "dls", "first_docs",
               "doc_offs", "tf_offs", "dl_offs", "max_partial"]
 PHRASE_COLS = QUERY_COLS + ["pos", "pos_offs"]
 
+# Largest literal In() pushed into a scan filter; beyond this Catalyst
+# planning goes quadratic and the pushdown stops paying — switch to a
+# broadcast (semi-)join on the key set instead. Module-level so tests can
+# exercise the join path without a 10k-term dictionary.
+IN_LIST_MAX = 10_000
+
 
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -359,11 +365,18 @@ class SearchIndex:
 
     # ------------------------------------------------------------ scan ----
     def postings_df(self, terms: List[str]) -> DataFrame:
-        """Pruned scan: partition pruning on tb + predicate pushdown on term."""
+        """Pruned scan: partition pruning on tb + predicate pushdown on
+        term. Past ~10k terms (a short-prefix expansion can hit the whole
+        dictionary) an In() expression is quadratic to plan and useless as
+        a pushdown — switch to a broadcast semi-join on the term set; the
+        tb partition filter still prunes (the buckets cover all terms)."""
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        return (self._postings
-                .filter(F.col("tb").isin(buckets))
-                .filter(F.col("term").isin(terms)))
+        scan = self._postings.filter(F.col("tb").isin(buckets))
+        if len(terms) <= IN_LIST_MAX:
+            return scan.filter(F.col("term").isin(terms))
+        terms_df = self.spark.createDataFrame(
+            pd.DataFrame({"term": list(terms)}))
+        return scan.join(F.broadcast(terms_df), "term", "left_semi")
 
     def _term_is_cached(self, t: str) -> bool:
         """Single source of truth for preload-cache membership — the boolean
@@ -514,7 +527,7 @@ class SearchIndex:
     def _urls_for_ids(self, ids: np.ndarray) -> List[str]:
         if ids.size == 0:
             return []
-        if ids.size <= 10_000:
+        if ids.size <= IN_LIST_MAX:
             # small result: In-list pushdown prunes the docmap scan (S8)
             rows = (self._docmap.filter(F.col("doc_id").isin(ids.tolist()))
                     .select("doc_id", "url").collect())
@@ -548,6 +561,20 @@ class SearchIndex:
             return self._positional_ids_dist(terms, P.phrase_match_ids)
         return self._positional_ids_local(terms, P.phrase_match_ids)
 
+    @staticmethod
+    def _near_kernel(slop: int):
+        """The ONE place the proximity kernel closure (and its slop
+        validation) lives — search_near_ids / count_near / search_df all
+        route through it so every entry path rejects a negative slop
+        identically instead of silently returning empty."""
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+
+        def kernel(rows, ts, deleted=None):
+            return P.near_match_ids(rows, ts, slop, deleted=deleted)
+
+        return kernel
+
     def search_near_ids(self, query: str, slop: int,
                         distributed: bool = False) -> np.ndarray:
         """Ordered proximity (Lucene SpanNearQuery inOrder=True): docs
@@ -555,13 +582,8 @@ class SearchIndex:
         positions spanning ≤ len(terms)-1+slop. slop=0 is exactly the
         consecutive phrase. Same positional machinery as phrase — see
         operators/phrase.py:near_match_ids for the greedy-chain kernel."""
-        if slop < 0:
-            raise ValueError("slop must be >= 0")
+        kernel = self._near_kernel(slop)
         terms = self._phrase_terms(query)
-
-        def kernel(rows, ts, deleted=None):
-            return P.near_match_ids(rows, ts, slop, deleted=deleted)
-
         if distributed:
             return self._positional_ids_dist(terms, kernel)
         return self._positional_ids_local(terms, kernel)
@@ -569,18 +591,8 @@ class SearchIndex:
     def count_near(self, query: str, slop: int,
                    distributed: bool = False) -> int:
         if distributed:
-            # count_phrase discipline: per-segment sizes only — no id
-            # materialization, no global sort, no driver transfer
-            terms = self._phrase_terms(query)
-            if not terms or not self._phrase_dist_precheck(terms):
-                return 0
-
-            def kernel(rows, ts, deleted=None):
-                return P.near_match_ids(rows, ts, slop, deleted=deleted)
-
-            out = (self._phrase_ids_dist_df(terms, kernel)
-                   .agg(F.count("doc_id").alias("total")).collect())
-            return int(out[0]["total"] or 0)
+            return self._count_positional_dist(
+                self._phrase_terms(query), self._near_kernel(slop))
         return int(self.search_near_ids(query, slop).size)
 
     def search_near(self, query: str, slop: int,
@@ -625,17 +637,20 @@ class SearchIndex:
         return (self.postings_df(distinct).select(*PHRASE_COLS)
                 .toPandas().to_dict("records"))
 
+    def _count_positional_dist(self, terms: List[str], kernel=None) -> int:
+        """Distributed positional COUNT (phrase and near share it):
+        per-segment sizes are the only thing collected — same discipline
+        as _count_and_dist (no id materialization, no global sort, no
+        driver transfer of matches)."""
+        if not terms or not self._phrase_dist_precheck(terms):
+            return 0
+        out = (self._phrase_ids_dist_df(terms, kernel)
+               .agg(F.count("doc_id").alias("total")).collect())
+        return int(out[0]["total"] or 0)
+
     def count_phrase(self, phrase: str, distributed: bool = False) -> int:
         if distributed:
-            # per-segment sizes are the only thing collected — same
-            # discipline as _count_and_dist (no id materialization, no
-            # global sort, no driver transfer of matches)
-            terms = self._phrase_terms(phrase)
-            if not terms or not self._phrase_dist_precheck(terms):
-                return 0
-            out = (self._phrase_ids_dist_df(terms)
-                   .agg(F.count("doc_id").alias("total")).collect())
-            return int(out[0]["total"] or 0)
+            return self._count_positional_dist(self._phrase_terms(phrase))
         return int(self.search_phrase_ids(phrase).size)
 
     def search_phrase(self, phrase: str, distributed: bool = False
@@ -871,11 +886,9 @@ class SearchIndex:
         within `slop`, see search_near_ids)."""
         kernel = None
         if mode in ("phrase", "near"):
-            terms = self._phrase_terms(query)
             if mode == "near":
-                def kernel(rows, ts, deleted=None):
-                    return P.near_match_ids(rows, ts, slop,
-                                            deleted=deleted)
+                kernel = self._near_kernel(slop)
+            terms = self._phrase_terms(query)
             mode = "phrase"
         elif mode == "prefix":
             terms = self.expand_prefix(query)

@@ -178,12 +178,38 @@ def test_near_cli_commands(spark, idx):
     assert len(err.getvalue().splitlines()) == 1
 
 
-def test_near_kernel_wide_spans_single_segment():
-    # unit-level: kernel on synthetic rows via a built index is covered
-    # above; here pin the greedy-chain optimality on a crafted doc where
-    # a non-greedy chain would fail but greedy succeeds
+def test_near_kernel_wide_spans_single_segment(spark, tmp_path):
+    # pin the greedy-chain optimality of the REAL kernel on a crafted doc
+    # where chain choice matters: for "b a b" the only viable chain is
+    # b(1)->a(2)->b(5), span 4 (= n-1+slop at slop 2), while a non-greedy
+    # continuation (or one that reuses position 1's b) would mis-span
     toks = ["a", "b", "a", "x", "x", "b"]
     # chain a(0)->b(1): span 1; chain b(1)->a(2)->b(5): span 4
-    assert _near_matches(toks, ["a", "b"], 0)
-    assert not _near_matches(toks, ["b", "a", "b"], 1)
-    assert _near_matches(toks, ["b", "a", "b"], 2)
+    df = spark.createDataFrame([(0, "d0", " ".join(toks))],
+                               "doc_id long, url string, text string")
+    d = str(tmp_path / "wide_span_idx")
+    build_index(spark, df, d, id_col="doc_id", url_col="url",
+                with_positions=True)
+    idx = SearchIndex(spark, d)
+    for terms, slop, want in ((["a", "b"], 0, True),
+                              (["b", "a", "b"], 1, False),
+                              (["b", "a", "b"], 2, True)):
+        assert _near_matches(toks, terms, slop) is want  # oracle agrees
+        got = idx.search_near_ids(" ".join(terms), slop).tolist()
+        assert got == ([0] if want else []), (terms, slop)
+
+
+def test_negative_slop_rejected_on_every_path(idx):
+    # validation lives in ONE place (_near_kernel) so the local,
+    # distributed, count, and search_df entries agree — a negative slop
+    # must raise everywhere, never silently return empty/0
+    for call in (lambda: idx.search_near_ids("alpha beta", -1),
+                 lambda: idx.search_near_ids("alpha beta", -1,
+                                             distributed=True),
+                 lambda: idx.count_near("alpha beta", -1),
+                 lambda: idx.count_near("alpha beta", -1,
+                                        distributed=True),
+                 lambda: idx.search_df("alpha beta", mode="near",
+                                       slop=-1)):
+        with pytest.raises(ValueError, match="slop"):
+            call()

@@ -140,3 +140,32 @@ def test_search_df_prefix_mode(idx):
                  idx.search_df("tes", mode="prefix").collect())
     assert got == _brute_prefix("tes")
     assert idx.search_df("zzz", mode="prefix").count() == 0
+
+
+def test_prefix_cli_max_terms(spark, idx):
+    # --prefix-max-terms caps expansion to the N highest-df terms; with
+    # N=1 on "tes" the cap keeps only the most frequent term, so the
+    # result set can shrink vs the unbounded expansion
+    import io
+    from jobs.query import run
+    out, err = io.StringIO(), io.StringIO()
+    run(spark, idx.cat.root, ["PREFIX_COUNT\ttes\n"], out, err,
+        prefix_max_terms=1)
+    top = idx.expand_prefix("tes", max_terms=1)
+    want = idx.count_prefix("tes", max_terms=1)
+    assert out.getvalue().splitlines() == [str(want)]
+    assert len(top) == 1 and err.getvalue() == ""
+
+
+def test_large_expansion_uses_broadcast_join(idx, monkeypatch):
+    # past IN_LIST_MAX terms the postings scan must switch from a literal
+    # In() filter (quadratic to plan) to a broadcast semi-join; force the
+    # threshold down and check both the plan shape and the result parity
+    from pysearchlite_spark import engine as E
+    monkeypatch.setattr(E, "IN_LIST_MAX", 2)
+    terms = idx.expand_prefix("te")  # 8 terms > 2
+    plan = idx.postings_df(terms)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = idx.search_prefix_ids("te").tolist()
+    monkeypatch.setattr(E, "IN_LIST_MAX", 10_000)
+    assert got == idx.search_prefix_ids("te").tolist() == _brute_prefix("te")
