@@ -335,6 +335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return token_jaccard_pairs(_docs(spark, sf), threshold=0.8,
                                    max_df=100)
 
+    def dedup_cluster_entry(spark, sf):
+        # the step AFTER pair generation: transitive closure of the
+        # bounded-jaccard pairs via alternating large/small-star connected
+        # components — (doc_id, cluster_id=component min, is_dup) for
+        # EVERY doc, so filter(~is_dup) is the keep-one-per-group list
+        from pysearchlite_spark.operators.cluster import dedup_clusters
+        return dedup_clusters(_docs(spark, sf), threshold=0.8, max_df=100)
+
     def minhash_pairs(spark, sf):
         # unigram shingles + 32x2 banding: output == token-jaccard >= 0.9
         # pairs (see module docstring), giving the LSH pipeline an exact
@@ -458,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": exact_dup,
         "token_jaccard_pairs": jaccard_pairs,
         "token_jaccard_bounded": jaccard_bounded,
+        "dedup_clusters": dedup_cluster_entry,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash_signatures": simhash_sigs,
         "simhash_pairs": simhash_prs,
@@ -552,6 +561,27 @@ SELECT a, b,
 FROM cand JOIN t xt ON xt.doc_id = cand.a JOIN t yt ON yt.doc_id = cand.b
 WHERE len(list_intersect(xt.ts, yt.ts))::DOUBLE
       / (len(xt.ts) + len(yt.ts) - len(list_intersect(xt.ts, yt.ts))) >= 0.8
+"""
+
+    # transitive closure of the bounded-jaccard pairs: recursive
+    # reachability (edges are symmetric, so min reachable id ∪ self = the
+    # component minimum — exactly the engine's star-root cluster_id)
+    cluster_oracle = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({jaccard_bounded})
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+), comp AS (
+  SELECT node, least(min(r), node) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id <> coalesce(c.cluster_id, d.doc_id) AS is_dup
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
     # minhash_lsh_pairs with shingle_k=1: exact-verified output over distinct
@@ -821,6 +851,7 @@ ORDER BY doc_id""",
             FROM documents""",
         "token_jaccard_pairs": jaccard,
         "token_jaccard_bounded": jaccard_bounded,
+        "dedup_clusters": cluster_oracle,
         # list-comprehension mode count: list_max over per-distinct-gram
         # filter counts == the engine's sorted-run aggregate by definition
         "repetition_stats": f"""

@@ -1,0 +1,132 @@
+"""Connected-components clustering of duplicate-candidate pairs.
+
+The pair generators (exact / minhash / simhash / token-jaccard / cosine)
+emit EDGES; a real dedup pipeline needs the transitive closure — duplicate
+GROUPS with one canonical representative per group, so "keep one copy per
+cluster" becomes a plain filter. (The reference engine has no dedup surface
+at all — this extends the pipeline-operator family the same way
+operators/dedup.py does.)
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), expressed
+entirely in DataFrame ops:
+
+- each round is two shuffles (a map-side-combinable groupBy-min plus a
+  co-partitioned join) — no collect_list neighborhood materialization, so
+  a hot hub node (one doc duplicated a million times) never builds a
+  million-element array on one task;
+- converges in O(log n) rounds even on adversarial path graphs (plain
+  min-label propagation needs O(diameter));
+- per-round localCheckpoint truncates the lineage so the plan does not
+  deepen with iterations (on a real cluster point spark.checkpoint.dir at
+  durable storage and this also bounds recovery cost).
+
+The fixed point is a star per component: every member points at the
+component's minimum node id, which becomes the cluster id.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Convergence signatures sum per-edge hashes; keep each term < 2^30 so the
+# sum of even 10^9 of them stays far from long overflow (ANSI mode throws).
+_SIG_MOD = 1_000_000_007
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Orient every edge large→small, drop self-loops and duplicates."""
+    return (e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _signature(e: DataFrame) -> tuple:
+    """Cheap one-action set signature (count + bounded hash sum): equal
+    signatures on canonicalized edge sets ⇒ converged. A collision would
+    only stop iteration early — max_rounds plus the star-shape check in
+    the tests bound the damage — and needs count AND sum to collide."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(_SIG_MOD))).alias("h")
+    ).collect()[0]
+    return (row["c"], row["h"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every STRICTLY LARGER neighbor to
+    m = min(Γ(u) ∪ {u}). Cuts long chains in half each round."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .withColumn("m", F.least("mn", "u")).drop("mn"))
+    return (sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u over its SMALLER neighbors N(u): connect every
+    v ∈ N(u) ∪ {u} to m = min(N(u)). Flattens local trees into stars."""
+    e = _canonical(e)
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    out = (e.join(mins, "u")
+           .select(F.col("v").alias("u"), F.col("m").alias("v"))
+           .union(mins.select(F.col("u"), F.col("m").alias("v")))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    return out
+
+
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         max_rounds: int = 50) -> DataFrame:
+    """Transitive closure of an undirected pair list → (node, cluster)
+    for every node that appears in `pairs`; cluster = the component's
+    minimum node id. Nodes absent from `pairs` are singletons — callers
+    cover them with a left join + coalesce(cluster, id) (dedup_clusters).
+    """
+    e = _canonical(pairs.select(F.col(a).cast("long").alias("u"),
+                                F.col(b).cast("long").alias("v")))
+    e = e.localCheckpoint(eager=True)
+    sig = _signature(e)
+    if sig[0] == 0:  # no edges: nothing to iterate
+        return e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = _signature(e)
+        if nxt == sig:
+            break
+        sig = nxt
+    else:  # pragma: no cover - max_rounds is ~2x the log2 of any real n
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+    roots = (e.select(F.col("v").alias("node")).distinct()
+             .withColumn("cluster", F.col("node")))
+    return members.union(roots)
+
+
+def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   pairs: Optional[DataFrame] = None,
+                   threshold: float = 0.8, max_df: int = 1000) -> DataFrame:
+    """Document-level dedup verdicts: (doc_id, cluster_id, is_dup) for
+    EVERY document — cluster_id is the minimum doc id of the near-dup
+    component (transitive closure over token-Jaccard pairs by default;
+    pass `pairs` (a, b) to cluster any other generator's output), and
+    is_dup=false exactly for the one kept representative per cluster, so
+    `filter(~is_dup)` is the keep-list."""
+    if pairs is None:
+        from pysearchlite_spark.operators.dedup import token_jaccard_pairs
+        pairs = token_jaccard_pairs(df, id_col=id_col, text_col=text_col,
+                                    threshold=threshold, max_df=max_df)
+    cc = connected_components(pairs)
+    return (df.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster", "doc_id"))
+            .drop("cluster")
+            .withColumn("is_dup", F.col("doc_id") != F.col("cluster_id")))
