@@ -122,6 +122,13 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
             exact_dedup(docs).count()
         with timed("minhash_lsh_pairs"):
             minhash_lsh_pairs(docs, threshold=0.5).count()
+        # pairs → transitive-closure groups (the keep-list step); sum the
+        # computed columns so Catalyst can't prune the closure itself
+        with timed("dedup_clusters"):
+            from pysearchlite_spark.operators.cluster import dedup_clusters
+            dedup_clusters(docs, threshold=0.8, max_df=100).agg(
+                F.sum("cluster_id"), F.sum(F.col("is_dup").cast("long"))
+            ).collect()
         qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         with timed("ann_cosine_top10"):
             brute_cosine_topk(emb, list(qv), k=10).collect()
