@@ -335,6 +335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return token_jaccard_pairs(_docs(spark, sf), threshold=0.8,
                                    max_df=100)
 
+    def search_snippets_entry(spark, sf):
+        # keyword-in-context highlighting: index prunes the doc set, the
+        # ±5-token window around the first query-term hit is pure JVM
+        # expressions over the re-tokenized stored text (Lucene
+        # highlighter shape)
+        return _index(spark, sf).search_snippets(
+            Q_AND, _docs(spark, sf), window=5)
+
     def dedup_cluster_entry(spark, sf):
         # the step AFTER pair generation: transitive closure of the
         # bounded-jaccard pairs via alternating large/small-star connected
@@ -453,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_dist": search_phrase_dist,
         "search_near": search_near,
         "search_prefix": search_prefix,
+        "search_snippets": search_snippets_entry,
         "count_and": count_and,
         "term_df": term_df,
         "bm25_topk": bm25_topk,
@@ -796,6 +805,24 @@ ORDER BY doc_id""",
         "search_prefix": f"SELECT doc_id FROM documents WHERE "
                          f"len(list_filter({_TOK}, "
                          f"t -> t LIKE '{Q_PREFIX}%')) > 0 ORDER BY doc_id",
+        # first-hit position (1-based, min across query terms) + ±5-token
+        # window; list_position returns 0 when absent, same guard as the
+        # engine's when(array_position > 0)
+        "search_snippets": f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents WHERE {and_pred}
+), p AS (
+  SELECT doc_id, ts,
+         least({", ".join(
+             f"CASE WHEN list_position(ts, '{t}') > 0 "
+             f"THEN list_position(ts, '{t}') END"
+             for t in and_terms)})::BIGINT AS first_pos
+  FROM t
+)
+SELECT doc_id, first_pos,
+       array_to_string(ts[greatest(1, first_pos - 5) : first_pos + 5], ' ')
+         AS snippet
+FROM p ORDER BY doc_id""",
         "count_and": "SELECT count(*)::BIGINT AS cnt FROM documents WHERE "
                      + " AND ".join(f"list_contains({_TOK}, '{t}')"
                                     for t in bm_terms),

@@ -601,6 +601,47 @@ class SearchIndex:
         return self._urls_for_ids(self.search_near_ids(
             query, slop, distributed=distributed))
 
+    # ---------------------------------------------------------- snippets --
+    def search_snippets(self, query: str, docs: DataFrame,
+                        window: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+        """Keyword-in-context highlighting (the Lucene highlighter shape):
+        for every AND-matching doc, the 1-based token position of the
+        FIRST query-term hit and a ±window-token snippet around it, as a
+        lazy DataFrame (doc_id, first_pos, snippet).
+
+        Spark-first design: the index prunes WHICH docs pay the
+        re-tokenize (the lazy distributed id set from search_df joins the
+        docs table on doc_id), and the snippet itself is pure JVM
+        expressions — lower/split tokens, array_position per term,
+        least() for the first hit, slice + array_join for the window — so
+        the whole stage is whole-stage-codegen with zero Python. Like
+        Lucene, highlighting re-analyzes the stored text rather than
+        storing every token in the index."""
+        terms = query_terms(query)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, first_pos long, snippet string")
+        ids = self.search_df(query).select("doc_id")
+        j = ids.join(docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                                 F.col(text_col).alias("text")), "doc_id")
+        toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                        lambda x: x != F.lit(""))
+        j = j.withColumn("toks", toks)
+        # array_position = 0 when absent; AND semantics guarantees every
+        # term is present, but guard with when() so a tokenizer edge case
+        # degrades to NULL instead of position 0
+        hits = [F.when(F.array_position("toks", t) > 0,
+                       F.array_position("toks", t)) for t in terms]
+        p = hits[0] if len(hits) == 1 else F.least(*hits)
+        j = j.withColumn("first_pos", p)
+        start = F.greatest(F.lit(1), F.col("first_pos") - window)
+        length = F.col("first_pos") + window - start + F.lit(1)
+        return j.select(
+            "doc_id", "first_pos",
+            F.array_join(F.slice("toks", start, length), " ")
+            .alias("snippet"))
+
     def _positional_ids_local(self, terms: List[str], kernel) -> np.ndarray:
         """Driver-path positional query: fetch the distinct terms' rows
         (position sidecar included), P4 short-circuit on global dfs, then
