@@ -200,6 +200,7 @@ Q_PHRASE = "table part"       # consecutive-token phrase, non-trivial hits
 Q_PHRASE3 = "value table part"
 Q_PREFIX = "s"  # expands to 6 dictionary terms at sf0.01
 Q_NEAR, NEAR_SLOP = "value part", 2  # 71 docs at sf0.01 vs 28 exact
+Q_NOT = "merge"                # exclusion term for the AND-NOT entry
 BATCH_QUERIES = [Q_BM25, Q_AND, Q_OR]  # bm25_topk_batch: one job, 3 queries
 
 
@@ -335,6 +336,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return token_jaccard_pairs(_docs(spark, sf), threshold=0.8,
                                    max_df=100)
 
+    def search_and_not(spark, sf):
+        # boolean negation: include-AND minus per-segment exclusion union
+        # (sorted-mask kernel; the NOT set never materializes globally)
+        return _ids_df(spark, _index(spark, sf).search_and_not_ids(
+            Q_AND, Q_NOT, distributed=True))
+
+    def facet_lang(spark, sf):
+        # Solr/ES-style terms aggregation over the match set: lazy id set
+        # joins documents reading only (doc_id, lang); map-side-combined
+        # count per facet value
+        return _index(spark, sf).facet_counts(
+            Q_AND, _docs(spark, sf), "lang")
+
     def search_snippets_entry(spark, sf):
         # keyword-in-context highlighting: index prunes the doc set, the
         # ±5-token window around the first query-term hit is pure JVM
@@ -462,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_near": search_near,
         "search_prefix": search_prefix,
         "search_snippets": search_snippets_entry,
+        "search_and_not": search_and_not,
+        "facet_lang": facet_lang,
         "count_and": count_and,
         "term_df": term_df,
         "bm25_topk": bm25_topk,
@@ -805,6 +821,11 @@ ORDER BY doc_id""",
         "search_prefix": f"SELECT doc_id FROM documents WHERE "
                          f"len(list_filter({_TOK}, "
                          f"t -> t LIKE '{Q_PREFIX}%')) > 0 ORDER BY doc_id",
+        "search_and_not": f"SELECT doc_id FROM documents WHERE {and_pred} "
+                          f"AND NOT list_contains({_TOK}, '{Q_NOT}') "
+                          f"ORDER BY doc_id",
+        "facet_lang": f"SELECT lang AS facet, count(*)::BIGINT AS n "
+                      f"FROM documents WHERE {and_pred} GROUP BY lang",
         # first-hit position (1-based, min across query terms) + ±5-token
         # window; list_position returns 0 when absent, same guard as the
         # engine's when(array_position > 0)

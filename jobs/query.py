@@ -8,6 +8,8 @@ Speaks the reference's search-benchmark-game protocol
                    of the reference's unranked TOP_10 (:15-17)
     TOP_10_COUNT → count, like the reference (:18-19)
 Plus extensions: AND / OR (matching doc ids), SEARCH (doc names),
+NOT / NOT_COUNT (payload ``<include terms> -- <exclude terms>``: AND over
+the includes minus any doc containing an exclude term),
 PHRASE / PHRASE_COUNT (exact consecutive-token match; needs an index
 built with_positions=True), NEAR / NEAR_COUNT (payload ``<slop> <query>``:
 ordered proximity within slop; positional index required), and
@@ -96,6 +98,14 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 out.write("\n")
             else:
                 out.write(res + "\n")
+        elif cmd == "NOT" or cmd == "NOT_COUNT":
+            # payload is "<include terms> -- <exclude terms>"
+            inc, _, exc = q.partition(" -- ")
+            if cmd == "NOT":
+                out.write(" ".join(map(str, idx.search_and_not_ids(
+                    inc, exc, distributed=dist).tolist())) + "\n")
+            else:
+                out.write(f"{idx.count_and_not(inc, exc, distributed=dist)}\n")
         elif cmd == "PREFIX":
             out.write(" ".join(map(str, idx.search_prefix_ids(
                 q, distributed=dist,

@@ -452,6 +452,70 @@ class SearchIndex:
             return np.empty(0, dtype=np.int64)
         return _mask_deleted(np.concatenate(parts), self._deleted())
 
+    # ---------------------------------------------------- boolean NOT ----
+    def search_and_not_ids(self, query: str, exclude: str,
+                           distributed: bool = False) -> np.ndarray:
+        """AND-NOT: docs matching ALL of `query`'s terms and NONE of
+        `exclude`'s (ascending docID). Completes the boolean algebra the
+        reference stops short of (do_query.py is AND-only). Both paths
+        subtract per segment with the sorted-mask kernel — the exclusion
+        set is never unioned globally, so a stop-word exclude term costs
+        its per-segment postings, not a giant driver-side set."""
+        inc = query_terms(query)
+        exc = query_terms(exclude)
+        if not inc:
+            return np.empty(0, dtype=np.int64)
+        if not exc:
+            return self.search_and_ids(query, distributed=distributed)
+        if distributed:
+            dfs = self._global_dfs_dist(inc)
+            if any(dfs[t] == 0 for t in inc):  # P4 short-circuit
+                return np.empty(0, dtype=np.int64)
+            out = (self._matching_ids_dist(inc, "and", exclude=exc)
+                   .orderBy("doc_id").toPandas())
+            return out["doc_id"].to_numpy(np.int64)
+        fetched = self._fetch(list(dict.fromkeys(inc + exc)))
+        dfs = self.global_dfs(fetched, inc)
+        if any(dfs[t] == 0 for t in inc):
+            return np.empty(0, dtype=np.int64)
+        exc_set = set(exc)
+        n_inc = len(set(inc))
+        parts = []
+        for seg, rows in sorted(self._rows_by_seg(fetched).items()):
+            inc_rows = [r for r in rows if r["term"] not in exc_set]
+            if len(inc_rows) < n_inc:
+                continue  # an include term missing in this segment
+            ids = I.intersect_packed(inc_rows)
+            exc_rows = [r for r in rows if r["term"] in exc_set]
+            if exc_rows and ids.size:
+                ids = _mask_deleted(ids, I.union_sorted(
+                    [codec.unpack_docs(r["docs"], int(r["df"]))
+                     for r in exc_rows]))
+            parts.append(ids)
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return _mask_deleted(np.concatenate(parts), self._deleted())
+
+    def count_and_not(self, query: str, exclude: str,
+                      distributed: bool = False) -> int:
+        if distributed:
+            inc, exc = query_terms(query), query_terms(exclude)
+            if not inc:
+                return 0
+            dfs = self._global_dfs_dist(inc)
+            if any(dfs[t] == 0 for t in inc):
+                return 0
+            out = (self._matching_ids_dist(inc, "and", exclude=exc or None)
+                   .agg(F.count("doc_id").alias("total")).collect())
+            return int(out[0]["total"] or 0)
+        return int(self.search_and_not_ids(query, exclude).size)
+
+    def search_and_not(self, query: str, exclude: str,
+                       distributed: bool = False) -> List[str]:
+        """AND-NOT query → doc names (urls), ascending docID order."""
+        return self._urls_for_ids(self.search_and_not_ids(
+            query, exclude, distributed=distributed))
+
     # ------------------------------------------------------------ prefix --
     def expand_prefix(self, prefix: str,
                       max_terms: Optional[int] = None) -> List[str]:
@@ -600,6 +664,23 @@ class SearchIndex:
         """Proximity query → doc names (urls), ascending docID order."""
         return self._urls_for_ids(self.search_near_ids(
             query, slop, distributed=distributed))
+
+    # ------------------------------------------------------------ facets --
+    def facet_counts(self, query: str, docs: DataFrame, facet_col: str,
+                     mode: str = "and", exclude: str = "",
+                     id_col: str = "doc_id") -> DataFrame:
+        """Search-engine faceting (the Solr/ES terms-aggregation shape):
+        value counts of `facet_col` over the docs matching `query`, as a
+        lazy DataFrame (facet, n). The distributed id set joins the docs
+        table reading only (id_col, facet_col) — column pruning — and the
+        groupBy count is map-side combined, so what crosses the final
+        exchange is one row per distinct facet value per partition."""
+        ids = self.search_df(query, mode=mode, exclude=exclude) \
+            .select("doc_id")
+        j = ids.join(
+            docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                        F.col(facet_col).alias("facet")), "doc_id")
+        return j.groupBy("facet").agg(F.count(F.lit(1)).alias("n"))
 
     # ---------------------------------------------------------- snippets --
     def search_snippets(self, query: str, docs: DataFrame,
@@ -884,16 +965,23 @@ class SearchIndex:
                 .select(F.col("pseg").alias("seg"), "doc_id")
                 .groupBy("seg"))
 
-    def _matching_ids_dist(self, terms: List[str], mode: str) -> DataFrame:
+    def _matching_ids_dist(self, terms: List[str], mode: str,
+                           exclude: Optional[List[str]] = None) -> DataFrame:
         """Per-segment boolean kernel as a DataFrame of matching doc_ids —
         the building block every distributed path (and the scalable
         search_df surface) shares; nothing is collected here. Pending
-        tombstones are masked inside the kernel via cogroup."""
+        tombstones are masked inside the kernel via cogroup. `exclude`
+        terms ride the SAME pruned scan; their per-segment union is
+        subtracted from the matches with the sorted-mask kernel (AND-NOT
+        never materializes the exclusion set globally)."""
+        exc_set = set(exclude or ())
         n_terms = len(set(terms))
 
         def match(pdf: pd.DataFrame, ddf: Optional[pd.DataFrame]
                   ) -> pd.DataFrame:
             rows = pdf.to_dict("records")
+            exc_rows = [r for r in rows if r["term"] in exc_set]
+            rows = [r for r in rows if r["term"] not in exc_set]
             if mode == "and":
                 if len(rows) < n_terms:
                     return pd.DataFrame(
@@ -903,12 +991,18 @@ class SearchIndex:
                 ids = I.union_sorted(
                     [codec.unpack_docs(r["docs"], int(r["df"]))
                      for r in rows])
+            if exc_rows and ids.size:
+                excl = I.union_sorted(
+                    [codec.unpack_docs(r["docs"], int(r["df"]))
+                     for r in exc_rows])
+                ids = _mask_deleted(ids, excl)
             if ddf is not None and len(ddf):
                 ids = _mask_deleted(
                     ids, np.unique(ddf["doc_id"].to_numpy(np.int64)))
             return pd.DataFrame({"doc_id": ids})
 
-        grouped = self.postings_df(terms).select(*QUERY_COLS).groupBy("seg")
+        scan_terms = list(terms) + [t for t in exc_set if t not in terms]
+        grouped = self.postings_df(scan_terms).select(*QUERY_COLS).groupBy("seg")
         if not self.delete_files:
             return grouped.applyInPandas(
                 lambda key, pdf: match(pdf, None), "doc_id long")
@@ -916,7 +1010,7 @@ class SearchIndex:
             lambda key, pdf, ddf: match(pdf, ddf), "doc_id long")
 
     def search_df(self, query: str, mode: str = "and",
-                  slop: int = 0) -> DataFrame:
+                  slop: int = 0, exclude: str = "") -> DataFrame:
         """The 10^12-doc search surface: matching (doc_id, url) as a LAZY
         DataFrame — per-segment kernels produce ids, a join against the
         docmap resolves names, and NOTHING reaches the driver; sink with
@@ -924,8 +1018,12 @@ class SearchIndex:
         list-returning API.) mode: "and" | "or" | "phrase" | "prefix" |
         "near" (prefix: `query` is a single term prefix, expanded against
         the dictionary then unioned like "or"; near: ordered proximity
-        within `slop`, see search_near_ids)."""
+        within `slop`, see search_near_ids). `exclude` (and/or modes):
+        NOT terms, subtracted per segment inside the kernel."""
         kernel = None
+        exc = query_terms(exclude) if exclude else []
+        if exc and mode in ("phrase", "near"):
+            raise ValueError("exclude is supported for and/or/prefix modes")
         if mode in ("phrase", "near"):
             if mode == "near":
                 kernel = self._near_kernel(slop)
@@ -945,7 +1043,8 @@ class SearchIndex:
             if any(dfs[t] == 0 for t in distinct):  # P4 short-circuit
                 return empty
         ids = (self._phrase_ids_dist_df(terms, kernel) if mode == "phrase"
-               else self._matching_ids_dist(terms, mode))
+               else self._matching_ids_dist(terms, mode,
+                                            exclude=exc or None))
         return ids.join(self._docmap.select("doc_id", "url"), "doc_id")
 
     def _search_and_ids_dist(self, terms: List[str]) -> np.ndarray:
