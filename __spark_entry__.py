@@ -831,7 +831,10 @@ ORDER BY doc_id""",
         # engine's when(array_position > 0)
         "search_snippets": f"""
 WITH t AS (
-  SELECT doc_id, {_TOK} AS ts FROM documents WHERE {and_pred}
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        t -> lower(t)) AS ts
+  FROM documents WHERE {and_pred}
 ), p AS (
   SELECT doc_id, ts,
          least({", ".join(

@@ -706,8 +706,13 @@ class SearchIndex:
         ids = self.search_df(query).select("doc_id")
         j = ids.join(docs.select(F.col(id_col).cast("long").alias("doc_id"),
                                  F.col(text_col).alias("text")), "doc_id")
-        toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                        lambda x: x != F.lit(""))
+        # findall-THEN-lower, exactly like the index tokenizer
+        # (tokenizer.py): lowering the whole text first can manufacture
+        # ASCII tokens out of unicode case folds ('İ' → 'i' + U+0307) and
+        # shift every position; lower() on matched ASCII runs is safe
+        toks = F.transform(
+            F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0),
+            F.lower)
         j = j.withColumn("toks", toks)
         # array_position = 0 when absent; AND semantics guarantees every
         # term is present, but guard with when() so a tokenizer edge case

@@ -11,10 +11,11 @@ Algorithm: alternating large-star / small-star (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14), expressed
 entirely in DataFrame ops:
 
-- each round is two shuffles (a map-side-combinable groupBy-min plus a
-  co-partitioned join) — no collect_list neighborhood materialization, so
-  a hot hub node (one doc duplicated a million times) never builds a
-  million-element array on one task;
+- each round is two star transforms, each a map-side-combinable
+  groupBy-min + same-key join + dedup (a constant handful of
+  key-partitioned exchanges of the SHRINKING edge set) — no collect_list
+  neighborhood materialization, so a hot hub node (one doc duplicated a
+  million times) never builds a million-element array on one task;
 - converges in O(log n) rounds even on adversarial path graphs (plain
   min-label propagation needs O(diameter));
 - per-round localCheckpoint truncates the lineage so the plan does not
@@ -71,8 +72,12 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """For each node u over its SMALLER neighbors N(u): connect every
-    v ∈ N(u) ∪ {u} to m = min(N(u)). Flattens local trees into stars."""
-    e = _canonical(e)
+    v ∈ N(u) ∪ {u} to m = min(N(u)). Flattens local trees into stars.
+    Input contract: already canonical (large→small oriented, no
+    self-loops, distinct) — _large_star's output is (it emits (v, m)
+    with v > u ≥ m and ends in distinct()), and connected_components
+    canonicalizes the initial edge set; re-canonicalizing here would add
+    a full extra exchange+aggregate of the edge set every round."""
     mins = e.groupBy("u").agg(F.min("v").alias("m"))
     out = (e.join(mins, "u")
            .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -85,29 +90,38 @@ def _small_star(e: DataFrame) -> DataFrame:
 def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
                          max_rounds: int = 50) -> DataFrame:
     """Transitive closure of an undirected pair list → (node, cluster)
-    for every node that appears in `pairs`; cluster = the component's
-    minimum node id. Nodes absent from `pairs` are singletons — callers
-    cover them with a left join + coalesce(cluster, id) (dedup_clusters).
-    """
-    e = _canonical(pairs.select(F.col(a).cast("long").alias("u"),
-                                F.col(b).cast("long").alias("v")))
-    e = e.localCheckpoint(eager=True)
+    for EVERY node that appears in `pairs` (including nodes whose only
+    appearance is a self-loop — they map to themselves); cluster = the
+    component's minimum node id. Nodes absent from `pairs` entirely are
+    singletons — callers cover them with a left join +
+    coalesce(cluster, id) (dedup_clusters)."""
+    raw = pairs.select(F.col(a).cast("long").alias("u"),
+                       F.col(b).cast("long").alias("v"))
+    e = _canonical(raw).localCheckpoint(eager=True)
     sig = _signature(e)
-    if sig[0] == 0:  # no edges: nothing to iterate
-        return e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
-    for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        nxt = _signature(e)
-        if nxt == sig:
-            break
-        sig = nxt
-    else:  # pragma: no cover - max_rounds is ~2x the log2 of any real n
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds")
+    if sig[0] > 0:
+        for _ in range(max_rounds):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            nxt = _signature(e)
+            if nxt == sig:
+                break
+            sig = nxt
+        else:  # pragma: no cover - max_rounds ~2x the log2 of any real n
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_rounds} rounds")
     members = e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
     roots = (e.select(F.col("v").alias("node")).distinct()
              .withColumn("cluster", F.col("node")))
-    return members.union(roots)
+    mapping = members.union(roots)
+    # nodes whose only edges were self-loops vanish in canonicalization;
+    # the contract still owes them a (node, node) row
+    nodes = (raw.select(F.col("u").alias("node"))
+             .union(raw.select(F.col("v").alias("node"))).distinct())
+    loners = (nodes.join(mapping.select("node").distinct(), "node",
+                         "left_anti")
+              .withColumn("cluster", F.col("node")))
+    return mapping.union(loners)
 
 
 def dedup_clusters(df: DataFrame, id_col: str = "doc_id",

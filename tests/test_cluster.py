@@ -70,6 +70,14 @@ def test_self_loops_ignored(spark):
     assert got == {4: 4, 7: 4}
 
 
+def test_self_loop_only_node_kept(spark):
+    # a node whose ONLY appearance is a self-loop must still get a row
+    # (contract: every node in `pairs`), mapped to itself
+    got = _cc_dict(spark, [(4, 4), (9, 8)])
+    assert got == {4: 4, 8: 8, 9: 8}
+    assert _cc_dict(spark, [(4, 4)]) == {4: 4}
+
+
 def test_randomized_vs_union_find(spark):
     rng = random.Random(99)
     for trial in range(3):

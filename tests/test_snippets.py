@@ -84,3 +84,19 @@ def test_snippets_stay_jvm_side(idx, docs):
 
 def test_snippets_empty_query(idx, docs):
     assert idx.search_snippets("", docs).count() == 0
+
+
+def test_snippet_tokenizer_parity_on_unicode(spark, tmp_path):
+    # findall-THEN-lower, like the index tokenizer: lowering first would
+    # manufacture an ASCII 'i' out of 'İ' (U+0130 → 'i' + U+0307) and
+    # shift every position by one (tokenizer.py documents this pitfall)
+    text = "İstanbul alpha beta gamma"
+    df = spark.createDataFrame([(0, "d0", text)],
+                               "doc_id long, url string, text string")
+    d = str(tmp_path / "uni_idx")
+    build_index(spark, df, d, id_col="doc_id", url_col="url")
+    idx = SearchIndex(spark, d)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = idx.search_snippets("alpha", docs, window=1).collect()[0]
+    assert row["first_pos"] == 2  # ['stanbul','alpha',...] — NOT 3
+    assert row["snippet"] == "stanbul alpha beta"
