@@ -202,6 +202,9 @@ Q_PREFIX = "s"  # expands to 6 dictionary terms at sf0.01
 Q_NEAR, NEAR_SLOP = "value part", 2  # 71 docs at sf0.01 vs 28 exact
 Q_NOT = "merge"                # exclusion term for the AND-NOT entry
 BATCH_QUERIES = [Q_BM25, Q_AND, Q_OR]  # bm25_topk_batch: one job, 3 queries
+FILTER_PRED = "n_chars >= 300"  # allow-list predicate (filtered entries)
+Q_MSM, MSM_M = "table query spark merge", 3   # min-should-match: 3 of 4
+W_PATTERN, W_LIKE = "s?a*", "s_a%"  # wildcard ≙ SQL LIKE (token alphabet)
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +291,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = spark.createDataFrame(
             [(int(d), float(s)) for d, s in top], "doc_id long, score double")
         return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_topk_filtered(spark, sf):
+        # filtered retrieval (Lucene filter-clause shape): the allow-list
+        # is a doc_id DataFrame produced from the corpus table — the
+        # "rank only docs that passed the upstream quality pass" pipeline
+        # form. Scores stay corpus-wide; the filter is applied before
+        # per-segment top-k truncation (engine.topk filter_ids), so docs
+        # below the unfiltered top-10 surface — NOT post-filtering.
+        allow = _docs(spark, sf).filter(FILTER_PRED).select("doc_id")
+        top = _index(spark, sf).topk(Q_BM25, k=10, filter_ids=allow)
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def search_min_match(spark, sf):
+        # Lucene minimumNumberShouldMatch (3 of 4 terms), DISTRIBUTED:
+        # per-segment multiplicity counting inside the kernel — segments
+        # partition the docID space, so local counts are global counts
+        return _ids_df(spark, _index(spark, sf).search_min_match_ids(
+            Q_MSM, MSM_M, distributed=True))
+
+    def bm25_topk_msm(spark, sf):
+        # ranked msm: candidates = docs matching >= m distinct terms,
+        # scores = full disjunctive BM25 (msm restricts, never rescores)
+        top = _index(spark, sf).topk(Q_MSM, k=10, min_match=MSM_M)
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def search_wildcard(spark, sf):
+        # wildcard term query (s?a*): dictionary expansion via pushed
+        # StartsWith + rlike on the term-sorted postings, then OR union
+        return _ids_df(spark, _index(spark, sf)
+                       .search_wildcard_ids(W_PATTERN))
+
+    def search_and_filtered(spark, sf):
+        # boolean AND restricted to the same allow-list, DISTRIBUTED path:
+        # the pseg-routed allow rows are cogrouped into the per-segment
+        # kernel next to the tombstones — never collected or broadcast
+        allow = _docs(spark, sf).filter(FILTER_PRED).select("doc_id")
+        return _ids_df(spark, _index(spark, sf).search_and_ids(
+            Q_AND, distributed=True, filter_ids=allow))
 
     def doc_len(spark, sf):
         idx = _index(spark, sf)
@@ -482,6 +527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": term_df,
         "bm25_topk": bm25_topk,
         "bm25_topk_batch": bm25_topk_batch,
+        "bm25_topk_filtered": bm25_topk_filtered,
+        "bm25_topk_msm": bm25_topk_msm,
+        "search_and_filtered": search_and_filtered,
+        "search_min_match": search_min_match,
+        "search_wildcard": search_wildcard,
         "doc_len": doc_len,
         "token_count": token_count,
         "bpe_token_count": bpe_count,
@@ -516,7 +566,12 @@ def oracle_sql() -> dict[str, str]:
     bm_in = ", ".join(f"'{t}'" for t in bm_terms)
     df_in = ", ".join(f"'{t}'" for t in Q_TERMS)
 
-    def bm25_sql(terms_in: str, qid: int | None = None) -> str:
+    def bm25_sql(terms_in: str, qid: int | None = None,
+                 where: str = "", having: str = "") -> str:
+        # `where`: filtered retrieval — restricts the RESULT candidates
+        # only; corpus stats (n, avgdl, df) stay corpus-wide, exactly the
+        # engine's Lucene-filter semantics. `having`: msm — candidates
+        # must match >= m distinct terms, scores stay full-disjunctive
         head = ("SELECT doc_id, round(score, 6) AS score" if qid is None
                 else f"SELECT {qid} AS qid, doc_id, "
                      "round(score, 6) AS score")
@@ -541,12 +596,20 @@ WITH tok AS (
          ) AS score
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
+  {having}
 )
 {head} FROM scores
+{where}
 ORDER BY score DESC, doc_id LIMIT 10
 """
 
     bm25 = bm25_sql(bm_in)
+    msm_in = ", ".join(f"'{t}'" for t in Q_MSM.split())
+    bm25_msm = bm25_sql(
+        msm_in, having=f"HAVING count(DISTINCT tf.term) >= {MSM_M}")
+    filter_subq = f"(SELECT doc_id FROM documents WHERE {FILTER_PRED})"
+    bm25_filtered = bm25_sql(
+        bm_in, where=f"WHERE doc_id IN {filter_subq}")
     bm25_batch_sql = " UNION ALL ".join(
         f"SELECT * FROM ({bm25_sql(', '.join(repr(t) for t in q.split()), qid=i)})"
         for i, q in enumerate(BATCH_QUERIES))
@@ -856,6 +919,20 @@ FROM p ORDER BY doc_id""",
             WHERE term IN ({df_in}) GROUP BY term""",
         "bm25_topk": bm25,
         "bm25_topk_batch": bm25_batch_sql,
+        "bm25_topk_filtered": bm25_filtered,
+        "bm25_topk_msm": bm25_msm,
+        "search_and_filtered": f"SELECT doc_id FROM documents "
+                               f"WHERE {and_pred} AND doc_id IN "
+                               f"{filter_subq} ORDER BY doc_id",
+        "search_min_match": f"""
+SELECT doc_id FROM (
+  SELECT doc_id, count(DISTINCT term) AS c
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  WHERE term IN ({msm_in}) GROUP BY doc_id)
+WHERE c >= {MSM_M} ORDER BY doc_id""",
+        "search_wildcard": f"SELECT doc_id FROM documents WHERE "
+                           f"len(list_filter({_TOK}, t -> t LIKE "
+                           f"'{W_LIKE}')) > 0 ORDER BY doc_id",
         "doc_len": f"SELECT doc_id, len({_TOK})::BIGINT AS doc_len "
                    f"FROM documents ORDER BY doc_id",
         "token_count": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens "

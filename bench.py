@@ -93,6 +93,16 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
             1000 * timings["bm25_top10_batch5"] / len(qset), 2)
         extras["query_latency_ms"] = round(
             1000 * timings["bm25_top10"] / len(qset), 2)
+        # filtered retrieval (Lucene filter-clause shape): allow-list =
+        # docs with n_chars >= 300 (~half the corpus), resolved per query
+        # — measures the full filter path (docmap semi-join + pseg
+        # routing + masked scoring), not a cached id set
+        with timed("bm25_filtered_top10"):
+            for q in qset:
+                idx.topk(q, k=10, filter_ids=docs.filter(
+                    F.col("n_chars") >= 300).select("doc_id"))
+        extras["filtered_query_latency_ms"] = round(
+            1000 * timings["bm25_filtered_top10"] / len(qset), 2)
         # warm path: preloaded term cache (the reference's mmap-residency
         # analogue) — no Spark dispatch per query
         idx.preload()

@@ -23,6 +23,7 @@ Two execution paths:
 from __future__ import annotations
 
 import math
+import re
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -66,6 +67,18 @@ def _mask_deleted(ids: np.ndarray, deleted: Optional[np.ndarray]
     return ids[codec.tombstone_keep_mask(ids, deleted)]
 
 
+def _allowed_mask(ids: np.ndarray, allowed: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask: ids present in the SORTED allowed array (the
+    filter-bitset mirror of the tombstone mask — keep members instead of
+    dropping them)."""
+    if ids.size == 0:
+        return np.zeros(0, dtype=bool)
+    pos = np.searchsorted(allowed, ids)
+    ok = pos < allowed.size
+    ok[ok] = allowed[pos[ok]] == ids[ok]
+    return ok
+
+
 def _streams_for_ids(r: dict, ids: np.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a packed row's (docs, tfs, dls) for the blocks containing
@@ -104,7 +117,9 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
                        n_query_terms: int, k: int, mode: str,
                        use_blockmax, avgdl: float,
                        bound_scale: float = 1.0,
-                       deleted: Optional[np.ndarray] = None
+                       deleted: Optional[np.ndarray] = None,
+                       allowed: Optional[np.ndarray] = None,
+                       min_match: int = 1
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Score one segment's packed posting rows. Module-level (no engine
     state) so the distributed applyInPandas path serializes only plain
@@ -115,8 +130,32 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
     or a tie boundary). Segments carrying live tombstones score on the
     exhaustive vectorized path — block-max pruning bounds include the
     deleted docs' partials, so its heap could fill with ghosts;
-    compaction applies the deletes and restores pruning."""
+    compaction applies the deletes and restores pruning.
+
+    allowed: SORTED doc_ids of THIS segment's slice of a filter
+    allow-list (filtered search, the Lucene filter-query shape). Same
+    pre-truncation discipline as deleted, opposite polarity: only members
+    survive. Lucene-identical scoring semantics — the filter restricts
+    candidates but idf/avgdl/n_docs stay corpus-wide, so a surviving
+    doc's score is unchanged. Block-max pruning is disabled for the same
+    ghost-heap reason as deletes (zone bounds include excluded docs);
+    None means unfiltered, an EMPTY array means nothing in this segment
+    qualifies.
+
+    min_match (Lucene minimumNumberShouldMatch, mode='or' only): keep
+    docs matched by at least that many distinct query terms. Scores of
+    survivors are unchanged (every matched term still contributes).
+    Block-max pruning is disabled — its bounds admit docs the msm
+    constraint rejects, so the pruned heap could fill with them."""
     zb = None
+    if allowed is not None:
+        if allowed.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        use_blockmax = False
+    if min_match > 1 and mode != "and":
+        if len(rows) < min_match:  # can't reach m distinct terms here
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        use_blockmax = False
     if deleted is not None and deleted.size:
         use_blockmax = False
     if use_blockmax == "auto":
@@ -140,6 +179,8 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
         if len(rows) < n_query_terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ids = _mask_deleted(I.intersect_packed(rows), deleted)
+        if allowed is not None and ids.size:
+            ids = ids[_allowed_mask(ids, allowed)]
         if ids.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         scores = np.zeros(ids.size, dtype=np.float64)
@@ -168,11 +209,15 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
             # (except the documented pre-compaction idf/avgdl semantics)
             keep = codec.tombstone_keep_mask(docs, deleted)
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if allowed is not None:
+            keep = _allowed_mask(docs, allowed)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         doc_l.append(docs)
         tf_l.append(tfs)
         dl_l.append(dls)
         idf_l.append(idfs[r["term"]])
-    docs, scores = W.score_disjunctive(doc_l, tf_l, dl_l, idf_l, avgdl)
+    docs, scores = W.score_disjunctive(doc_l, tf_l, dl_l, idf_l, avgdl,
+                                       min_match=min_match)
     return _truncate_topk(docs, scores, k)
 
 
@@ -363,6 +408,67 @@ class SearchIndex:
         dels = deletes_df(self.spark, self.cat, files).select("doc_id")
         return self._docmap.join(dels, "doc_id", "left_anti")
 
+    # ------------------------------------------------------ filter lists --
+    def _routed_filter_df(self, filter_ids=None,
+                          filter_sql: Optional[str] = None) -> DataFrame:
+        """Resolve a search filter into (seg, doc_id) rows keyed by the
+        POSTING segment that holds each doc — the same pseg routing the
+        delete files use (snapshot pseg_of, identity until a compaction
+        diverges doc segments from posting segments), so the distributed
+        path can cogroup the allow-list per segment instead of
+        broadcasting a global id set (the 10^12-doc shape: an allow-list
+        produced by a quality/dedup pass can be billions of rows).
+
+        filter_sql: a SQL predicate over docmap columns
+        (doc_id, url, doc_len, seg) — ONE pruned docmap scan.
+        filter_ids: a DataFrame with a doc_id column (e.g. the output of a
+        quality pass) or a plain iterable of ints; semi-joined against the
+        LIVE docmap, which validates ids, dedupes, and attributes dseg.
+        Tombstoned docs can never re-enter through a filter."""
+        base = self.docmap_df(live=True)
+        if filter_sql is not None:
+            rows = base.filter(filter_sql).select("doc_id", "seg")
+        else:
+            if not isinstance(filter_ids, DataFrame):
+                ids_df = self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": np.asarray(
+                        list(filter_ids), dtype=np.int64)}),
+                    "doc_id long")
+            else:
+                ids_df = filter_ids.select("doc_id")
+            rows = (base.join(ids_df, "doc_id", "left_semi")
+                    .select("doc_id", "seg"))
+        pseg_of = {int(k): int(v) for k, v in
+                   (self.stats.get("pseg_of") or {}).items()}
+        if pseg_of:
+            mapping = F.create_map(*[x for k, v in pseg_of.items()
+                                     for x in (F.lit(k), F.lit(v))])
+            seg = F.coalesce(mapping[F.col("seg")], F.col("seg"))
+        else:
+            seg = F.col("seg")
+        return rows.select(seg.cast("long").alias("seg"), "doc_id")
+
+    def _filter_by_seg(self, filter_ids=None,
+                       filter_sql: Optional[str] = None
+                       ) -> Dict[int, np.ndarray]:
+        """Driver-path shape of the filter: posting segment → sorted
+        unique allowed doc_ids (the allow-list mirror of
+        _deleted_by_seg). Collects the filtered id set — fine for the
+        interactive path; the distributed path cogroups instead."""
+        pdf = (self._routed_filter_df(filter_ids, filter_sql)
+               .toPandas())
+        return {int(seg): np.unique(grp["doc_id"].to_numpy(np.int64))
+                for seg, grp in pdf.groupby("seg")}
+
+    def _filter_flat(self, filter_ids=None,
+                     filter_sql: Optional[str] = None) -> np.ndarray:
+        """Flat driver-path shape: one sorted unique allowed array (the
+        boolean paths mask once at the end, so per-segment slices buy
+        nothing there)."""
+        pdf = (self._routed_filter_df(filter_ids, filter_sql)
+               .select("doc_id").toPandas())
+        return np.unique(pdf["doc_id"].to_numpy(np.int64))
+
     # ------------------------------------------------------------ scan ----
     def postings_df(self, terms: List[str]) -> DataFrame:
         """Pruned scan: partition pruning on tb + predicate pushdown on
@@ -412,13 +518,17 @@ class SearchIndex:
         return dfs
 
     # ------------------------------------------------------- boolean AND --
-    def search_and_ids(self, query: str, distributed: bool = False
+    def search_and_ids(self, query: str, distributed: bool = False,
+                       filter_ids=None, filter_sql: Optional[str] = None
                        ) -> np.ndarray:
         terms = query_terms(query)
         if not terms:
             return np.empty(0, dtype=np.int64)
+        has_filter = filter_ids is not None or filter_sql is not None
         if distributed:
-            return self._search_and_ids_dist(terms)
+            return self._search_and_ids_dist(
+                terms, filter_df=(self._routed_filter_df(
+                    filter_ids, filter_sql) if has_filter else None))
         fetched = self._fetch(terms)
         dfs = self.global_dfs(fetched, terms)
         if any(dfs[t] == 0 for t in terms):  # P4 short-circuit
@@ -431,16 +541,33 @@ class SearchIndex:
         if not parts:
             return np.empty(0, dtype=np.int64)
         # segments are disjoint ascending ranges
-        return _mask_deleted(np.concatenate(parts), self._deleted())
+        ids = _mask_deleted(np.concatenate(parts), self._deleted())
+        return self._apply_flat_filter(ids, filter_ids, filter_sql,
+                                       has_filter)
 
-    def search_or_ids(self, query: str, distributed: bool = False
+    def _apply_flat_filter(self, ids: np.ndarray, filter_ids, filter_sql,
+                           has_filter: bool) -> np.ndarray:
+        """Tail step of the driver-side boolean paths: keep only
+        allow-list members (one sorted mask over the already-merged ids —
+        boolean results are flat, unlike the per-segment scoring paths)."""
+        if not has_filter or ids.size == 0:
+            return ids
+        allowed = self._filter_flat(filter_ids, filter_sql)
+        return ids[_allowed_mask(ids, allowed)]
+
+    def search_or_ids(self, query: str, distributed: bool = False,
+                      filter_ids=None, filter_sql: Optional[str] = None
                       ) -> np.ndarray:
         terms = query_terms(query)
         if not terms:
             return np.empty(0, dtype=np.int64)
+        has_filter = filter_ids is not None or filter_sql is not None
         if distributed:
-            return self._search_or_ids_dist(terms)
-        return self._or_ids_local(terms)
+            return self._search_or_ids_dist(
+                terms, filter_df=(self._routed_filter_df(
+                    filter_ids, filter_sql) if has_filter else None))
+        return self._apply_flat_filter(self._or_ids_local(terms),
+                                       filter_ids, filter_sql, has_filter)
 
     def _or_ids_local(self, terms: List[str]) -> np.ndarray:
         fetched = self._fetch(terms)
@@ -451,6 +578,57 @@ class SearchIndex:
         if not parts:
             return np.empty(0, dtype=np.int64)
         return _mask_deleted(np.concatenate(parts), self._deleted())
+
+    # --------------------------------------------- minimum-should-match --
+    def search_min_match_ids(self, query: str, min_match: int,
+                             distributed: bool = False,
+                             filter_ids=None,
+                             filter_sql: Optional[str] = None
+                             ) -> np.ndarray:
+        """Docs matching at least `min_match` DISTINCT query terms
+        (Lucene BooleanQuery minimumNumberShouldMatch), ascending docID.
+        min_match=1 is OR, min_match=len(terms) is AND — the in-between
+        is the "2 of these 5 keywords" recall/precision dial. Union
+        shape: a dead term never short-circuits, it just can't count.
+        Both paths count per segment (segments partition the docID space,
+        so per-segment multiplicities ARE the global matched-term
+        counts); the distributed kernel ships only matching ids."""
+        terms = list(dict.fromkeys(query_terms(query)))
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        m = max(1, int(min_match))
+        if m > len(terms):
+            return np.empty(0, dtype=np.int64)
+        has_filter = filter_ids is not None or filter_sql is not None
+        if distributed:
+            out = (self._matching_ids_dist(
+                terms, "min", min_match=m,
+                filter_df=(self._routed_filter_df(filter_ids, filter_sql)
+                           if has_filter else None))
+                .orderBy("doc_id").toPandas())
+            return out["doc_id"].to_numpy(np.int64)
+        fetched = self._fetch(terms)
+        parts = []
+        for seg, rows in sorted(self._rows_by_seg(fetched).items()):
+            parts.append(I.min_match_sorted(
+                [codec.unpack_docs(r["docs"], int(r["df"]))
+                 for r in rows], m))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        ids = _mask_deleted(np.concatenate(parts), self._deleted())
+        return self._apply_flat_filter(ids, filter_ids, filter_sql,
+                                       has_filter)
+
+    def count_min_match(self, query: str, min_match: int,
+                        distributed: bool = False) -> int:
+        return int(self.search_min_match_ids(
+            query, min_match, distributed=distributed).size)
+
+    def search_min_match(self, query: str, min_match: int,
+                         distributed: bool = False) -> List[str]:
+        """Min-should-match query → doc names (urls), ascending docID."""
+        return self._urls_for_ids(self.search_min_match_ids(
+            query, min_match, distributed=distributed))
 
     # ---------------------------------------------------- boolean NOT ----
     def search_and_not_ids(self, query: str, exclude: str,
@@ -533,9 +711,17 @@ class SearchIndex:
         p = prefix.strip().lower()
         if not p or ASCII_TOKEN.fullmatch(p) is None:
             return []
+        return self._expand_terms(F.col("term").startswith(p),
+                                  lambda s: s.str.startswith(p), max_terms)
+
+    def _expand_terms(self, cond, pd_mask, max_terms: Optional[int]
+                      ) -> List[str]:
+        """Shared dictionary-expansion tail (prefix/wildcard): aggregate
+        global df per matching term; with max_terms, keep the highest-df
+        terms (ties by term) — Lucene's maxExpansions. A fully-preloaded
+        index expands driver-side with no Spark job."""
         if self._cache_complete and self._cache_pdf is not None:
-            sub = self._cache_pdf[
-                self._cache_pdf["term"].str.startswith(p)]
+            sub = self._cache_pdf[pd_mask(self._cache_pdf["term"])]
             agg = sub.groupby("term", sort=False)["df"].sum()
             if max_terms is None:
                 return sorted(agg.index)
@@ -545,13 +731,64 @@ class SearchIndex:
                                   kind="stable")
             return list(agg["term"].head(max_terms))
         agg = (self._postings
-               .filter(F.col("term").startswith(p))
+               .filter(cond)
                .groupBy("term").agg(F.sum("df").alias("df")))
         if max_terms is None:
             return sorted(r["term"]
                           for r in agg.select("term").collect())
         agg = agg.orderBy(F.desc("df"), F.asc("term")).limit(max_terms)
         return [r["term"] for r in agg.select("term").collect()]
+
+    # ---------------------------------------------------------- wildcard --
+    _WILDCARD_OK = re.compile(r"[a-z0-9*?]+")
+
+    def expand_wildcard(self, pattern: str,
+                        max_terms: Optional[int] = None) -> List[str]:
+        """Dictionary terms matching a Lucene-style wildcard pattern over
+        the reference token alphabet: `*` = any run of [a-z0-9] (incl.
+        empty), `?` = exactly one. A pattern with no wildcard degenerates
+        to an existence probe for the exact term. max_terms keeps the
+        highest-global-df expansions (ties by term), like expand_prefix.
+
+        Scale: the literal prefix before the first wildcard is pushed as
+        a StartsWith filter — postings files are term-sorted, so parquet
+        min/max stats skip row groups; a leading-wildcard pattern scans
+        the whole dictionary (the documented Lucene cost cliff) but still
+        reads only (term, df) columns."""
+        p = pattern.strip().lower()
+        if not p or self._WILDCARD_OK.fullmatch(p) is None:
+            return []
+        rx = "".join("[a-z0-9]*" if ch == "*" else
+                     ("[a-z0-9]" if ch == "?" else ch) for ch in p)
+        lit = re.match(r"[a-z0-9]*", p).group(0)
+        cond = F.col("term").rlike(f"^{rx}$")
+        if lit:
+            cond = F.col("term").startswith(lit) & cond
+        return self._expand_terms(cond, lambda s: s.str.fullmatch(rx),
+                                  max_terms)
+
+    def search_wildcard_ids(self, pattern: str, distributed: bool = False,
+                            max_terms: Optional[int] = None) -> np.ndarray:
+        """Docs containing ANY term matching the wildcard pattern
+        (ascending docID): dictionary expansion + the OR machinery, same
+        as prefix queries."""
+        terms = self.expand_wildcard(pattern, max_terms=max_terms)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if distributed:
+            return self._search_or_ids_dist(terms)
+        return self._or_ids_local(terms)
+
+    def count_wildcard(self, pattern: str, distributed: bool = False,
+                       max_terms: Optional[int] = None) -> int:
+        return int(self.search_wildcard_ids(
+            pattern, distributed=distributed, max_terms=max_terms).size)
+
+    def search_wildcard(self, pattern: str, distributed: bool = False,
+                        max_terms: Optional[int] = None) -> List[str]:
+        """Wildcard query → doc names (urls), ascending docID order."""
+        return self._urls_for_ids(self.search_wildcard_ids(
+            pattern, distributed=distributed, max_terms=max_terms))
 
     def search_prefix_ids(self, prefix: str, distributed: bool = False,
                           max_terms: Optional[int] = None) -> np.ndarray:
@@ -577,10 +814,16 @@ class SearchIndex:
         return self._urls_for_ids(self.search_prefix_ids(
             prefix, distributed=distributed, max_terms=max_terms))
 
-    def count(self, query: str, distributed: bool = False) -> int:
+    def count(self, query: str, distributed: bool = False,
+              filter_ids=None, filter_sql: Optional[str] = None) -> int:
+        has_filter = filter_ids is not None or filter_sql is not None
         if distributed:
-            return self._count_and_dist(query_terms(query))
-        return int(self.search_and_ids(query).size)
+            return self._count_and_dist(
+                query_terms(query),
+                filter_df=(self._routed_filter_df(filter_ids, filter_sql)
+                           if has_filter else None))
+        return int(self.search_and_ids(query, filter_ids=filter_ids,
+                                       filter_sql=filter_sql).size)
 
     def search(self, query: str, distributed: bool = False) -> List[str]:
         """AND query → doc names (urls), ascending docID order
@@ -835,20 +1078,44 @@ class SearchIndex:
         return {t: bm25_idf(self.n_docs, d) for t, d in dfs.items() if d > 0}
 
     def topk(self, query: str, k: int = 10, mode: str = "or",
-             use_blockmax="auto", distributed: bool = False
-             ) -> List[Tuple[int, float]]:
+             use_blockmax="auto", distributed: bool = False,
+             filter_ids=None, filter_sql: Optional[str] = None,
+             min_match: int = 1) -> List[Tuple[int, float]]:
         """BM25 top-k: (doc_id, score) by score desc, doc_id asc.
-        mode='or' (disjunctive, default) or 'and' (all terms required)."""
+        mode='or' (disjunctive, default) or 'and' (all terms required).
+
+        filter_ids / filter_sql (filtered search, the Lucene filter-query
+        shape every production engine needs — "rank only docs that passed
+        the quality pass"): restrict results to an allow-list, given as a
+        doc_id DataFrame/iterable or a SQL predicate over the docmap.
+        Scores of surviving docs are UNCHANGED (idf/avgdl stay
+        corpus-wide); the filter is applied before per-segment top-k
+        truncation, so docs below the unfiltered top-k surface correctly
+        (this is not post-filtering).
+
+        min_match (mode='or'): Lucene minimumNumberShouldMatch — rank
+        only docs matching at least that many distinct query terms;
+        survivors keep their full disjunctive scores. min_match=1 is
+        plain OR; min_match=len(terms) ranks exactly the AND set but
+        (unlike mode='and') never short-circuits on a dead term."""
         terms = query_terms(query)
         if not terms or k <= 0:
             return []
+        has_filter = filter_ids is not None or filter_sql is not None
         if distributed:
-            return self._topk_dist(terms, k, mode, use_blockmax)
+            return self._topk_many(
+                [terms], k, mode, use_blockmax,
+                filter_df=(self._routed_filter_df(filter_ids, filter_sql)
+                           if has_filter else None),
+                min_match=min_match)[0]
         fetched = self._fetch(terms)
         dfs = self.global_dfs(fetched, terms)
         if mode == "and" and any(dfs[t] == 0 for t in terms):
             return []
         idfs = self._idfs(dfs)
+        flt = (self._filter_by_seg(filter_ids, filter_sql) if has_filter
+               else None)
+        _no_allow = np.empty(0, dtype=np.int64)
         # tombstones keyed by posting segment (exact attribution via the
         # delete files' own pseg routing): clean segments get deleted=None
         # and KEEP block-max pruning — one stale doc in segment 0 must not
@@ -856,17 +1123,29 @@ class SearchIndex:
         # a heavily-deleted segment that carries none of the query's terms
         by_seg = self._deleted_by_seg()
         seg_rows = sorted(self._rows_by_seg(fetched).items())
+        # score accumulation in QUERY-TERM order (the distributed kernel's
+        # order) — the scan/cache can surface rows in any order, and float
+        # summation order must not vary run-to-run or local-vs-distributed
+        # (1-ULP skew flips knife-edge rank ties)
+        torder = {t: i for i, t in enumerate(terms)}
         parts: List[Tuple[np.ndarray, np.ndarray]] = []
         for seg, rows in seg_rows:
+            rows = sorted(rows, key=lambda r: torder[r["term"]])
             d = by_seg.get(int(seg)) if by_seg else None
+            # a segment absent from the allow-list map has NO allowed
+            # docs — empty array (skip), which is not None (unfiltered)
+            a = flt.get(int(seg), _no_allow) if flt is not None else None
             parts.append(score_segment_rows(rows, idfs, len(terms), k, mode,
                                             use_blockmax, self.avgdl,
                                             self._bound_scale(seg),
-                                            deleted=d))
+                                            deleted=d, allowed=a,
+                                            min_match=min_match))
         return W.topk_merge(parts, k)
 
     def topk_batch(self, queries: List[str], k: int = 10, mode: str = "or",
-                   use_blockmax="auto") -> List[List[Tuple[int, float]]]:
+                   use_blockmax="auto", filter_ids=None,
+                   filter_sql: Optional[str] = None, min_match: int = 1
+                   ) -> List[List[Tuple[int, float]]]:
         """BM25 top-k for MANY queries in ONE distributed job (the text
         analogue of AnnIndex.topk_batch): one pruned postings scan over the
         union of all query terms, one per-segment applyInPandas pass that
@@ -874,15 +1153,26 @@ class SearchIndex:
         truncation per query), qid-tagged partials merged on the driver.
         Amortizes the per-job dispatch that dominates single-query latency
         — a 100-TB pipeline evaluates query workloads, not single queries.
-        Returns one (doc_id, score) list per input query, aligned."""
-        return self._topk_many([query_terms(q) for q in queries], k, mode,
-                               use_blockmax)
+        Returns one (doc_id, score) list per input query, aligned.
+        filter_ids/filter_sql: one allow-list applied to every query in
+        the batch (see topk) — the "evaluate a workload against a corpus
+        slice" shape."""
+        has_filter = filter_ids is not None or filter_sql is not None
+        return self._topk_many(
+            [query_terms(q) for q in queries], k, mode, use_blockmax,
+            filter_df=(self._routed_filter_df(filter_ids, filter_sql)
+                       if has_filter else None), min_match=min_match)
 
     def _topk_many(self, per_q: List[List[str]], k: int, mode: str,
-                   use_blockmax) -> List[List[Tuple[int, float]]]:
+                   use_blockmax, filter_df: Optional[DataFrame] = None,
+                   min_match: int = 1
+                   ) -> List[List[Tuple[int, float]]]:
         """Shared distributed scoring core: _topk_dist is the 1-query
         case, topk_batch the N-query case — ONE implementation so the
-        two can never diverge (rank identity is test-enforced)."""
+        two can never diverge (rank identity is test-enforced).
+        filter_df: pseg-routed (seg, doc_id) allow-list rows
+        (_routed_filter_df); cogrouped per segment alongside the
+        tombstones — never broadcast."""
         results: List[List[Tuple[int, float]]] = [[] for _ in per_q]
         all_terms = list(dict.fromkeys(t for ts in per_q for t in ts))
         if not all_terms or k <= 0:
@@ -896,20 +1186,34 @@ class SearchIndex:
             live = [t for t in ts if dfs[t] > 0]
             if not live or (mode == "and" and len(live) < len(ts)):
                 continue
+            if mode != "and" and len(live) < min_match:
+                continue  # msm unreachable: fewer live terms than required
             active.append((qi, live if mode == "or" else ts, len(ts)))
         if not active:
             return results
         needed = list(dict.fromkeys(t for _, ts, _ in active for t in ts))
         avgdl, kk, md, ubm = self.avgdl, k, mode, use_blockmax
         scales = {int(s): self._bound_scale(s) for s in self.pack_avgdl}
+        has_filter = filter_df is not None
 
         def run(key, pdf: pd.DataFrame,
                 ddf: Optional[pd.DataFrame] = None) -> pd.DataFrame:
             by_term: Dict[str, dict] = {}
             for r in pdf.to_dict("records"):
                 by_term[r["term"]] = r  # one row per (term, seg)
-            deleted = (np.unique(ddf["doc_id"].to_numpy(np.int64))
-                       if ddf is not None and len(ddf) else None)
+            deleted = allowed = None
+            if ddf is not None and len(ddf):
+                # aux rows: kind 0 = tombstone, kind 1 = allow-list member
+                dd = ddf.loc[ddf["kind"] == 0, "doc_id"]
+                if len(dd):
+                    deleted = np.unique(dd.to_numpy(np.int64))
+                if has_filter:
+                    aa = ddf.loc[ddf["kind"] == 1, "doc_id"]
+                    allowed = np.unique(aa.to_numpy(np.int64))
+            if has_filter and allowed is None:
+                # filter active but this segment got no allow rows →
+                # nothing here qualifies (empty ≠ None/unfiltered)
+                allowed = np.empty(0, dtype=np.int64)
             scale = scales.get(int(key[0]), 1.0)
             q_l, d_l, s_l = [], [], []
             for qi, ts, uniq in active:
@@ -917,7 +1221,9 @@ class SearchIndex:
                 if not rows:
                     continue
                 d, s = score_segment_rows(rows, idfs, uniq, kk, md, ubm,
-                                          avgdl, scale, deleted=deleted)
+                                          avgdl, scale, deleted=deleted,
+                                          allowed=allowed,
+                                          min_match=min_match)
                 q_l.append(np.full(d.size, qi, dtype=np.int64))
                 d_l.append(d)
                 s_l.append(s)
@@ -931,12 +1237,12 @@ class SearchIndex:
 
         grouped = self.postings_df(needed).select(*QUERY_COLS).groupBy("seg")
         schema = "qid long, doc_id long, score double"
-        if not self.delete_files:
+        if not self.delete_files and not has_filter:
             scored = grouped.applyInPandas(
                 lambda key, pdf: run(key, pdf, None), schema)
         else:
             scored = grouped.cogroup(
-                self._seg_deletes_grouped()).applyInPandas(run, schema)
+                self._seg_aux_grouped(filter_df)).applyInPandas(run, schema)
         out = scored.toPandas()  # ≤ segments × k rows per query
         for qi, grp in out.groupby("qid"):
             results[int(qi)] = W.topk_merge(
@@ -970,17 +1276,47 @@ class SearchIndex:
                 .select(F.col("pseg").alias("seg"), "doc_id")
                 .groupBy("seg"))
 
+    def _seg_aux_grouped(self, filter_df: Optional[DataFrame] = None):
+        """Tombstones (kind=0) and filter allow-list rows (kind=1) unioned
+        into ONE per-posting-segment grouped frame — cogroup takes a
+        single right side, and the scoring kernel needs both masks. Either
+        part may be absent; at least one caller-side condition (pending
+        deletes or an active filter) guarantees the union is non-empty
+        schema-wise."""
+        parts = []
+        if self.delete_files:
+            psegs = [int(s) for s in self.snapshot.get(
+                "posting_segments", self.snapshot["segments"])]
+            parts.append(self._pending_deletes_df()
+                         .filter(F.col("pseg").isin(psegs))
+                         .select(F.col("pseg").alias("seg"), "doc_id",
+                                 F.lit(0).alias("kind")))
+        if filter_df is not None:
+            parts.append(filter_df.select(
+                "seg", "doc_id", F.lit(1).alias("kind")))
+        aux = parts[0]
+        for p in parts[1:]:
+            aux = aux.unionByName(p)
+        return aux.groupBy("seg")
+
     def _matching_ids_dist(self, terms: List[str], mode: str,
-                           exclude: Optional[List[str]] = None) -> DataFrame:
+                           exclude: Optional[List[str]] = None,
+                           filter_df: Optional[DataFrame] = None,
+                           min_match: int = 1) -> DataFrame:
         """Per-segment boolean kernel as a DataFrame of matching doc_ids —
         the building block every distributed path (and the scalable
         search_df surface) shares; nothing is collected here. Pending
         tombstones are masked inside the kernel via cogroup. `exclude`
         terms ride the SAME pruned scan; their per-segment union is
         subtracted from the matches with the sorted-mask kernel (AND-NOT
-        never materializes the exclusion set globally)."""
+        never materializes the exclusion set globally). `filter_df`:
+        pseg-routed (seg, doc_id) allow-list rows — cogrouped alongside
+        the tombstones, never broadcast. mode="min": docs matching at
+        least `min_match` distinct terms (Lucene msm; union shape, so no
+        missing-term short-circuit)."""
         exc_set = set(exclude or ())
         n_terms = len(set(terms))
+        has_filter = filter_df is not None
 
         def match(pdf: pd.DataFrame, ddf: Optional[pd.DataFrame]
                   ) -> pd.DataFrame:
@@ -992,6 +1328,10 @@ class SearchIndex:
                     return pd.DataFrame(
                         {"doc_id": pd.Series([], dtype="int64")})
                 ids = I.intersect_packed(rows)
+            elif mode == "min":
+                ids = I.min_match_sorted(
+                    [codec.unpack_docs(r["docs"], int(r["df"]))
+                     for r in rows], min_match)
             else:
                 ids = I.union_sorted(
                     [codec.unpack_docs(r["docs"], int(r["df"]))
@@ -1001,21 +1341,36 @@ class SearchIndex:
                     [codec.unpack_docs(r["docs"], int(r["df"]))
                      for r in exc_rows])
                 ids = _mask_deleted(ids, excl)
+            allowed = None
             if ddf is not None and len(ddf):
-                ids = _mask_deleted(
-                    ids, np.unique(ddf["doc_id"].to_numpy(np.int64)))
+                # aux rows: kind 0 = tombstone, kind 1 = allow-list member
+                dd = ddf.loc[ddf["kind"] == 0, "doc_id"]
+                if len(dd):
+                    ids = _mask_deleted(
+                        ids, np.unique(dd.to_numpy(np.int64)))
+                if has_filter:
+                    aa = ddf.loc[ddf["kind"] == 1, "doc_id"]
+                    allowed = np.unique(aa.to_numpy(np.int64))
+            if has_filter and ids.size:
+                # no allow rows for this segment → nothing here passes
+                if allowed is None:
+                    allowed = np.empty(0, dtype=np.int64)
+                ids = ids[_allowed_mask(ids, allowed)]
             return pd.DataFrame({"doc_id": ids})
 
         scan_terms = list(terms) + [t for t in exc_set if t not in terms]
         grouped = self.postings_df(scan_terms).select(*QUERY_COLS).groupBy("seg")
-        if not self.delete_files:
+        if not self.delete_files and not has_filter:
             return grouped.applyInPandas(
                 lambda key, pdf: match(pdf, None), "doc_id long")
-        return grouped.cogroup(self._seg_deletes_grouped()).applyInPandas(
+        return grouped.cogroup(
+            self._seg_aux_grouped(filter_df)).applyInPandas(
             lambda key, pdf, ddf: match(pdf, ddf), "doc_id long")
 
     def search_df(self, query: str, mode: str = "and",
-                  slop: int = 0, exclude: str = "") -> DataFrame:
+                  slop: int = 0, exclude: str = "",
+                  filter_ids=None, filter_sql: Optional[str] = None,
+                  min_match: int = 1) -> DataFrame:
         """The 10^12-doc search surface: matching (doc_id, url) as a LAZY
         DataFrame — per-segment kernels produce ids, a join against the
         docmap resolves names, and NOTHING reaches the driver; sink with
@@ -1024,11 +1379,21 @@ class SearchIndex:
         "near" (prefix: `query` is a single term prefix, expanded against
         the dictionary then unioned like "or"; near: ordered proximity
         within `slop`, see search_near_ids). `exclude` (and/or modes):
-        NOT terms, subtracted per segment inside the kernel."""
+        NOT terms, subtracted per segment inside the kernel.
+        filter_ids/filter_sql (and/or/prefix/wildcard/min modes):
+        allow-list filter, cogrouped per posting segment inside the
+        kernel — the lazy path never collects or broadcasts it (see
+        topk). mode="wildcard": `query` is one wildcard pattern (*/?),
+        expanded against the dictionary then unioned like "or".
+        mode="min": docs matching ≥ `min_match` distinct terms (Lucene
+        minimumNumberShouldMatch)."""
         kernel = None
+        has_filter = filter_ids is not None or filter_sql is not None
         exc = query_terms(exclude) if exclude else []
-        if exc and mode in ("phrase", "near"):
-            raise ValueError("exclude is supported for and/or/prefix modes")
+        if (exc or has_filter) and mode in ("phrase", "near"):
+            raise ValueError(
+                "exclude/filter are supported for and/or/prefix/"
+                "wildcard/min modes")
         if mode in ("phrase", "near"):
             if mode == "near":
                 kernel = self._near_kernel(slop)
@@ -1037,6 +1402,14 @@ class SearchIndex:
         elif mode == "prefix":
             terms = self.expand_prefix(query)
             mode = "or"
+        elif mode == "wildcard":
+            terms = self.expand_wildcard(query)
+            mode = "or"
+        elif mode == "min":
+            terms = list(dict.fromkeys(query_terms(query)))
+            min_match = max(1, int(min_match))
+            if min_match > len(terms):
+                terms = []
         else:
             terms = query_terms(query)
         empty = self.spark.createDataFrame([], "doc_id long, url string")
@@ -1048,40 +1421,50 @@ class SearchIndex:
             if any(dfs[t] == 0 for t in distinct):  # P4 short-circuit
                 return empty
         ids = (self._phrase_ids_dist_df(terms, kernel) if mode == "phrase"
-               else self._matching_ids_dist(terms, mode,
-                                            exclude=exc or None))
+               else self._matching_ids_dist(
+                   terms, mode, exclude=exc or None, min_match=min_match,
+                   filter_df=(self._routed_filter_df(filter_ids, filter_sql)
+                              if has_filter else None)))
         return ids.join(self._docmap.select("doc_id", "url"), "doc_id")
 
-    def _search_and_ids_dist(self, terms: List[str]) -> np.ndarray:
+    def _search_and_ids_dist(self, terms: List[str],
+                             filter_df: Optional[DataFrame] = None
+                             ) -> np.ndarray:
         dfs = self._global_dfs_dist(terms)
         if any(dfs[t] == 0 for t in terms):
             return np.empty(0, dtype=np.int64)
-        out = (self._matching_ids_dist(terms, "and")
+        out = (self._matching_ids_dist(terms, "and", filter_df=filter_df)
                .orderBy("doc_id").toPandas())  # Arrow path, not Row objects
         return out["doc_id"].to_numpy(np.int64)
 
-    def _search_or_ids_dist(self, terms: List[str]) -> np.ndarray:
+    def _search_or_ids_dist(self, terms: List[str],
+                            filter_df: Optional[DataFrame] = None
+                            ) -> np.ndarray:
         """Distributed OR: per-segment sorted union inside applyInPandas —
         only the segment's matching doc ids cross to the driver, never the
         raw postings of a hot term (the 10^12-doc path; the driver path
         collects all query-term postings first). Reference analogue: the
         derivable union of §2.7 (no short-circuit,
         inverted_index_skip_list.py:198-240)."""
-        out = (self._matching_ids_dist(terms, "or")
+        out = (self._matching_ids_dist(terms, "or", filter_df=filter_df)
                .orderBy("doc_id").toPandas())
         return out["doc_id"].to_numpy(np.int64)
 
-    def _count_and_dist(self, terms: List[str]) -> int:
+    def _count_and_dist(self, terms: List[str],
+                        filter_df: Optional[DataFrame] = None) -> int:
         """Distributed COUNT: per-segment intersection SIZES only — no docID
         materialization or collect of matches (the reference's count_and,
         inverted_index_skip_list.py:252-298, which counts without building
-        the result list; here additionally summed across segments)."""
+        the result list; here additionally summed across segments). An
+        active filter keeps that property: the allow-mask runs inside the
+        cogrouped kernel, sizes stay the only thing collected."""
         if not terms:
             return 0
         dfs = self._global_dfs_dist(terms)
         if any(dfs[t] == 0 for t in terms):
             return 0
         n_terms = len(set(terms))
+        has_filter = filter_df is not None
 
         def cnt(pdf: pd.DataFrame, ddf: Optional[pd.DataFrame]
                 ) -> pd.DataFrame:
@@ -1089,21 +1472,31 @@ class SearchIndex:
             if len(rows) < n_terms:
                 return pd.DataFrame({"cnt": pd.Series([0], dtype="int64")})
             ids = I.intersect_packed(rows)
+            allowed = None
             if ddf is not None and len(ddf):
-                ids = _mask_deleted(
-                    ids, np.unique(ddf["doc_id"].to_numpy(np.int64)))
+                dd = ddf.loc[ddf["kind"] == 0, "doc_id"]
+                if len(dd):
+                    ids = _mask_deleted(
+                        ids, np.unique(dd.to_numpy(np.int64)))
+                if has_filter:
+                    aa = ddf.loc[ddf["kind"] == 1, "doc_id"]
+                    allowed = np.unique(aa.to_numpy(np.int64))
+            if has_filter and ids.size:
+                if allowed is None:
+                    allowed = np.empty(0, dtype=np.int64)
+                ids = ids[_allowed_mask(ids, allowed)]
             return pd.DataFrame({"cnt": pd.Series([ids.size],
                                                   dtype="int64")})
 
         grouped = self.postings_df(terms).select(*QUERY_COLS).groupBy("seg")
-        if not self.delete_files:
+        if not self.delete_files and not has_filter:
             counted = grouped.applyInPandas(
                 lambda key, pdf: cnt(pdf, None), "cnt long")
         else:
             # per-segment sizes stay the ONLY thing collected: the
             # tombstone mask runs inside the cogrouped kernel
             counted = grouped.cogroup(
-                self._seg_deletes_grouped()).applyInPandas(
+                self._seg_aux_grouped(filter_df)).applyInPandas(
                 lambda key, pdf, ddf: cnt(pdf, ddf), "cnt long")
         out = counted.agg(F.sum("cnt").alias("total")).collect()
         return int(out[0]["total"] or 0)

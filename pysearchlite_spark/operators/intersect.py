@@ -51,6 +51,20 @@ def union_sorted(lists: Sequence[np.ndarray]) -> np.ndarray:
     return np.unique(np.concatenate(nonempty))
 
 
+def min_match_sorted(lists: Sequence[np.ndarray], m: int) -> np.ndarray:
+    """Docs present in at least `m` of the input lists, ascending (Lucene
+    minimumNumberShouldMatch over per-term postings — each list is one
+    DISTINCT term's docIDs, unique within a list, so the multiplicity in
+    the concatenation IS the matched-term count). m=1 degenerates to the
+    union, m=len(lists) to the intersection; both stay on their own
+    faster kernels at the call sites."""
+    nonempty = [a for a in lists if a.size]
+    if len(nonempty) < m:
+        return np.empty(0, dtype=np.int64)
+    docs, counts = np.unique(np.concatenate(nonempty), return_counts=True)
+    return docs[counts >= m]
+
+
 def decode_candidate_blocks(docs: bytes, doc_offs: np.ndarray,
                             first_docs: np.ndarray, df: int,
                             candidates: np.ndarray) -> np.ndarray:

@@ -29,19 +29,32 @@ from pysearchlite_spark.codec import bm25_partial
 def score_disjunctive(doc_arrays: Sequence[np.ndarray],
                       tf_arrays: Sequence[np.ndarray],
                       dl_arrays: Sequence[np.ndarray],
-                      idfs: Sequence[float], avgdl: float
+                      idfs: Sequence[float], avgdl: float,
+                      min_match: int = 1
                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact BM25 scores for the union of matching docs (one segment)."""
+    """Exact BM25 scores for the union of matching docs (one segment).
+
+    min_match (Lucene minimumNumberShouldMatch): keep only docs matched
+    by at least that many DISTINCT query terms. Each doc_array is one
+    term's postings (docIDs unique within a term), so the per-doc
+    multiplicity in the concatenation IS the matched-term count."""
     nonempty = [d for d in doc_arrays if d.size]
     if not nonempty:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    all_docs = np.unique(np.concatenate(nonempty))
+    if min_match > 1:
+        all_docs, counts = np.unique(np.concatenate(nonempty),
+                                     return_counts=True)
+    else:
+        all_docs = np.unique(np.concatenate(nonempty))
     scores = np.zeros(all_docs.size, dtype=np.float64)
     for docs, tfs, dls, idf in zip(doc_arrays, tf_arrays, dl_arrays, idfs):
         if docs.size == 0:
             continue
         idx = np.searchsorted(all_docs, docs)
         scores[idx] += idf * bm25_partial(tfs, dls, avgdl)
+    if min_match > 1:
+        keep = counts >= min_match
+        return all_docs[keep], scores[keep]
     return all_docs, scores
 
 

@@ -1,0 +1,177 @@
+"""Filtered BM25 top-k (the Lucene filter-query shape): an allow-list —
+doc_id set, DataFrame, or SQL predicate over the docmap — restricts the
+candidates while scores stay corpus-wide (idf/avgdl/n_docs unchanged).
+The reference engine has no filter surface (its top-k is the §2.6
+north-rule extension); semantics here follow Lucene's BooleanQuery FILTER
+clause: applied before top-k truncation, never post-filtering.
+
+Ground truth throughout: exhaustive unfiltered topk(k=n_docs) → keep
+allow-list members → truncate, which is the definition of filtered
+retrieval under unchanged scoring."""
+
+import random
+
+import pytest
+
+from pysearchlite_spark.engine import SearchIndex
+from pysearchlite_spark.plans.builder import build_index
+from pysearchlite_spark.plans.compaction import compact_segments
+from pysearchlite_spark.plans.deletes import delete_docs
+
+
+def _build(spark, docs, tmpdir, **kw):
+    df = spark.createDataFrame(
+        [(i, name, text) for i, (name, text) in enumerate(docs)],
+        "doc_id long, url string, text string")
+    build_index(spark, df, str(tmpdir), id_col="doc_id", url_col="url",
+                segment_docs=kw.pop("segment_docs", 64), **kw)
+    return SearchIndex(spark, str(tmpdir))
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(777)
+    vocab = [f"t{i}" for i in range(40)] + ["hello", "test", "of"]
+    return [(f"doc{i:04d}",
+             " ".join(rng.choices(vocab, k=rng.randint(2, 50))))
+            for i in range(260)]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory, corpus):
+    # segment_docs=64 → 5 segments: the allow-list must route per segment
+    return _build(spark, corpus, tmp_path_factory.mktemp("filt_idx"))
+
+
+def _expected(idx, query, k, allow, mode="or"):
+    full = idx.topk(query, k=idx.n_docs + 10, mode=mode, use_blockmax=False)
+    aset = set(allow)
+    return [(d, s) for d, s in full if d in aset][:k]
+
+
+QUERIES = ["hello test", "t1 t2 t3", "of", "t39 hello"]
+
+
+def test_filtered_matches_exhaustive_reference(idx):
+    rng = random.Random(42)
+    for q in QUERIES:
+        for mode in ("or", "and"):
+            allow = sorted(rng.sample(range(idx.n_docs), idx.n_docs // 3))
+            want = _expected(idx, q, 10, allow, mode=mode)
+            got = idx.topk(q, k=10, mode=mode, filter_ids=allow)
+            assert got == want, (q, mode)
+            # distributed path: identical ranks AND scores
+            got_d = idx.topk(q, k=10, mode=mode, filter_ids=allow,
+                             distributed=True)
+            assert got_d == want, (q, mode)
+
+
+def test_filter_is_not_post_filtering(idx):
+    """A doc OUTSIDE the unfiltered top-k must surface once the filter
+    excludes everything above it — the property post-filtering the
+    unfiltered top-k would get wrong."""
+    q = "hello test"
+    k = 5
+    full = idx.topk(q, k=idx.n_docs + 10, use_blockmax=False)
+    assert len(full) > 2 * k
+    top_unfiltered = {d for d, _ in full[:k]}
+    allow = [d for d, _ in full if d not in top_unfiltered]
+    got = idx.topk(q, k=k, filter_ids=allow)
+    assert len(got) == k
+    assert not (set(d for d, _ in got) & top_unfiltered)
+    assert got == [(d, s) for d, s in full if d not in top_unfiltered][:k]
+    # scores are unchanged by the filter (Lucene semantics): the
+    # surviving docs carry exactly their unfiltered scores
+    by_id = dict(full)
+    for d, s in got:
+        assert s == by_id[d]
+
+
+def test_filter_sql_and_dataframe_forms(idx, spark):
+    """The three filter spellings agree: iterable of ids, doc_id
+    DataFrame, SQL predicate over the docmap."""
+    q = "t1 t2 t3"
+    allow = [d for d in range(idx.n_docs) if d % 3 == 0]
+    want = _expected(idx, q, 10, allow)
+    assert idx.topk(q, k=10, filter_ids=allow) == want
+    ids_df = spark.createDataFrame([(d,) for d in allow], "doc_id long")
+    assert idx.topk(q, k=10, filter_ids=ids_df) == want
+    assert idx.topk(q, k=10, filter_sql="doc_id % 3 = 0") == want
+    # predicate over a non-id docmap column (doc_len)
+    lens = {r["doc_id"]: r["doc_len"]
+            for r in idx.docmap_df().select("doc_id", "doc_len").collect()}
+    long_docs = [d for d, n in lens.items() if n >= 25]
+    assert (idx.topk(q, k=10, filter_sql="doc_len >= 25")
+            == _expected(idx, q, 10, long_docs))
+
+
+def test_filter_edge_cases(idx):
+    q = "hello test"
+    assert idx.topk(q, k=10, filter_ids=[]) == []
+    assert idx.topk(q, k=10, filter_ids=[], distributed=True) == []
+    # unknown ids are ignored (validated against the live docmap)
+    ghost = [idx.n_docs + 1000, idx.n_docs + 2000]
+    assert idx.topk(q, k=10, filter_ids=ghost) == []
+    one = [d for d, _ in idx.topk(q, k=3)][-1]
+    got = idx.topk(q, k=10, filter_ids=[one, ghost[0]])
+    assert [d for d, _ in got] == [one]
+    # allow-everything == unfiltered (including blockmax-auto parity:
+    # the filtered path forces exhaustive scoring, ranks must not move)
+    assert (idx.topk(q, k=10, filter_ids=range(idx.n_docs))
+            == idx.topk(q, k=10))
+
+
+def test_filter_batch_shares_one_job(idx):
+    allow = [d for d in range(idx.n_docs) if d % 2 == 1]
+    got = idx.topk_batch(QUERIES, k=7, filter_ids=allow)
+    for q, res in zip(QUERIES, got):
+        assert res == _expected(idx, q, 7, allow), q
+
+
+def test_filter_respects_tombstones(spark, tmp_path_factory, corpus):
+    """An allow-list can never resurrect a deleted doc, and deletes keep
+    masking inside filtered scoring on both paths."""
+    idx = _build(spark, corpus, tmp_path_factory.mktemp("filt_del"))
+    q = "hello test"
+    full = idx.topk(q, k=idx.n_docs + 10, use_blockmax=False)
+    victims = [d for d, _ in full[:2]]
+    delete_docs(spark, idx.cat.root, victims)
+    idx = SearchIndex(spark, idx.cat.root)
+    allow = [d for d, _ in full[:20]]  # includes the victims
+    want = [(d, s) for d, s in full if d in set(allow) - set(victims)][:10]
+    assert idx.topk(q, k=10, filter_ids=allow) == want
+    assert idx.topk(q, k=10, filter_ids=allow, distributed=True) == want
+    assert idx.topk(q, k=10, filter_ids=victims) == []
+
+
+def test_filter_routing_survives_compaction(spark, tmp_path_factory, corpus):
+    """After compaction the docmap's doc segments diverge from the posting
+    segments; the allow-list must follow the snapshot's pseg_of map (the
+    same routing delete files use) or every filtered query silently drops
+    to empty."""
+    idx = _build(spark, corpus, tmp_path_factory.mktemp("filt_comp"),
+                 segment_docs=32)
+    q = "t1 t2 t3"
+    allow = [d for d in range(idx.n_docs) if d % 4 == 0]
+    want = _expected(idx, q, 10, allow)
+    assert len(want) == 10
+    compact_segments(spark, idx.cat.root, group_size=4)
+    idx2 = SearchIndex(spark, idx.cat.root)
+    assert idx2.stats.get("pseg_of")  # the divergence actually happened
+    assert idx2.topk(q, k=10, filter_ids=allow) == want
+    assert idx2.topk(q, k=10, filter_ids=allow, distributed=True) == want
+
+
+def test_filtered_search_count_ids(idx):
+    """Boolean surfaces accept the same filter (AND ids restricted to the
+    allow-list)."""
+    q = "t1 t2"
+    ids = idx.search_and_ids(q)
+    assert ids.size > 4
+    allow = ids[::2].tolist()
+    got = idx.search_and_ids(q, filter_ids=allow)
+    assert got.tolist() == sorted(allow)
+    got_d = idx.search_and_ids(q, distributed=True, filter_ids=allow)
+    assert got_d.tolist() == sorted(allow)
+    assert idx.count(q, filter_ids=allow) == len(allow)
+    assert idx.count(q, distributed=True, filter_ids=allow) == len(allow)
