@@ -79,6 +79,28 @@ def _allowed_mask(ids: np.ndarray, allowed: np.ndarray) -> np.ndarray:
     return ok
 
 
+def _split_aux(ddf: Optional[pd.DataFrame], has_filter: bool
+               ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Parse one segment's cogrouped aux rows (_seg_aux_grouped) into the
+    two kernel masks: (deleted, allowed), each sorted unique or None.
+    kind 0 = tombstone, kind 1 = allow-list member. With a filter active,
+    NO allow rows means nothing in this segment qualifies — allowed comes
+    back as an EMPTY array, which is not None/unfiltered. ONE parser for
+    every cogrouped kernel (scoring, boolean match, count) so the aux-row
+    contract can never drift between them."""
+    deleted = allowed = None
+    if ddf is not None and len(ddf):
+        dd = ddf.loc[ddf["kind"] == 0, "doc_id"]
+        if len(dd):
+            deleted = np.unique(dd.to_numpy(np.int64))
+        if has_filter:
+            aa = ddf.loc[ddf["kind"] == 1, "doc_id"]
+            allowed = np.unique(aa.to_numpy(np.int64))
+    if has_filter and allowed is None:
+        allowed = np.empty(0, dtype=np.int64)
+    return deleted, allowed
+
+
 def _streams_for_ids(r: dict, ids: np.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a packed row's (docs, tfs, dls) for the blocks containing
@@ -425,19 +447,7 @@ class SearchIndex:
         quality pass) or a plain iterable of ints; semi-joined against the
         LIVE docmap, which validates ids, dedupes, and attributes dseg.
         Tombstoned docs can never re-enter through a filter."""
-        base = self.docmap_df(live=True)
-        if filter_sql is not None:
-            rows = base.filter(filter_sql).select("doc_id", "seg")
-        else:
-            if not isinstance(filter_ids, DataFrame):
-                ids_df = self.spark.createDataFrame(
-                    pd.DataFrame({"doc_id": np.asarray(
-                        list(filter_ids), dtype=np.int64)}),
-                    "doc_id long")
-            else:
-                ids_df = filter_ids.select("doc_id")
-            rows = (base.join(ids_df, "doc_id", "left_semi")
-                    .select("doc_id", "seg"))
+        rows = self._filter_base_df(filter_ids, filter_sql)
         pseg_of = {int(k): int(v) for k, v in
                    (self.stats.get("pseg_of") or {}).items()}
         if pseg_of:
@@ -447,6 +457,25 @@ class SearchIndex:
         else:
             seg = F.col("seg")
         return rows.select(seg.cast("long").alias("seg"), "doc_id")
+
+    def _filter_base_df(self, filter_ids=None,
+                        filter_sql: Optional[str] = None) -> DataFrame:
+        """Validated allow-list rows (doc_id, seg = docmap DOC segment,
+        pre-routing) from either filter spelling — the shared resolution
+        step; _routed_filter_df adds pseg attribution on top, the flat
+        paths take doc_id alone."""
+        base = self.docmap_df(live=True)
+        if filter_sql is not None:
+            return base.filter(filter_sql).select("doc_id", "seg")
+        if not isinstance(filter_ids, DataFrame):
+            ids_df = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": np.asarray(
+                    list(filter_ids), dtype=np.int64)}),
+                "doc_id long")
+        else:
+            ids_df = filter_ids.select("doc_id")
+        return (base.join(ids_df, "doc_id", "left_semi")
+                .select("doc_id", "seg"))
 
     def _filter_by_seg(self, filter_ids=None,
                        filter_sql: Optional[str] = None
@@ -463,9 +492,9 @@ class SearchIndex:
     def _filter_flat(self, filter_ids=None,
                      filter_sql: Optional[str] = None) -> np.ndarray:
         """Flat driver-path shape: one sorted unique allowed array (the
-        boolean paths mask once at the end, so per-segment slices buy
-        nothing there)."""
-        pdf = (self._routed_filter_df(filter_ids, filter_sql)
+        boolean paths mask once at the end, so per-segment slices — and
+        the pseg routing that keys them — buy nothing there)."""
+        pdf = (self._filter_base_df(filter_ids, filter_sql)
                .select("doc_id").toPandas())
         return np.unique(pdf["doc_id"].to_numpy(np.int64))
 
@@ -593,7 +622,7 @@ class SearchIndex:
         Both paths count per segment (segments partition the docID space,
         so per-segment multiplicities ARE the global matched-term
         counts); the distributed kernel ships only matching ids."""
-        terms = list(dict.fromkeys(query_terms(query)))
+        terms = query_terms(query)  # deduped (first occurrence wins)
         if not terms:
             return np.empty(0, dtype=np.int64)
         m = max(1, int(min_match))
@@ -620,15 +649,19 @@ class SearchIndex:
                                        has_filter)
 
     def count_min_match(self, query: str, min_match: int,
-                        distributed: bool = False) -> int:
+                        distributed: bool = False, filter_ids=None,
+                        filter_sql: Optional[str] = None) -> int:
         return int(self.search_min_match_ids(
-            query, min_match, distributed=distributed).size)
+            query, min_match, distributed=distributed,
+            filter_ids=filter_ids, filter_sql=filter_sql).size)
 
     def search_min_match(self, query: str, min_match: int,
-                         distributed: bool = False) -> List[str]:
+                         distributed: bool = False, filter_ids=None,
+                         filter_sql: Optional[str] = None) -> List[str]:
         """Min-should-match query → doc names (urls), ascending docID."""
         return self._urls_for_ids(self.search_min_match_ids(
-            query, min_match, distributed=distributed))
+            query, min_match, distributed=distributed,
+            filter_ids=filter_ids, filter_sql=filter_sql))
 
     # ---------------------------------------------------- boolean NOT ----
     def search_and_not_ids(self, query: str, exclude: str,
@@ -1098,6 +1131,9 @@ class SearchIndex:
         survivors keep their full disjunctive scores. min_match=1 is
         plain OR; min_match=len(terms) ranks exactly the AND set but
         (unlike mode='and') never short-circuits on a dead term."""
+        if min_match > 1 and mode == "and":
+            raise ValueError("min_match applies to mode='or' (mode='and' "
+                             "already requires every term)")
         terms = query_terms(query)
         if not terms or k <= 0:
             return []
@@ -1113,9 +1149,6 @@ class SearchIndex:
         if mode == "and" and any(dfs[t] == 0 for t in terms):
             return []
         idfs = self._idfs(dfs)
-        flt = (self._filter_by_seg(filter_ids, filter_sql) if has_filter
-               else None)
-        _no_allow = np.empty(0, dtype=np.int64)
         # tombstones keyed by posting segment (exact attribution via the
         # delete files' own pseg routing): clean segments get deleted=None
         # and KEEP block-max pruning — one stale doc in segment 0 must not
@@ -1123,6 +1156,12 @@ class SearchIndex:
         # a heavily-deleted segment that carries none of the query's terms
         by_seg = self._deleted_by_seg()
         seg_rows = sorted(self._rows_by_seg(fetched).items())
+        # resolve the allow-list (a Spark job: docmap semi-join + pseg
+        # routing + collect) only once we know some segment actually
+        # carries the query's terms — an all-miss query is [] for free
+        flt = (self._filter_by_seg(filter_ids, filter_sql)
+               if has_filter and seg_rows else None)
+        _no_allow = np.empty(0, dtype=np.int64)
         # score accumulation in QUERY-TERM order (the distributed kernel's
         # order) — the scan/cache can surface rows in any order, and float
         # summation order must not vary run-to-run or local-vs-distributed
@@ -1157,6 +1196,9 @@ class SearchIndex:
         filter_ids/filter_sql: one allow-list applied to every query in
         the batch (see topk) — the "evaluate a workload against a corpus
         slice" shape."""
+        if min_match > 1 and mode == "and":
+            raise ValueError("min_match applies to mode='or' (mode='and' "
+                             "already requires every term)")
         has_filter = filter_ids is not None or filter_sql is not None
         return self._topk_many(
             [query_terms(q) for q in queries], k, mode, use_blockmax,
@@ -1167,9 +1209,9 @@ class SearchIndex:
                    use_blockmax, filter_df: Optional[DataFrame] = None,
                    min_match: int = 1
                    ) -> List[List[Tuple[int, float]]]:
-        """Shared distributed scoring core: _topk_dist is the 1-query
-        case, topk_batch the N-query case — ONE implementation so the
-        two can never diverge (rank identity is test-enforced).
+        """Shared distributed scoring core: topk(distributed=True) is the
+        1-query case, topk_batch the N-query case — ONE implementation so
+        the two can never diverge (rank identity is test-enforced).
         filter_df: pseg-routed (seg, doc_id) allow-list rows
         (_routed_filter_df); cogrouped per segment alongside the
         tombstones — never broadcast."""
@@ -1201,19 +1243,7 @@ class SearchIndex:
             by_term: Dict[str, dict] = {}
             for r in pdf.to_dict("records"):
                 by_term[r["term"]] = r  # one row per (term, seg)
-            deleted = allowed = None
-            if ddf is not None and len(ddf):
-                # aux rows: kind 0 = tombstone, kind 1 = allow-list member
-                dd = ddf.loc[ddf["kind"] == 0, "doc_id"]
-                if len(dd):
-                    deleted = np.unique(dd.to_numpy(np.int64))
-                if has_filter:
-                    aa = ddf.loc[ddf["kind"] == 1, "doc_id"]
-                    allowed = np.unique(aa.to_numpy(np.int64))
-            if has_filter and allowed is None:
-                # filter active but this segment got no allow rows →
-                # nothing here qualifies (empty ≠ None/unfiltered)
-                allowed = np.empty(0, dtype=np.int64)
+            deleted, allowed = _split_aux(ddf, has_filter)
             scale = scales.get(int(key[0]), 1.0)
             q_l, d_l, s_l = [], [], []
             for qi, ts, uniq in active:
@@ -1261,20 +1291,25 @@ class SearchIndex:
         dfs.update({r["term"]: int(r["df"]) for r in rows})
         return dfs
 
-    def _seg_deletes_grouped(self):
-        """Pending tombstones keyed by POSTING segment, grouped for
-        cogrouping with the per-segment postings kernels — each segment's
-        task sees only its own delete rows, never a broadcast global set.
-        The scan is restricted to the snapshot's posting segments (pseg is
-        a hive partition column, so the filter prunes stale directories);
-        finer per-query pruning isn't available driver-side because which
-        segments hold the query's terms is only known inside the job."""
+    def _routed_deletes_df(self) -> DataFrame:
+        """Pending tombstones as (seg, doc_id) rows keyed by POSTING
+        segment — the one routing definition both cogroup helpers build
+        on. The scan is restricted to the snapshot's posting segments
+        (pseg is a hive partition column, so the filter prunes stale
+        directories); finer per-query pruning isn't available driver-side
+        because which segments hold the query's terms is only known
+        inside the job."""
         psegs = [int(s) for s in self.snapshot.get(
             "posting_segments", self.snapshot["segments"])]
         return (self._pending_deletes_df()
                 .filter(F.col("pseg").isin(psegs))
-                .select(F.col("pseg").alias("seg"), "doc_id")
-                .groupBy("seg"))
+                .select(F.col("pseg").alias("seg"), "doc_id"))
+
+    def _seg_deletes_grouped(self):
+        """Tombstones grouped per posting segment for cogrouping with the
+        per-segment postings kernels — each segment's task sees only its
+        own delete rows, never a broadcast global set."""
+        return self._routed_deletes_df().groupBy("seg")
 
     def _seg_aux_grouped(self, filter_df: Optional[DataFrame] = None):
         """Tombstones (kind=0) and filter allow-list rows (kind=1) unioned
@@ -1285,12 +1320,8 @@ class SearchIndex:
         schema-wise."""
         parts = []
         if self.delete_files:
-            psegs = [int(s) for s in self.snapshot.get(
-                "posting_segments", self.snapshot["segments"])]
-            parts.append(self._pending_deletes_df()
-                         .filter(F.col("pseg").isin(psegs))
-                         .select(F.col("pseg").alias("seg"), "doc_id",
-                                 F.lit(0).alias("kind")))
+            parts.append(self._routed_deletes_df()
+                         .select("seg", "doc_id", F.lit(0).alias("kind")))
         if filter_df is not None:
             parts.append(filter_df.select(
                 "seg", "doc_id", F.lit(1).alias("kind")))
@@ -1341,20 +1372,9 @@ class SearchIndex:
                     [codec.unpack_docs(r["docs"], int(r["df"]))
                      for r in exc_rows])
                 ids = _mask_deleted(ids, excl)
-            allowed = None
-            if ddf is not None and len(ddf):
-                # aux rows: kind 0 = tombstone, kind 1 = allow-list member
-                dd = ddf.loc[ddf["kind"] == 0, "doc_id"]
-                if len(dd):
-                    ids = _mask_deleted(
-                        ids, np.unique(dd.to_numpy(np.int64)))
-                if has_filter:
-                    aa = ddf.loc[ddf["kind"] == 1, "doc_id"]
-                    allowed = np.unique(aa.to_numpy(np.int64))
+            deleted, allowed = _split_aux(ddf, has_filter)
+            ids = _mask_deleted(ids, deleted)
             if has_filter and ids.size:
-                # no allow rows for this segment → nothing here passes
-                if allowed is None:
-                    allowed = np.empty(0, dtype=np.int64)
                 ids = ids[_allowed_mask(ids, allowed)]
             return pd.DataFrame({"doc_id": ids})
 
@@ -1394,6 +1414,11 @@ class SearchIndex:
             raise ValueError(
                 "exclude/filter are supported for and/or/prefix/"
                 "wildcard/min modes")
+        min_match = max(1, int(min_match))
+        if mode == "or" and min_match > 1:
+            mode = "min"  # msm IS the or-mode dial; honor it, don't drop it
+        elif min_match > 1 and mode != "min":
+            raise ValueError("min_match is supported for or/min modes")
         if mode in ("phrase", "near"):
             if mode == "near":
                 kernel = self._near_kernel(slop)
@@ -1406,8 +1431,7 @@ class SearchIndex:
             terms = self.expand_wildcard(query)
             mode = "or"
         elif mode == "min":
-            terms = list(dict.fromkeys(query_terms(query)))
-            min_match = max(1, int(min_match))
+            terms = query_terms(query)  # deduped (first occurrence wins)
             if min_match > len(terms):
                 terms = []
         else:
@@ -1472,18 +1496,9 @@ class SearchIndex:
             if len(rows) < n_terms:
                 return pd.DataFrame({"cnt": pd.Series([0], dtype="int64")})
             ids = I.intersect_packed(rows)
-            allowed = None
-            if ddf is not None and len(ddf):
-                dd = ddf.loc[ddf["kind"] == 0, "doc_id"]
-                if len(dd):
-                    ids = _mask_deleted(
-                        ids, np.unique(dd.to_numpy(np.int64)))
-                if has_filter:
-                    aa = ddf.loc[ddf["kind"] == 1, "doc_id"]
-                    allowed = np.unique(aa.to_numpy(np.int64))
+            deleted, allowed = _split_aux(ddf, has_filter)
+            ids = _mask_deleted(ids, deleted)
             if has_filter and ids.size:
-                if allowed is None:
-                    allowed = np.empty(0, dtype=np.int64)
                 ids = ids[_allowed_mask(ids, allowed)]
             return pd.DataFrame({"cnt": pd.Series([ids.size],
                                                   dtype="int64")})
@@ -1500,7 +1515,3 @@ class SearchIndex:
                 lambda key, pdf, ddf: cnt(pdf, ddf), "cnt long")
         out = counted.agg(F.sum("cnt").alias("total")).collect()
         return int(out[0]["total"] or 0)
-
-    def _topk_dist(self, terms: List[str], k: int, mode: str,
-                   use_blockmax) -> List[Tuple[int, float]]:
-        return self._topk_many([terms], k, mode, use_blockmax)[0]

@@ -139,3 +139,24 @@ def test_search_df_min_mode(idx, corpus):
     want = _brute(corpus, QUERY, 3)
     out = idx.search_df(QUERY, mode="min", min_match=3).orderBy("doc_id")
     assert [r["doc_id"] for r in out.collect()] == want
+    # or-mode with min_match>1 is honored (routed to the msm kernel),
+    # never silently dropped
+    out2 = idx.search_df(QUERY, mode="or", min_match=3).orderBy("doc_id")
+    assert [r["doc_id"] for r in out2.collect()] == want
+
+
+def test_min_match_rejected_where_meaningless(idx):
+    with pytest.raises(ValueError):
+        idx.search_df(QUERY, mode="and", min_match=2)
+    with pytest.raises(ValueError):
+        idx.topk(QUERY, k=5, mode="and", min_match=2)
+    with pytest.raises(ValueError):
+        idx.topk_batch([QUERY], k=5, mode="and", min_match=2)
+
+
+def test_min_match_count_and_urls_forward_filters(idx, corpus):
+    want = [i for i in _brute(corpus, QUERY, 2) if i % 2 == 0]
+    assert idx.count_min_match(QUERY, 2,
+                               filter_sql="doc_id % 2 = 0") == len(want)
+    assert (idx.search_min_match(QUERY, 2, filter_sql="doc_id % 2 = 0")
+            == [f"doc{i:03d}" for i in want])
