@@ -47,6 +47,12 @@ from pysearchlite_spark.tokenizer import ASCII_TOKEN, query_terms
 QUERY_COLS = ["term", "seg", "df", "docs", "tfs", "dls", "first_docs",
               "doc_offs", "tf_offs", "dl_offs", "max_partial"]
 PHRASE_COLS = QUERY_COLS + ["pos", "pos_offs"]
+# Boolean kernels (AND/OR/NOT/msm intersection & union, counting) never
+# touch the scoring streams — a boolean scan reads and SHUFFLES only the
+# docID side of the index (the tf/dl streams are comparable in bytes to
+# the doc stream, so this roughly halves both the parquet read and the
+# cogroup exchange for every distributed boolean query).
+BOOL_COLS = ["term", "seg", "df", "docs", "first_docs", "doc_offs"]
 
 # Largest literal In() pushed into a scan filter; beyond this Catalyst
 # planning goes quadratic and the pushdown stops paying — switch to a
@@ -1379,7 +1385,7 @@ class SearchIndex:
             return pd.DataFrame({"doc_id": ids})
 
         scan_terms = list(terms) + [t for t in exc_set if t not in terms]
-        grouped = self.postings_df(scan_terms).select(*QUERY_COLS).groupBy("seg")
+        grouped = self.postings_df(scan_terms).select(*BOOL_COLS).groupBy("seg")
         if not self.delete_files and not has_filter:
             return grouped.applyInPandas(
                 lambda key, pdf: match(pdf, None), "doc_id long")
@@ -1503,7 +1509,7 @@ class SearchIndex:
             return pd.DataFrame({"cnt": pd.Series([ids.size],
                                                   dtype="int64")})
 
-        grouped = self.postings_df(terms).select(*QUERY_COLS).groupBy("seg")
+        grouped = self.postings_df(terms).select(*BOOL_COLS).groupBy("seg")
         if not self.delete_files and not has_filter:
             counted = grouped.applyInPandas(
                 lambda key, pdf: cnt(pdf, None), "cnt long")
