@@ -1,0 +1,155 @@
+"""Filtered / min-should-match / wildcard queries at scale: 1M
+deterministic synthetic docs (datagen.generate_pages), unpinned
+local[32], one plain index.
+
+Measures (interleaved best-of-3, round-workflow protocol)
+  * BM25 top-10 latency unfiltered vs filtered — filter given as a SQL
+    predicate over the docmap (doc_len >= median, ~half the corpus) and
+    as an externally-supplied doc_id DataFrame (the "quality-pass
+    output" pipeline shape) — both resolve per query, so the numbers
+    include the allow-list job, not a cached id set;
+  * distributed boolean AND count unfiltered vs filtered (cogrouped
+    allow rows; only per-segment sizes collected);
+  * min-should-match (3-of-4) boolean count, distributed, vs the plain
+    OR and AND bounds it must sit between;
+  * wildcard dictionary expansion + OR-union count (literal-prefix
+    pattern and the leading-wildcard worst case).
+
+Sanity is asserted inline (filtered ids satisfy the predicate, msm
+counts monotone in m, wildcard == union of its expansions' OR).
+
+Usage: python BENCH/filter_scale.py [n_docs] → one JSON line + writes
+BENCH/filter_scale.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pysearchlite_spark.session import get_spark  # noqa: E402
+
+Q_BM25 = "high school"         # Zipf ranks 3+4: the hot ranked case
+Q_AND = "united states"        # mid-frequency conjunction
+Q_MSM = "united states constitution petersburg"  # msm: 3 of 4
+W_PREFIXED = "w0000?"          # literal prefix + 10-term expansion union
+W_LEADING = "*titution"        # leading wildcard → full dictionary scan
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    from pyspark.sql import functions as F
+
+    from pysearchlite_spark.datagen import generate_pages
+    from pysearchlite_spark.engine import SearchIndex
+    from pysearchlite_spark.plans.builder import build_index
+
+    spark = get_spark("filter_scale", master="local[32]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_docs": n, "cpus": 32, "pinned": False}
+
+    pages_dir = tempfile.mkdtemp(prefix="filter_scale_pages_")
+    idx_dir = tempfile.mkdtemp(prefix="filter_scale_idx_")
+    try:
+        pages = generate_pages(spark, n, seed=42).select("url", "text")
+        pages.write.mode("overwrite").parquet(pages_dir)
+        docs = spark.read.parquet(pages_dir)
+
+        t0 = time.monotonic()
+        build_index(spark, docs, idx_dir, url_col="url",
+                    segment_docs=1 << 18)
+        out["build_sec"] = round(time.monotonic() - t0, 2)
+        idx = SearchIndex(spark, idx_dir)
+
+        # median doc_len → a ~50% allow-list, like a real quality cut
+        med = int(idx._docmap.approxQuantile("doc_len", [0.5], 0.01)[0])
+        pred = f"doc_len >= {med}"
+        out["filter_pred"] = pred
+        allow_df = idx._docmap.filter(pred).select("doc_id")
+        out["allow_frac"] = round(allow_df.count() / idx.n_docs, 3)
+
+        best: dict = {}
+
+        def probe(key, fn):
+            t0 = time.monotonic()
+            r = fn()
+            dt = time.monotonic() - t0
+            best[key] = min(best.get(key, dt), dt)
+            return r
+
+        for _ in range(3):
+            top_plain = probe("bm25_top10", lambda: idx.topk(Q_BM25, k=10))
+            top_sql = probe("bm25_top10_filter_sql",
+                            lambda: idx.topk(Q_BM25, k=10, filter_sql=pred))
+            top_ids = probe("bm25_top10_filter_df",
+                            lambda: idx.topk(Q_BM25, k=10,
+                                             filter_ids=allow_df))
+            n_and = probe("count_and_dist",
+                          lambda: idx.count(Q_AND, distributed=True))
+            n_and_f = probe("count_and_dist_filtered",
+                            lambda: idx.count(Q_AND, distributed=True,
+                                              filter_sql=pred))
+            n_msm = probe("count_msm3of4_dist",
+                          lambda: idx.count_min_match(Q_MSM, 3,
+                                                      distributed=True))
+            terms_p = probe("wildcard_expand_prefixed",
+                            lambda: idx.expand_wildcard(W_PREFIXED))
+            n_wp = probe("count_wildcard_prefixed",
+                         lambda: idx.count_wildcard(W_PREFIXED))
+            terms_l = probe("wildcard_expand_leading",
+                            lambda: idx.expand_wildcard(W_LEADING))
+            n_wl = probe("count_wildcard_leading",
+                         lambda: idx.count_wildcard(W_LEADING))
+
+        # ---- sanity: the measured answers are the right answers --------
+        assert top_sql == top_ids, "two filter spellings disagree"
+        lens = {r["doc_id"]: r["doc_len"] for r in
+                idx._docmap.filter(
+                    F.col("doc_id").isin([d for d, _ in top_sql]))
+                .select("doc_id", "doc_len").collect()}
+        assert all(lens[d] >= med for d, _ in top_sql)
+        by_id = dict(idx.topk(Q_BM25, k=10_000, use_blockmax=False))
+        assert all(abs(by_id[d] - s) < 1e-12 for d, s in top_sql
+                   if d in by_id), "filter changed a surviving score"
+        assert n_and_f <= n_and
+        n_or = idx.count_min_match(Q_MSM, 1, distributed=True)
+        n_all = idx.count_min_match(Q_MSM, 4, distributed=True)
+        assert n_all <= n_msm <= n_or
+        assert n_wp == int(idx.search_or_ids(" ".join(terms_p)).size)
+        out["count_and"] = n_and
+        out["count_and_filtered"] = n_and_f
+        out["count_msm3of4"] = n_msm
+        out["count_msm_or_bound"] = n_or
+        out["count_msm_and_bound"] = n_all
+        out["wildcard_prefixed_terms"] = len(terms_p)
+        out["wildcard_prefixed_matches"] = n_wp
+        out["wildcard_leading_terms"] = len(terms_l)
+        out["wildcard_leading_matches"] = n_wl
+        for k, v in best.items():
+            out[f"{k}_sec"] = round(v, 3)
+        out["filter_overhead_sql"] = round(
+            best["bm25_top10_filter_sql"] / best["bm25_top10"], 2)
+        out["filter_overhead_df"] = round(
+            best["bm25_top10_filter_df"] / best["bm25_top10"], 2)
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "filter_scale.json"), "w") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

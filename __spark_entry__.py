@@ -81,6 +81,29 @@ def _index_pos(spark: SparkSession, sf_dir: str):
 
 DELETE_MOD = 7  # search_and_deleted tombstones doc_id % 7 == 0
 
+# derived title field: the doc's first 5 tokens (Spark-side expression and
+# the DuckDB oracle slice the SAME reference tokenization, so parity is
+# exact by construction)
+TITLE_EXPR = ("concat_ws(' ', slice(filter(split(lower(text), "
+              "'[^a-z0-9]+'), x -> x != ''), 1, 5))")
+
+
+def _mfi(spark: SparkSession, sf_dir: str):
+    """Two-field index (title = first-5-token head, body = full text) —
+    per-field term spaces with their own df/avgdl, Lucene's field model
+    (fields.MultiFieldIndex)."""
+    from pysearchlite_spark.fields import MultiFieldIndex, build_multi_field
+
+    key = ("mfi", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="pslspark_mfidx_")
+        _TMP_DIRS.append(d)
+        build_multi_field(spark, _docs(spark, sf_dir), d,
+                          fields={"title": TITLE_EXPR, "body": "text"},
+                          id_col="doc_id", segment_docs=256)
+        _IDX_CACHE[key] = MultiFieldIndex(spark, d)
+    return _IDX_CACHE[key]
+
 
 def _index_deleted(spark: SparkSession, sf_dir: str):
     """Index over documents with doc_id % DELETE_MOD == 0 tombstoned via
@@ -205,6 +228,8 @@ BATCH_QUERIES = [Q_BM25, Q_AND, Q_OR]  # bm25_topk_batch: one job, 3 queries
 FILTER_PRED = "n_chars >= 300"  # allow-list predicate (filtered entries)
 Q_MSM, MSM_M = "table query spark merge", 3   # min-should-match: 3 of 4
 W_PATTERN, W_LIKE = "s?a*", "s_a%"  # wildcard ≙ SQL LIKE (token alphabet)
+FIELD_Q = {"title": "table", "body": "part value"}  # cross-field AND
+Q_DIS, DIS_W = "table value", {"title": 2.0, "body": 1.0}  # dismax
 
 
 # ---------------------------------------------------------------------------
@@ -325,6 +350,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # StartsWith + rlike on the term-sorted postings, then OR union
         return _ids_df(spark, _index(spark, sf)
                        .search_wildcard_ids(W_PATTERN))
+
+    def field_search_and(spark, sf):
+        # cross-field conjunction (title:table AND body:(part value)):
+        # each field queries its OWN pruned index; ids intersect after
+        return _ids_df(spark, _mfi(spark, sf).search_and_ids(FIELD_Q))
+
+    def bm25_dismax(spark, sf):
+        # Lucene DisjunctionMax across title/body with field boosts:
+        # score = max_f(w_f * BM25_f) — per-field stats (df, avgdl), so a
+        # title hit outranks the same tokens buried in a long body
+        top = _mfi(spark, sf).topk_dismax(Q_DIS, k=10, weights=DIS_W)
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
 
     def search_and_filtered(spark, sf):
         # boolean AND restricted to the same allow-list, DISTRIBUTED path:
@@ -532,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and_filtered": search_and_filtered,
         "search_min_match": search_min_match,
         "search_wildcard": search_wildcard,
+        "field_search_and": field_search_and,
+        "bm25_dismax": bm25_dismax,
         "doc_len": doc_len,
         "token_count": token_count,
         "bpe_token_count": bpe_count,
@@ -607,6 +648,43 @@ ORDER BY score DESC, doc_id LIMIT 10
     msm_in = ", ".join(f"'{t}'" for t in Q_MSM.split())
     bm25_msm = bm25_sql(
         msm_in, having=f"HAVING count(DISTINCT tf.term) >= {MSM_M}")
+
+    def bm25_field_scores(tok_expr: str, terms_in: str, w: float) -> str:
+        # per-FIELD BM25 score table: identical structure to bm25_sql but
+        # tokens come from `tok_expr` (the field's own term space — df,
+        # dl, avgdl all field-local), weighted by the dismax field boost
+        return f"""(
+WITH tok AS (
+  SELECT doc_id, unnest({tok_expr}) AS term FROM documents
+), dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       {w} * sum( ln(1 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+            * tf.tf * (1.2 + 1)
+            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       ) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id)"""
+
+    title_tok = f"({_TOK})[1:5]"  # the derived title field: first 5 tokens
+    dis_in = ", ".join(f"'{t}'" for t in Q_DIS.split())
+    bm25_dismax_sql = f"""
+SELECT doc_id,
+       round(greatest(coalesce(t.score, 0), coalesce(b.score, 0)), 6)
+         AS score
+FROM {bm25_field_scores(title_tok, dis_in, DIS_W["title"])} t
+FULL JOIN {bm25_field_scores(_TOK, dis_in, DIS_W["body"])} b
+USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10"""
     filter_subq = f"(SELECT doc_id FROM documents WHERE {FILTER_PRED})"
     bm25_filtered = bm25_sql(
         bm_in, where=f"WHERE doc_id IN {filter_subq}")
@@ -933,6 +1011,12 @@ WHERE c >= {MSM_M} ORDER BY doc_id""",
         "search_wildcard": f"SELECT doc_id FROM documents WHERE "
                            f"len(list_filter({_TOK}, t -> t LIKE "
                            f"'{W_LIKE}')) > 0 ORDER BY doc_id",
+        "field_search_and": f"""
+SELECT doc_id FROM (SELECT doc_id, {_TOK} AS tb FROM documents)
+WHERE list_contains(tb[1:5], '{FIELD_Q["title"]}')
+  AND list_contains(tb, 'part') AND list_contains(tb, 'value')
+ORDER BY doc_id""",
+        "bm25_dismax": bm25_dismax_sql,
         "doc_len": f"SELECT doc_id, len({_TOK})::BIGINT AS doc_len "
                    f"FROM documents ORDER BY doc_id",
         "token_count": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens "
