@@ -16,7 +16,7 @@ Measures (interleaved best-of-3, round-workflow protocol)
     pattern and the leading-wildcard worst case).
 
 Sanity is asserted inline (filtered ids satisfy the predicate, msm
-counts monotone in m, wildcard == union of its expansions' OR).
+counts monotone in m, BOTH wildcard counts == their expansions' OR).
 
 Usage: python BENCH/filter_scale.py [n_docs] → one JSON line + writes
 BENCH/filter_scale.json.
@@ -124,6 +124,7 @@ def main() -> None:
         n_all = idx.count_min_match(Q_MSM, 4, distributed=True)
         assert n_all <= n_msm <= n_or
         assert n_wp == int(idx.search_or_ids(" ".join(terms_p)).size)
+        assert n_wl == int(idx.search_or_ids(" ".join(terms_l)).size)
         out["count_and"] = n_and
         out["count_and_filtered"] = n_and_f
         out["count_msm3of4"] = n_msm

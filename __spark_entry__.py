@@ -1013,8 +1013,10 @@ WHERE c >= {MSM_M} ORDER BY doc_id""",
                            f"'{W_LIKE}')) > 0 ORDER BY doc_id",
         "field_search_and": f"""
 SELECT doc_id FROM (SELECT doc_id, {_TOK} AS tb FROM documents)
-WHERE list_contains(tb[1:5], '{FIELD_Q["title"]}')
-  AND list_contains(tb, 'part') AND list_contains(tb, 'value')
+WHERE {" AND ".join(f"list_contains(tb[1:5], '{t}')"
+                    for t in FIELD_Q["title"].split())}
+  AND {" AND ".join(f"list_contains(tb, '{t}')"
+                    for t in FIELD_Q["body"].split())}
 ORDER BY doc_id""",
         "bm25_dismax": bm25_dismax_sql,
         "doc_len": f"SELECT doc_id, len({_TOK})::BIGINT AS doc_len "

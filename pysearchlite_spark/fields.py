@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -41,6 +42,7 @@ from pysearchlite_spark.operators import intersect as I
 from pysearchlite_spark.plans.builder import build_index
 
 _FIELDS_FILE = "fields.json"
+_FIELD_NAME = re.compile(r"[A-Za-z0-9_][A-Za-z0-9_.-]*")
 
 
 def build_multi_field(spark: SparkSession, df: DataFrame, root: str, *,
@@ -53,10 +55,22 @@ def build_multi_field(spark: SparkSession, df: DataFrame, root: str, *,
     fields: field name → source column (or SQL expression string, e.g. a
     derived title). Every per-field build shares the SAME id/url columns,
     so a docID means the same document in every field — the invariant all
-    cross-field operations rely on. Extra build_index kwargs
-    (segment_docs, with_positions, ...) apply to every field."""
+    cross-field operations rely on. id_col is REQUIRED here (unlike
+    build_index): without a caller-stable id, each per-field build would
+    assign its own ids and sort-key ties could map the same document to
+    different ids in different fields — silently intersecting and maxing
+    across different documents. Extra build_index kwargs (segment_docs,
+    with_positions, ...) apply to every field."""
     if not fields:
         raise ValueError("fields must name at least one field")
+    if id_col is None:
+        raise ValueError(
+            "id_col is required: per-field builds must agree on docIDs, "
+            "and builder-assigned ids are only unique within one build")
+    for name in fields:
+        if _FIELD_NAME.fullmatch(name) is None:
+            raise ValueError(f"invalid field name {name!r} (it becomes a "
+                             "directory under root/fields)")
     for bad in ("text_col", "html_col"):
         if bad in build_kw:
             raise ValueError(f"{bad} is per-field here — use `fields`")
@@ -102,14 +116,17 @@ class MultiFieldIndex:
         `title:(a b) AND body:(c d)`), ascending docID. Each field's AND
         runs on its own (pruned, optionally distributed) kernel; the
         cross-field step intersects the per-field id arrays — already
-        small relative to postings."""
+        small relative to postings (intersect_sorted orders them
+        smallest-first itself)."""
+        if not by_field:
+            raise ValueError("by_field must name at least one field query")
         parts = []
         for f, q in by_field.items():
             ids = self.field(f).search_and_ids(q, distributed=distributed)
             if ids.size == 0:
                 return np.empty(0, dtype=np.int64)
             parts.append(ids)
-        return I.intersect_sorted(sorted(parts, key=lambda a: a.size))
+        return I.intersect_sorted(parts)
 
     def count_and(self, by_field: Dict[str, str],
                   distributed: bool = False) -> int:
@@ -120,6 +137,8 @@ class MultiFieldIndex:
         """Lazy cross-field AND — per-field distributed kernels joined on
         doc_id (nothing collected; the 10^12-doc shape). The url column
         resolves from the first field's docmap."""
+        if not by_field:
+            raise ValueError("by_field must name at least one field query")
         first, *rest = by_field.items()
         out = self.field(first[0]).search_df(first[1], mode="and")
         for f, q in rest:
@@ -143,6 +162,10 @@ class MultiFieldIndex:
         every widened list can in principle sneak into the true top-k at
         large tie_breaker — raise `expand` to tighten, the Lucene
         trade-off."""
+        unknown = set(weights or {}) - set(self.fields)
+        if unknown:
+            raise KeyError(f"unknown weight fields {sorted(unknown)}; "
+                           f"have {self.fields}")
         w = {f: 1.0 for f in self.fields}
         w.update(weights or {})
         kk = k if tie_breaker == 0.0 else k * max(1, expand)

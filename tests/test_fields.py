@@ -137,10 +137,28 @@ def test_build_rejects_bad_args(spark, tmp_path_factory, corpus):
         corpus, "doc_id long, url string, title string, body string")
     with pytest.raises(ValueError):
         build_multi_field(spark, df, str(tmp_path_factory.mktemp("mf_bad")),
-                          fields={})
+                          fields={}, id_col="doc_id")
     with pytest.raises(ValueError):
         build_multi_field(spark, df, str(tmp_path_factory.mktemp("mf_bad2")),
-                          fields={"a": "title"}, text_col="body")
+                          fields={"a": "title"}, id_col="doc_id",
+                          text_col="body")
+    # id_col is required: per-field builds must agree on docIDs
+    with pytest.raises(ValueError):
+        build_multi_field(spark, df, str(tmp_path_factory.mktemp("mf_bad3")),
+                          fields={"a": "title"}, url_col="url")
+    # field names become directories — path separators must be rejected
+    with pytest.raises(ValueError):
+        build_multi_field(spark, df, str(tmp_path_factory.mktemp("mf_bad4")),
+                          fields={"../escape": "title"}, id_col="doc_id")
+
+
+def test_query_input_validation(mfi):
+    with pytest.raises(ValueError):
+        mfi.search_and_ids({})
+    with pytest.raises(ValueError):
+        mfi.search_df({})
+    with pytest.raises(KeyError):
+        mfi.topk_dismax("spark", weights={"titel": 5.0})
 
 
 def test_field_expression_columns(spark, tmp_path_factory, corpus):
