@@ -365,6 +365,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(int(d), float(s)) for d, s in top], "doc_id long, score double")
         return out.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_topk_page2(spark, sf):
+        # searchAfter pagination (Lucene cursor, not OFFSET): page 1's
+        # last (doc_id, score) tuple is the cursor for page 2; the oracle
+        # is the same ranking with LIMIT 10 OFFSET 10
+        idx = _index(spark, sf)
+        page1 = idx.topk(Q_BM25, k=10)
+        top = idx.topk(Q_BM25, k=10, after=page1[-1])
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
     def search_and_filtered(spark, sf):
         # boolean AND restricted to the same allow-list, DISTRIBUTED path:
         # the pseg-routed allow rows are cogrouped into the per-segment
@@ -568,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": bm25_topk_batch,
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_msm": bm25_topk_msm,
+        "bm25_topk_page2": bm25_topk_page2,
         "search_and_filtered": search_and_filtered,
         "search_min_match": search_min_match,
         "search_wildcard": search_wildcard,
@@ -608,7 +620,8 @@ def oracle_sql() -> dict[str, str]:
     df_in = ", ".join(f"'{t}'" for t in Q_TERMS)
 
     def bm25_sql(terms_in: str, qid: int | None = None,
-                 where: str = "", having: str = "") -> str:
+                 where: str = "", having: str = "",
+                 offset: int = 0) -> str:
         # `where`: filtered retrieval — restricts the RESULT candidates
         # only; corpus stats (n, avgdl, df) stay corpus-wide, exactly the
         # engine's Lucene-filter semantics. `having`: msm — candidates
@@ -641,7 +654,7 @@ WITH tok AS (
 )
 {head} FROM scores
 {where}
-ORDER BY score DESC, doc_id LIMIT 10
+ORDER BY score DESC, doc_id LIMIT 10 OFFSET {offset}
 """
 
     bm25 = bm25_sql(bm_in)
@@ -999,6 +1012,7 @@ FROM p ORDER BY doc_id""",
         "bm25_topk_batch": bm25_batch_sql,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_msm": bm25_msm,
+        "bm25_topk_page2": bm25_sql(bm_in, offset=10),
         "search_and_filtered": f"SELECT doc_id FROM documents "
                                f"WHERE {and_pred} AND doc_id IN "
                                f"{filter_subq} ORDER BY doc_id",

@@ -85,6 +85,22 @@ def _allowed_mask(ids: np.ndarray, allowed: np.ndarray) -> np.ndarray:
     return ok
 
 
+def _after_cut(docs: np.ndarray, scores: np.ndarray,
+               after: Optional[Tuple[int, float]]
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep entries STRICTLY after the (doc_id, score) cursor in the
+    global (score desc, doc_id asc) order — the searchAfter page mask.
+    The cursor is a result tuple exactly as topk returns them (pass the
+    previous page's last element verbatim). Exact float comparison is
+    correct here: the cursor score is the same deterministic double the
+    kernels produced."""
+    if after is None or docs.size == 0:
+        return docs, scores
+    d_a, s_a = int(after[0]), float(after[1])
+    keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+    return docs[keep], scores[keep]
+
+
 def _split_aux(ddf: Optional[pd.DataFrame], has_filter: bool
                ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
     """Parse one segment's cogrouped aux rows (_seg_aux_grouped) into the
@@ -147,7 +163,8 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
                        bound_scale: float = 1.0,
                        deleted: Optional[np.ndarray] = None,
                        allowed: Optional[np.ndarray] = None,
-                       min_match: int = 1
+                       min_match: int = 1,
+                       after: Optional[Tuple[int, float]] = None
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Score one segment's packed posting rows. Module-level (no engine
     state) so the distributed applyInPandas path serializes only plain
@@ -174,8 +191,17 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
     docs matched by at least that many distinct query terms. Scores of
     survivors are unchanged (every matched term still contributes).
     Block-max pruning is disabled — its bounds admit docs the msm
-    constraint rejects, so the pruned heap could fill with them."""
+    constraint rejects, so the pruned heap could fill with them.
+
+    after (Lucene searchAfter): a (doc_id, score) cursor — keep only docs
+    STRICTLY after it in the global (score desc, doc_id asc) order, i.e.
+    page k..2k of a paginated walk. Applied before truncation; block-max
+    is disabled because the pruned heap would fill with pre-cursor docs
+    (pagination is the rare deep-walk path, same trade Lucene makes by
+    re-collecting)."""
     zb = None
+    if after is not None:
+        use_blockmax = False
     if allowed is not None:
         if allowed.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -217,6 +243,7 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
             pos = np.searchsorted(docs, ids)
             scores += idfs[r["term"]] * codec.bm25_partial(
                 tfs[pos], dls[pos], avgdl)
+        ids, scores = _after_cut(ids, scores, after)
         return _truncate_topk(ids, scores, k)
     if use_blockmax:
         top = W.blockmax_topk(rows, idfs, avgdl, k,
@@ -246,6 +273,7 @@ def score_segment_rows(rows: List[dict], idfs: Dict[str, float],
         idf_l.append(idfs[r["term"]])
     docs, scores = W.score_disjunctive(doc_l, tf_l, dl_l, idf_l, avgdl,
                                        min_match=min_match)
+    docs, scores = _after_cut(docs, scores, after)
     return _truncate_topk(docs, scores, k)
 
 
@@ -1119,7 +1147,9 @@ class SearchIndex:
     def topk(self, query: str, k: int = 10, mode: str = "or",
              use_blockmax="auto", distributed: bool = False,
              filter_ids=None, filter_sql: Optional[str] = None,
-             min_match: int = 1) -> List[Tuple[int, float]]:
+             min_match: int = 1,
+             after: Optional[Tuple[int, float]] = None
+             ) -> List[Tuple[int, float]]:
         """BM25 top-k: (doc_id, score) by score desc, doc_id asc.
         mode='or' (disjunctive, default) or 'and' (all terms required).
 
@@ -1136,7 +1166,13 @@ class SearchIndex:
         only docs matching at least that many distinct query terms;
         survivors keep their full disjunctive scores. min_match=1 is
         plain OR; min_match=len(terms) ranks exactly the AND set but
-        (unlike mode='and') never short-circuits on a dead term."""
+        (unlike mode='and') never short-circuits on a dead term.
+
+        after (Lucene searchAfter pagination): the previous page's last
+        result tuple, verbatim; returns the next k results strictly after it in
+        the (score desc, doc_id asc) total order. Cursor pagination stays
+        O(k) per page on every path — no deep OFFSET materialization —
+        and composes with filters/msm."""
         if min_match > 1 and mode == "and":
             raise ValueError("min_match applies to mode='or' (mode='and' "
                              "already requires every term)")
@@ -1149,7 +1185,7 @@ class SearchIndex:
                 [terms], k, mode, use_blockmax,
                 filter_df=(self._routed_filter_df(filter_ids, filter_sql)
                            if has_filter else None),
-                min_match=min_match)[0]
+                min_match=min_match, after=after)[0]
         fetched = self._fetch(terms)
         dfs = self.global_dfs(fetched, terms)
         if mode == "and" and any(dfs[t] == 0 for t in terms):
@@ -1184,7 +1220,8 @@ class SearchIndex:
                                             use_blockmax, self.avgdl,
                                             self._bound_scale(seg),
                                             deleted=d, allowed=a,
-                                            min_match=min_match))
+                                            min_match=min_match,
+                                            after=after))
         return W.topk_merge(parts, k)
 
     def topk_batch(self, queries: List[str], k: int = 10, mode: str = "or",
@@ -1213,7 +1250,8 @@ class SearchIndex:
 
     def _topk_many(self, per_q: List[List[str]], k: int, mode: str,
                    use_blockmax, filter_df: Optional[DataFrame] = None,
-                   min_match: int = 1
+                   min_match: int = 1,
+                   after: Optional[Tuple[int, float]] = None
                    ) -> List[List[Tuple[int, float]]]:
         """Shared distributed scoring core: topk(distributed=True) is the
         1-query case, topk_batch the N-query case — ONE implementation so
@@ -1259,7 +1297,8 @@ class SearchIndex:
                 d, s = score_segment_rows(rows, idfs, uniq, kk, md, ubm,
                                           avgdl, scale, deleted=deleted,
                                           allowed=allowed,
-                                          min_match=min_match)
+                                          min_match=min_match,
+                                          after=after)
                 q_l.append(np.full(d.size, qi, dtype=np.int64))
                 d_l.append(d)
                 s_l.append(s)
