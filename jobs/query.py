@@ -12,10 +12,15 @@ NOT / NOT_COUNT (payload ``<include terms> -- <exclude terms>``: AND over
 the includes minus any doc containing an exclude term),
 PHRASE / PHRASE_COUNT (exact consecutive-token match; needs an index
 built with_positions=True), NEAR / NEAR_COUNT (payload ``<slop> <query>``:
-ordered proximity within slop; positional index required), and
+ordered proximity within slop; positional index required),
 PREFIX / PREFIX_COUNT (payload is a single term prefix, expanded against
 the dictionary and unioned like OR; cap the expansion with
-``--prefix-max-terms N`` — keeps the N highest-df matches).
+``--prefix-max-terms N`` — keeps the N highest-df matches),
+WILDCARD / WILDCARD_COUNT (payload is one */? pattern over the token
+alphabet, same expansion cap), MSM / MSM_COUNT (payload ``<m> <query>``:
+docs matching at least m distinct terms), and TOP_10_AFTER (payload
+``<doc_id>:<score> <query>``: the next ranked page strictly after that
+cursor — searchAfter pagination).
 
     spark-submit --py-files pysearchlite_spark.zip jobs/query.py \
         --index-dir /path/to/idx [--distributed] [--prefix-max-terms N]
@@ -112,6 +117,40 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 max_terms=prefix_max_terms).tolist())) + "\n")
         elif cmd == "PREFIX_COUNT":
             out.write(f"{idx.count_prefix(q, distributed=dist, max_terms=prefix_max_terms)}\n")
+        elif cmd == "WILDCARD":
+            out.write(" ".join(map(str, idx.search_wildcard_ids(
+                q, distributed=dist,
+                max_terms=prefix_max_terms).tolist())) + "\n")
+        elif cmd == "WILDCARD_COUNT":
+            out.write(f"{idx.count_wildcard(q, distributed=dist, max_terms=prefix_max_terms)}\n")
+        elif cmd == "MSM" or cmd == "MSM_COUNT":
+            # payload is "<m> <query>"
+            m_s, _, mq = q.partition(" ")
+            try:
+                m = int(m_s)
+            except ValueError as e:
+                err.write(f"ERR {e}\n")
+                out.write("\n")
+            else:
+                ids = idx.search_min_match_ids(mq, m, distributed=dist)
+                out.write((f"{ids.size}" if cmd == "MSM_COUNT" else
+                           " ".join(map(str, ids.tolist()))) + "\n")
+        elif cmd == "TOP_10_AFTER":
+            # payload is "<doc_id>:<score> <query>" — the cursor is page
+            # N's last printed pair, pasted back verbatim. The printed
+            # score is rounded to 6 decimals, so a tie thinner than 1e-6
+            # can repeat/skip at the page seam — the library API's exact-
+            # float cursor (engine.topk after=) has no such loss
+            cur, _, aq = q.partition(" ")
+            try:
+                d_s, _, s_s = cur.partition(":")
+                after = (int(d_s), float(s_s))
+            except ValueError as e:
+                err.write(f"ERR {e}\n")
+                out.write("\n")
+            else:
+                top = idx.topk(aq, k=10, distributed=dist, after=after)
+                out.write(" ".join(f"{d}:{s:.6f}" for d, s in top) + "\n")
         elif cmd == "PHRASE_COUNT":
             try:
                 cnt = idx.count_phrase(q, distributed=dist)

@@ -98,6 +98,10 @@ def _after_cut(docs: np.ndarray, scores: np.ndarray,
         return docs, scores
     d_a, s_a = int(after[0]), float(after[1])
     keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+    # the cursor doc itself can never be on the next page — dropping it
+    # by id too keeps text-protocol cursors (scores rounded for printing,
+    # possibly UP past the true score) from re-including their own doc
+    keep &= docs != d_a
     return docs[keep], scores[keep]
 
 

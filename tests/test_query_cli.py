@@ -95,9 +95,43 @@ def test_protocol_top10_and_extensions(spark, idx_dir):
 
 def test_protocol_distributed_matches_driver(spark, idx_dir):
     lines = ["COUNT\tthis test", "TOP_10\tthis test", "AND\tthis test",
-             "OR\thello another", "SEARCH\tthis test"]
+             "OR\thello another", "SEARCH\tthis test",
+             "WILDCARD\tt?st", "MSM_COUNT\t2 hello this test"]
     assert _run(spark, idx_dir, lines)[0] == \
         _run(spark, idx_dir, lines, distributed=True)[0]
+
+
+def test_protocol_wildcard_and_msm(spark, idx_dir):
+    out, err = _run(spark, idx_dir, [
+        "WILDCARD\tt?st",          # test → docs 1, 2
+        "WILDCARD\t*ello",         # hello → doc 0
+        "WILDCARD_COUNT\tanoth*",  # another → doc 2
+        "MSM\t2 hello this test",  # ≥2 of the 3 terms → docs 1, 2
+        "MSM\t1 hello this test",  # OR → all
+        "MSM_COUNT\t3 hello this test",
+        "MSM\tx hello",            # bad m → ERR line discipline
+    ])
+    assert out == ["1 2", "0", "1", "1 2", "0 1 2", "0", ""]
+    assert err == ["ERR invalid literal for int() with base 10: 'x'"]
+
+
+def test_protocol_top10_after_paginates(spark, idx_dir):
+    # 'another test' (OR): doc 2 matches both terms, doc 1 only 'test' —
+    # distinct, well-separated scores so the 6-decimal protocol rounding
+    # can't wobble the page seam; cursor = page 1's first printed pair
+    (p1,), _ = _run(spark, idx_dir, ["TOP_10\tanother test"])
+    pairs = p1.split()
+    assert len(pairs) == 2
+    (p2,), err = _run(spark, idx_dir,
+                      [f"TOP_10_AFTER\t{pairs[0]} another test"])
+    assert p2 == pairs[1]
+    assert err == []
+    # cursor past the end → empty line, bad cursor → ERR discipline
+    (p3,), _ = _run(spark, idx_dir,
+                    [f"TOP_10_AFTER\t{pairs[1]} another test"])
+    assert p3 == ""
+    out, err = _run(spark, idx_dir, ["TOP_10_AFTER\tnope another test"])
+    assert out == [""] and err and err[0].startswith("ERR")
 
 
 def test_protocol_unknown_and_blank_lines(spark, idx_dir):
