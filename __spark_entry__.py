@@ -228,6 +228,7 @@ BATCH_QUERIES = [Q_BM25, Q_AND, Q_OR]  # bm25_topk_batch: one job, 3 queries
 FILTER_PRED = "n_chars >= 300"  # allow-list predicate (filtered entries)
 Q_MSM, MSM_M = "table query spark merge", 3   # min-should-match: 3 of 4
 W_PATTERN, W_LIKE = "s?a*", "s_a%"  # wildcard ≙ SQL LIKE (token alphabet)
+RX_PATTERN = "s(mall|low|ort)"  # regex term query (valid re/rlike/RE2)
 FIELD_Q = {"title": "table", "body": "part value"}  # cross-field AND
 Q_DIS, DIS_W = "table value", {"title": 2.0, "body": 1.0}  # dismax
 
@@ -350,6 +351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # StartsWith + rlike on the term-sorted postings, then OR union
         return _ids_df(spark, _index(spark, sf)
                        .search_wildcard_ids(W_PATTERN))
+
+    def search_regex(spark, sf):
+        # regex term query (Lucene RegexpQuery): anchored dictionary
+        # expansion (literal head pushed as StartsWith) + OR union
+        return _ids_df(spark, _index(spark, sf)
+                       .search_regex_ids(RX_PATTERN))
 
     def field_search_and(spark, sf):
         # cross-field conjunction (title:table AND body:(part value)):
@@ -583,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and_filtered": search_and_filtered,
         "search_min_match": search_min_match,
         "search_wildcard": search_wildcard,
+        "search_regex": search_regex,
         "field_search_and": field_search_and,
         "bm25_dismax": bm25_dismax,
         "doc_len": doc_len,
@@ -1025,6 +1033,10 @@ WHERE c >= {MSM_M} ORDER BY doc_id""",
         "search_wildcard": f"SELECT doc_id FROM documents WHERE "
                            f"len(list_filter({_TOK}, t -> t LIKE "
                            f"'{W_LIKE}')) > 0 ORDER BY doc_id",
+        "search_regex": f"SELECT doc_id FROM documents WHERE "
+                        f"len(list_filter({_TOK}, t -> "
+                        f"regexp_full_match(t, '{RX_PATTERN}'))) > 0 "
+                        f"ORDER BY doc_id",
         "field_search_and": f"""
 SELECT doc_id FROM (SELECT doc_id, {_TOK} AS tb FROM documents)
 WHERE {" AND ".join(f"list_contains(tb[1:5], '{t}')"

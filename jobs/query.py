@@ -17,7 +17,8 @@ PREFIX / PREFIX_COUNT (payload is a single term prefix, expanded against
 the dictionary and unioned like OR; cap the expansion with
 ``--prefix-max-terms N`` — keeps the N highest-df matches),
 WILDCARD / WILDCARD_COUNT (payload is one */? pattern over the token
-alphabet, same expansion cap), MSM / MSM_COUNT (payload ``<m> <query>``:
+alphabet, same expansion cap), REGEX / REGEX_COUNT (payload is one
+anchored regular expression, same cap), MSM / MSM_COUNT (payload ``<m> <query>``:
 docs matching at least m distinct terms), and TOP_10_AFTER (payload
 ``<doc_id>:<score> <query>``: the next ranked page strictly after that
 cursor — searchAfter pagination).
@@ -123,6 +124,12 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 max_terms=prefix_max_terms).tolist())) + "\n")
         elif cmd == "WILDCARD_COUNT":
             out.write(f"{idx.count_wildcard(q, distributed=dist, max_terms=prefix_max_terms)}\n")
+        elif cmd == "REGEX":
+            out.write(" ".join(map(str, idx.search_regex_ids(
+                q, distributed=dist,
+                max_terms=prefix_max_terms).tolist())) + "\n")
+        elif cmd == "REGEX_COUNT":
+            out.write(f"{idx.count_regex(q, distributed=dist, max_terms=prefix_max_terms)}\n")
         elif cmd == "MSM" or cmd == "MSM_COUNT":
             # payload is "<m> <query>"
             m_s, _, mq = q.partition(" ")

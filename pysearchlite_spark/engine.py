@@ -838,6 +838,56 @@ class SearchIndex:
         return self._expand_terms(cond, lambda s: s.str.fullmatch(rx),
                                   max_terms)
 
+    def expand_regex(self, pattern: str,
+                     max_terms: Optional[int] = None) -> List[str]:
+        """Dictionary terms fully matching a regular expression (Lucene
+        RegexpQuery shape; RE2-ish subset — the pattern must be valid for
+        BOTH Python re and Spark rlike, so stick to literals, classes,
+        alternation, quantifiers). Anchored to the whole term. A literal
+        prefix (extracted from the pattern head) is pushed as StartsWith
+        for row-group skipping; otherwise this is the full 2-column
+        dictionary scan, like any leading-wildcard query."""
+        p = pattern.strip().lower()
+        if not p:
+            return []
+        try:
+            re.compile(p)
+        except re.error:
+            return []
+        lit = re.match(r"[a-z0-9]*", p).group(0)
+        if "|" in p:
+            # a top-level alternation makes ANY literal head unsound
+            # ("abc|def" must not be pruned to abc*); scoping is not worth
+            # parsing — drop the prefix, keep the full dictionary scan
+            lit = ""
+        elif len(lit) < len(p) and p[len(lit)] in "?*{":
+            # a quantifier right after the literal head makes its last
+            # char optional — drop it to keep the prefix sound
+            lit = lit[:-1]
+        cond = F.col("term").rlike(f"^(?:{p})$")
+        if lit:
+            cond = F.col("term").startswith(lit) & cond
+        rx = re.compile(p)
+        return self._expand_terms(
+            cond, lambda s: s.map(lambda t: rx.fullmatch(t) is not None),
+            max_terms)
+
+    def search_regex_ids(self, pattern: str, distributed: bool = False,
+                         max_terms: Optional[int] = None) -> np.ndarray:
+        """Docs containing ANY term fully matching the regex (ascending
+        docID): dictionary expansion + the OR machinery."""
+        terms = self.expand_regex(pattern, max_terms=max_terms)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if distributed:
+            return self._search_or_ids_dist(terms)
+        return self._or_ids_local(terms)
+
+    def count_regex(self, pattern: str, distributed: bool = False,
+                    max_terms: Optional[int] = None) -> int:
+        return int(self.search_regex_ids(
+            pattern, distributed=distributed, max_terms=max_terms).size)
+
     def search_wildcard_ids(self, pattern: str, distributed: bool = False,
                             max_terms: Optional[int] = None) -> np.ndarray:
         """Docs containing ANY term matching the wildcard pattern
@@ -1147,6 +1197,51 @@ class SearchIndex:
 
     def _idfs(self, dfs: Dict[str, int]) -> Dict[str, float]:
         return {t: bm25_idf(self.n_docs, d) for t, d in dfs.items() if d > 0}
+
+    def explain_score(self, query: str, doc_id: int) -> dict:
+        """Per-term BM25 breakdown for one (query, doc) — the Lucene
+        Explanation shape, the relevance-tuning/debugging surface. Returns
+        {"doc_id", "score", "deleted", "avgdl", "n_docs", "terms": {term:
+        {"tf", "dl", "df", "idf", "partial"}}} where partial = idf *
+        bm25_partial(tf, dl, avgdl) and score = sum of partials in
+        QUERY-TERM order — the exact accumulation topk performs, so the
+        reported score is bit-identical to the doc's ranked score.
+        Decodes only the skip blocks containing the doc (same
+        block-selective path the AND scorer uses); a tombstoned doc
+        reports deleted=True and score 0."""
+        d = int(doc_id)
+        terms = query_terms(query)
+        out: dict = {"doc_id": d, "score": 0.0, "deleted": False,
+                     "avgdl": self.avgdl, "n_docs": self.n_docs,
+                     "terms": {}}
+        if not terms:
+            return out
+        dels = self._deleted()
+        if dels is not None and dels.size:
+            i = int(np.searchsorted(dels, d))
+            if i < dels.size and dels[i] == d:
+                out["deleted"] = True
+                return out
+        fetched = self._fetch(terms)
+        dfs = self.global_dfs(fetched, terms)
+        idfs = self._idfs(dfs)
+        ids = np.asarray([d], dtype=np.int64)
+        by_term = {}
+        for r in fetched:
+            docs, tfs, dls = _streams_for_ids(r, ids)
+            pos = np.searchsorted(docs, d)
+            if pos < docs.size and docs[pos] == d:
+                by_term[r["term"]] = (int(tfs[pos]), int(dls[pos]))
+        for t in terms:  # query-term order == the scorers' sum order
+            if t not in by_term:
+                continue
+            tf, dl = by_term[t]
+            partial = float(idfs[t] * codec.bm25_partial(
+                np.asarray([tf]), np.asarray([dl]), self.avgdl)[0])
+            out["terms"][t] = {"tf": tf, "dl": dl, "df": dfs[t],
+                               "idf": idfs[t], "partial": partial}
+            out["score"] += partial
+        return out
 
     def topk(self, query: str, k: int = 10, mode: str = "or",
              use_blockmax="auto", distributed: bool = False,

@@ -106,12 +106,14 @@ def test_protocol_wildcard_and_msm(spark, idx_dir):
         "WILDCARD\tt?st",          # test → docs 1, 2
         "WILDCARD\t*ello",         # hello → doc 0
         "WILDCARD_COUNT\tanoth*",  # another → doc 2
+        "REGEX\tt(his|est)",       # this|test → docs 1, 2
+        "REGEX_COUNT\th.llo",      # hello → doc 0
         "MSM\t2 hello this test",  # ≥2 of the 3 terms → docs 1, 2
         "MSM\t1 hello this test",  # OR → all
         "MSM_COUNT\t3 hello this test",
         "MSM\tx hello",            # bad m → ERR line discipline
     ])
-    assert out == ["1 2", "0", "1", "1 2", "0 1 2", "0", ""]
+    assert out == ["1 2", "0", "1", "1 2", "1", "1 2", "0 1 2", "0", ""]
     assert err == ["ERR invalid literal for int() with base 10: 'x'"]
 
 
