@@ -229,6 +229,7 @@ FILTER_PRED = "n_chars >= 300"  # allow-list predicate (filtered entries)
 Q_MSM, MSM_M = "table query spark merge", 3   # min-should-match: 3 of 4
 W_PATTERN, W_LIKE = "s?a*", "s_a%"  # wildcard ≙ SQL LIKE (token alphabet)
 RX_PATTERN = "s(mall|low|ort)"  # regex term query (valid re/rlike/RE2)
+Q_STRING = f'value "{Q_PHRASE}" -merge {W_PATTERN}'  # parser composite
 FIELD_Q = {"title": "table", "body": "part value"}  # cross-field AND
 Q_DIS, DIS_W = "table value", {"title": 2.0, "body": 1.0}  # dismax
 
@@ -357,6 +358,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expansion (literal head pushed as StartsWith) + OR union
         return _ids_df(spark, _index(spark, sf)
                        .search_regex_ids(RX_PATTERN))
+
+    def search_query(spark, sf):
+        # Lucene-style query STRING (query_parser): term AND exact-phrase
+        # AND wildcard-any AND NOT term, each clause on its own kernel,
+        # composed with the sorted-mask kernels (positional index)
+        return _ids_df(spark, _index_pos(spark, sf)
+                       .search_query_ids(Q_STRING))
 
     def field_search_and(spark, sf):
         # cross-field conjunction (title:table AND body:(part value)):
@@ -591,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_min_match": search_min_match,
         "search_wildcard": search_wildcard,
         "search_regex": search_regex,
+        "search_query": search_query,
         "field_search_and": field_search_and,
         "bm25_dismax": bm25_dismax,
         "doc_len": doc_len,
@@ -1033,6 +1042,13 @@ WHERE c >= {MSM_M} ORDER BY doc_id""",
         "search_wildcard": f"SELECT doc_id FROM documents WHERE "
                            f"len(list_filter({_TOK}, t -> t LIKE "
                            f"'{W_LIKE}')) > 0 ORDER BY doc_id",
+        "search_query": f"SELECT doc_id FROM documents WHERE "
+                        f"list_contains({_TOK}, 'value') AND "
+                        f"' ' || array_to_string({_TOK}, ' ') || ' ' "
+                        f"LIKE '% {Q_PHRASE} %' AND "
+                        f"NOT list_contains({_TOK}, '{Q_NOT}') AND "
+                        f"len(list_filter({_TOK}, t -> t LIKE "
+                        f"'{W_LIKE}')) > 0 ORDER BY doc_id",
         "search_regex": f"SELECT doc_id FROM documents WHERE "
                         f"len(list_filter({_TOK}, t -> "
                         f"regexp_full_match(t, '{RX_PATTERN}'))) > 0 "

@@ -19,9 +19,11 @@ the dictionary and unioned like OR; cap the expansion with
 WILDCARD / WILDCARD_COUNT (payload is one */? pattern over the token
 alphabet, same expansion cap), REGEX / REGEX_COUNT (payload is one
 anchored regular expression, same cap), MSM / MSM_COUNT (payload ``<m> <query>``:
-docs matching at least m distinct terms), and TOP_10_AFTER (payload
+docs matching at least m distinct terms), TOP_10_AFTER (payload
 ``<doc_id>:<score> <query>``: the next ranked page strictly after that
-cursor — searchAfter pagination).
+cursor — searchAfter pagination), and QUERY / QUERY_COUNT (full
+query-string grammar — terms, "phrase", "phrase"~slop, -negation,
+wild*cards, /regex/ — see pysearchlite_spark/query_parser.py).
 
     spark-submit --py-files pysearchlite_spark.zip jobs/query.py \
         --index-dir /path/to/idx [--distributed] [--prefix-max-terms N]
@@ -130,6 +132,18 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 max_terms=prefix_max_terms).tolist())) + "\n")
         elif cmd == "REGEX_COUNT":
             out.write(f"{idx.count_regex(q, distributed=dist, max_terms=prefix_max_terms)}\n")
+        elif cmd == "QUERY" or cmd == "QUERY_COUNT":
+            # full query-string grammar (query_parser): terms, "phrase",
+            # "phrase"~slop, -negation, wild*cards, /regex/. Syntax errors
+            # and positional-index requirements degrade to ERR lines
+            try:
+                ids = idx.search_query_ids(q, distributed=dist)
+            except ValueError as e:
+                err.write(f"ERR {e}\n")
+                out.write("\n")
+            else:
+                out.write((f"{ids.size}" if cmd == "QUERY_COUNT" else
+                           " ".join(map(str, ids.tolist()))) + "\n")
         elif cmd == "MSM" or cmd == "MSM_COUNT":
             # payload is "<m> <query>"
             m_s, _, mq = q.partition(" ")

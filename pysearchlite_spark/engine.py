@@ -1198,6 +1198,21 @@ class SearchIndex:
     def _idfs(self, dfs: Dict[str, int]) -> Dict[str, float]:
         return {t: bm25_idf(self.n_docs, d) for t, d in dfs.items() if d > 0}
 
+    def search_query_ids(self, q: str, distributed: bool = False
+                         ) -> np.ndarray:
+        """Lucene-style query STRING → matching doc_ids: terms, quoted
+        phrases ("a b", "a b"~slop), -negation, wild*cards, /regex/ — see
+        query_parser for the grammar; each clause runs its own kernel."""
+        from pysearchlite_spark import query_parser as QP
+        return QP.evaluate(self, q, distributed=distributed)
+
+    def search_query_df(self, q: str) -> DataFrame:
+        """Lazy (doc_id, url) frame for a query string — per-clause
+        search_df frames composed with semi/anti joins, nothing
+        collected (the 10^12-doc path)."""
+        from pysearchlite_spark import query_parser as QP
+        return QP.evaluate_df(self, q)
+
     def explain_score(self, query: str, doc_id: int) -> dict:
         """Per-term BM25 breakdown for one (query, doc) — the Lucene
         Explanation shape, the relevance-tuning/debugging surface. Returns

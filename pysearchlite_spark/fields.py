@@ -197,6 +197,17 @@ class MultiFieldIndex:
         out.sort(key=lambda t: (-t[1], t[0]))
         return out[:k]
 
+    def search_query_ids(self, q: str, distributed: bool = False):
+        """Query-string search over the fields (every clause must be
+        field-scoped, e.g. `title:spark -body:"slow scan"`) — see
+        query_parser for the grammar."""
+        from pysearchlite_spark import query_parser as QP
+        return QP.evaluate(self, q, distributed=distributed)
+
+    def search_query_df(self, q: str) -> DataFrame:
+        from pysearchlite_spark import query_parser as QP
+        return QP.evaluate_df(self, q)
+
     # ---------------------------------------------------- maintenance ---
     def delete_docs(self, doc_ids) -> None:
         """Tombstone docs in EVERY field index (a document is deleted as

@@ -117,6 +117,19 @@ def test_protocol_wildcard_and_msm(spark, idx_dir):
     assert err == ["ERR invalid literal for int() with base 10: 'x'"]
 
 
+def test_protocol_query_string(spark, pos_idx_dir, idx_dir):
+    out, err = _run(spark, pos_idx_dir, [
+        'QUERY\t"this is" -another',   # phrase minus term → doc 1
+        'QUERY_COUNT\tt?st -zz*',      # wildcard minus wildcard → 1, 2
+        "QUERY\t-all -negated",        # no MUST clause → ERR discipline
+    ])
+    assert out == ["1", "2", ""]
+    assert len(err) == 1 and err[0].startswith("ERR")
+    # phrase clause on a position-free index degrades to ERR, not a crash
+    out, err = _run(spark, idx_dir, ['QUERY\t"this is" test'])
+    assert out == [""] and err and err[0].startswith("ERR")
+
+
 def test_protocol_top10_after_paginates(spark, idx_dir):
     # 'another test' (OR): doc 2 matches both terms, doc 1 only 'test' —
     # distinct, well-separated scores so the 6-decimal protocol rounding
