@@ -366,6 +366,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ids_df(spark, _index_pos(spark, sf)
                        .search_query_ids(Q_STRING))
 
+    def bm25_topk_query(spark, sf):
+        # ranked query string: phrase/wildcard/NOT clauses gate
+        # membership, the term clause ('value') scores — filtered top-k
+        # inside the boolean match set
+        top = _index_pos(spark, sf).topk_query(Q_STRING, k=10)
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
     def field_search_and(spark, sf):
         # cross-field conjunction (title:table AND body:(part value)):
         # each field queries its OWN pruned index; ids intersect after
@@ -600,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard": search_wildcard,
         "search_regex": search_regex,
         "search_query": search_query,
+        "bm25_topk_query": bm25_topk_query,
         "field_search_and": field_search_and,
         "bm25_dismax": bm25_dismax,
         "doc_len": doc_len,
@@ -675,6 +685,14 @@ ORDER BY score DESC, doc_id LIMIT 10 OFFSET {offset}
 """
 
     bm25 = bm25_sql(bm_in)
+    # the composite query string's boolean predicate (Q_STRING):
+    # value AND "table part" AND s?a* AND NOT merge
+    qstring_pred = (f"list_contains({_TOK}, 'value') AND "
+                    f"' ' || array_to_string({_TOK}, ' ') || ' ' "
+                    f"LIKE '% {Q_PHRASE} %' AND "
+                    f"NOT list_contains({_TOK}, '{Q_NOT}') AND "
+                    f"len(list_filter({_TOK}, t -> t LIKE "
+                    f"'{W_LIKE}')) > 0")
     msm_in = ", ".join(f"'{t}'" for t in Q_MSM.split())
     bm25_msm = bm25_sql(
         msm_in, having=f"HAVING count(DISTINCT tf.term) >= {MSM_M}")
@@ -1043,12 +1061,10 @@ WHERE c >= {MSM_M} ORDER BY doc_id""",
                            f"len(list_filter({_TOK}, t -> t LIKE "
                            f"'{W_LIKE}')) > 0 ORDER BY doc_id",
         "search_query": f"SELECT doc_id FROM documents WHERE "
-                        f"list_contains({_TOK}, 'value') AND "
-                        f"' ' || array_to_string({_TOK}, ' ') || ' ' "
-                        f"LIKE '% {Q_PHRASE} %' AND "
-                        f"NOT list_contains({_TOK}, '{Q_NOT}') AND "
-                        f"len(list_filter({_TOK}, t -> t LIKE "
-                        f"'{W_LIKE}')) > 0 ORDER BY doc_id",
+                        f"{qstring_pred} ORDER BY doc_id",
+        "bm25_topk_query": bm25_sql(
+            "'value'", where=f"WHERE doc_id IN (SELECT doc_id "
+                             f"FROM documents WHERE {qstring_pred})"),
         "search_regex": f"SELECT doc_id FROM documents WHERE "
                         f"len(list_filter({_TOK}, t -> "
                         f"regexp_full_match(t, '{RX_PATTERN}'))) > 0 "

@@ -1213,6 +1213,15 @@ class SearchIndex:
         from pysearchlite_spark import query_parser as QP
         return QP.evaluate_df(self, q)
 
+    def topk_query(self, q: str, k: int = 10, distributed: bool = False
+                   ) -> List[Tuple[int, float]]:
+        """Ranked retrieval for a query STRING: every clause gates
+        membership (phrases, wildcards, negations — the boolean match
+        set), plain term clauses score (disjunctive BM25), ranked inside
+        the match set via the filtered top-k path."""
+        from pysearchlite_spark import query_parser as QP
+        return QP.evaluate_topk(self, q, k=k, distributed=distributed)
+
     def explain_score(self, query: str, doc_id: int) -> dict:
         """Per-term BM25 breakdown for one (query, doc) — the Lucene
         Explanation shape, the relevance-tuning/debugging surface. Returns

@@ -163,6 +163,30 @@ def evaluate(idx, q: str, distributed: bool = False) -> np.ndarray:
     return ids
 
 
+def evaluate_topk(idx, q: str, k: int = 10,
+                  distributed: bool = False) -> List[Tuple[int, float]]:
+    """BM25 top-k for a query string: candidates are the FULL boolean
+    match set (every clause enforced — phrases, wildcards, negations),
+    scores are disjunctive BM25 over the plain term clauses (phrase/
+    wildcard/regex clauses gate membership but don't score — the
+    classic filter-vs-score split). Composition: evaluate() produces
+    the allow-list, the filtered top-k path ranks inside it. A query
+    with no term clause has nothing to score → ValueError."""
+    pq = parse(q)
+    terms = [c.text for c in pq.must if c.kind == "term"
+             and c.field is None]
+    if hasattr(idx, "fields"):
+        raise ValueError("evaluate_topk ranks a single index; use "
+                         "MultiFieldIndex.topk_dismax for fields")
+    if not terms:
+        raise ValueError("query has no scoring term clause")
+    ids = evaluate(idx, q, distributed=distributed)
+    if ids.size == 0:
+        return []
+    return idx.topk(" ".join(terms), k=k, distributed=distributed,
+                    filter_ids=ids.tolist())
+
+
 _DF_MODE = {"term": "and", "phrase": "phrase", "near": "near",
             "wild": "wildcard", "regex": None}
 

@@ -122,6 +122,20 @@ def test_query_string_composition_equals_surfaces(idx):
             == idx.search_and_not_ids("big", "merge").tolist())
 
 
+def test_topk_query_ranks_inside_the_match_set(idx):
+    """Scores come from the term clauses only; candidates are the full
+    boolean set — so the result equals filtered-topk over evaluate()."""
+    q = 'big -merge "big table"'
+    ids = set(idx.search_query_ids(q).tolist())
+    full = idx.topk("big", k=idx.n_docs + 5, use_blockmax=False)
+    want = [(d, s) for d, s in full if d in ids][:10]
+    assert idx.topk_query(q, k=10) == want
+    assert idx.topk_query(q, k=10, distributed=True) == want
+    assert idx.topk_query("zzmissing big") == []
+    with pytest.raises(ValueError):
+        idx.topk_query('"big table" -merge')  # no scoring term clause
+
+
 def test_fielded_clause_requires_multi_field(idx):
     with pytest.raises(ValueError):
         idx.search_query_ids("title:big")
