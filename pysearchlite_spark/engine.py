@@ -841,18 +841,30 @@ class SearchIndex:
     def expand_regex(self, pattern: str,
                      max_terms: Optional[int] = None) -> List[str]:
         """Dictionary terms fully matching a regular expression (Lucene
-        RegexpQuery shape; RE2-ish subset — the pattern must be valid for
-        BOTH Python re and Spark rlike, so stick to literals, classes,
-        alternation, quantifiers). Anchored to the whole term. A literal
-        prefix (extracted from the pattern head) is pushed as StartsWith
-        for row-group skipping; otherwise this is the full 2-column
-        dictionary scan, like any leading-wildcard query."""
-        p = pattern.strip().lower()
+        RegexpQuery shape; the portable subset — literals, classes,
+        alternation, quantifiers — valid in BOTH Python re and Java
+        regex, since the cache path runs the former and the scan path
+        Spark's rlike). Anchored to the whole term. The pattern is NOT
+        case-folded (lowering would invert escape classes like \\D→\\d);
+        index terms are lowercase, so write lowercase literals. Invalid
+        patterns (for either engine) expand to nothing, never crash the
+        scan. A literal prefix (extracted from the pattern head) is
+        pushed as StartsWith for row-group skipping; otherwise this is
+        the full 2-column dictionary scan, like any leading-wildcard
+        query."""
+        p = pattern.strip()
         if not p:
             return []
         try:
             re.compile(p)
         except re.error:
+            return []
+        try:
+            # rlike executes java.util.regex — probe Java validity too,
+            # or a Python-only construct ((?P<x>…), ab{) would surface as
+            # a mid-job PatternSyntaxException instead of "no matches"
+            self.spark._jvm.java.util.regex.Pattern.compile(p)
+        except Exception:
             return []
         lit = re.match(r"[a-z0-9]*", p).group(0)
         if "|" in p:

@@ -81,6 +81,10 @@ def parse(q: str) -> ParsedQuery:
         if m is None or m.end() == m.start():
             raise ValueError(f"query syntax error at {pos}: {q[pos:]!r}")
         pos = m.end()
+        if pos < n and not q[pos].isspace():
+            # every clause must end at whitespace/EOS — otherwise
+            # '"a b"~x' silently re-parses ~x as an extra term clause
+            raise ValueError(f"query syntax error at {pos}: {q[pos:]!r}")
         if m["phrase"] is not None:
             words = m["phrase"].split()
             if not words:
@@ -97,8 +101,18 @@ def parse(q: str) -> ParsedQuery:
             c = Clause(kind, tok, field=m["field"])
         c.negated = bool(m["neg"])
         (out.must_not if c.negated else out.must).append(c)
+    # Lucene-analyzer semantics: a term/phrase clause whose text contains
+    # no indexable tokens (bare punctuation — 'big & fast') VANISHES at
+    # analysis time, exactly as the plain surfaces tokenize it away; it
+    # must not silently empty the whole query
+    from pysearchlite_spark.tokenizer import query_terms
+    for lst in (out.must, out.must_not):
+        lst[:] = [c for c in lst
+                  if c.kind not in ("term", "phrase", "near")
+                  or query_terms(c.text)]
     if not out.must:
-        raise ValueError("query needs at least one non-negated clause")
+        raise ValueError("query needs at least one non-negated clause "
+                         "with indexable tokens")
     return out
 
 
@@ -138,6 +152,7 @@ def evaluate(idx, q: str, distributed: bool = False) -> np.ndarray:
     Clauses short-circuit: the first empty MUST clause ends the query
     before later clauses run their kernels."""
     from pysearchlite_spark import codec
+    from pysearchlite_spark.engine import _allowed_mask
 
     pq = parse(q)
     ids: Optional[np.ndarray] = None
@@ -148,9 +163,7 @@ def evaluate(idx, q: str, distributed: bool = False) -> np.ndarray:
         if ids is None:
             ids = part
         else:
-            pos = np.searchsorted(part, ids)
-            pos = np.minimum(pos, part.size - 1)
-            ids = ids[part[pos] == ids]
+            ids = ids[_allowed_mask(ids, part)]
             if ids.size == 0:
                 return ids
     assert ids is not None  # parse() guarantees a MUST clause
@@ -184,7 +197,7 @@ def evaluate_topk(idx, q: str, k: int = 10,
     if ids.size == 0:
         return []
     return idx.topk(" ".join(terms), k=k, distributed=distributed,
-                    filter_ids=ids.tolist())
+                    filter_ids=ids)
 
 
 _DF_MODE = {"term": "and", "phrase": "phrase", "near": "near",

@@ -48,9 +48,22 @@ def test_parse_fields_and_errors():
     assert pq.must_not[0].field == "title"
     # single-word quote is a plain term clause
     assert parse('"big"').must[0].kind == "term"
-    for bad in ("", "-merge", '"unterminated', '""'):
+    for bad in ("", "-merge", '"unterminated', '""',
+                '"big table"~x',   # non-numeric slop must not re-parse
+                '"big table"~',    # dangling slop marker
+                'big"table"',      # clause not ended at whitespace
+                "& &"):            # nothing indexable survives analysis
         with pytest.raises(ValueError):
             parse(bad)
+
+
+def test_parse_drops_unindexable_clauses_like_an_analyzer():
+    """Bare punctuation vanishes at analysis time (Lucene StandardAnalyzer
+    behavior, and what the plain surfaces' tokenizer does) — it must not
+    silently empty the query."""
+    pq = parse("big & fast -~")
+    assert [c.text for c in pq.must] == ["big", "fast"]
+    assert pq.must_not == []
 
 
 # --------------------------------------------------------- evaluation ---
@@ -111,6 +124,11 @@ def test_query_string_matches_brute(idx, q, pred):
     assert idx.search_query_ids(q, distributed=True).tolist() == want, q
     got_df = idx.search_query_df(q).orderBy("doc_id")
     assert [r["doc_id"] for r in got_df.collect()] == want, q
+
+
+def test_punctuation_parity_with_plain_surface(idx):
+    assert (idx.search_query_ids("big & table").tolist()
+            == idx.search_and_ids("big & table").tolist())
 
 
 def test_query_string_composition_equals_surfaces(idx):

@@ -65,6 +65,20 @@ def test_regex_rejects_garbage(idx):
     assert idx.expand_regex("") == []
     assert idx.expand_regex("te[st") == []   # invalid regex → no matches
     assert idx.search_regex_ids("te[st").size == 0
+    # Python-valid but Java-invalid: must degrade to no-matches, never
+    # crash the rlike scan mid-job
+    assert idx.expand_regex("ab{") == []
+    assert idx.expand_regex("(?P<x>test)") == []
+    assert idx.search_regex_ids("ab{").size == 0
+
+
+def test_regex_is_not_case_folded(idx):
+    """Lowercasing a pattern would invert escape classes (\\D→\\d):
+    t\\D+ means t + non-digits and must match word terms, not t1/t42."""
+    got = idx.expand_regex(r"t\D+")
+    assert "test" in got and "tea" in got
+    assert not any(t in got for t in ("t1", "t2", "t42"))
+    assert idx.expand_regex(r"t\d+") == ["t1", "t2", "t42"]
 
 
 def test_regex_max_terms_keeps_highest_df(idx):
@@ -75,7 +89,16 @@ def test_regex_max_terms_keeps_highest_df(idx):
 
 
 def test_explain_matches_topk_score_exactly(idx):
-    q = "test testing ten"
+    # 'the ten table' puts all THREE terms in doc 0 — float addition is
+    # order-sensitive, so a 3-term doc actually exercises the claim that
+    # explain sums in the scorers' accumulation order
+    for q in ("test testing ten", "the ten table"):
+        assert any(len(idx.explain_score(q, d)["terms"]) >= 3
+                   for d, _ in idx.topk(q, k=7)) == (q == "the ten table")
+        _check_explain(idx, q)
+
+
+def _check_explain(idx, q):
     for d, s in idx.topk(q, k=idx.n_docs + 5, use_blockmax=False):
         ex = idx.explain_score(q, d)
         assert ex["score"] == s, d  # bit-identical accumulation
