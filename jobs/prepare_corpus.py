@@ -1,0 +1,98 @@
+"""spark-submit entrypoint: the training-data preparation pipeline —
+language filter → quality/repetition thresholds → exact + near dedup →
+benchmark decontamination → cleaned parquet [+ search index]; prints one
+JSON report line with per-stage kept/dropped counts.
+
+    spark-submit --py-files pysearchlite_spark.zip jobs/prepare_corpus.py \
+        --input pages.parquet --out-dir cleaned/ \
+        [--id-col doc_id] [--text-col text] [--lang en] \
+        [--quality min_n_tokens=50,max_punct_ratio=0.2] \
+        [--repetition max_top2gram_frac=0.2,max_dup5gram_frac=0.3] \
+        [--no-exact-dedup] [--near-dedup threshold=0.9,max_df=100] \
+        [--decontaminate probe.parquet --decontaminate-n 8 \
+         --decontaminate-max-frac 0.0] \
+        [--index-dir idx/ [--with-positions] [--segment-docs N]]
+
+Threshold flags take comma-separated key=value pairs (see
+pipeline._threshold_pred for the key grammar).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _kv(s: str | None) -> dict | None:
+    if s is None:
+        return None
+    out = {}
+    for part in s.split(","):
+        k, _, v = part.partition("=")
+        if not _ or not k:
+            raise SystemExit(f"bad key=value pair: {part!r}")
+        out[k.strip()] = float(v)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--lang", default=None)
+    ap.add_argument("--quality", default=None)
+    ap.add_argument("--repetition", default=None)
+    ap.add_argument("--no-exact-dedup", action="store_true")
+    ap.add_argument("--near-dedup", default=None)
+    ap.add_argument("--decontaminate", default=None,
+                    help="parquet of benchmark/eval docs to exclude "
+                         "n-gram overlap with")
+    ap.add_argument("--decontaminate-n", type=int, default=8)
+    ap.add_argument("--decontaminate-max-frac", type=float, default=0.0)
+    ap.add_argument("--index-dir", default=None)
+    ap.add_argument("--segment-docs", type=int, default=None)
+    ap.add_argument("--with-positions", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pysearchlite_spark.pipeline import prepare_corpus
+
+    spark = SparkSession.builder.appName("psl-prepare-corpus").getOrCreate()
+    df = spark.read.parquet(args.input)
+
+    near = _kv(args.near_dedup)
+    if near is not None:
+        # int-typed knobs arrive as floats from the k=v parser
+        for k in ("n_perm", "bands", "shingle_k", "max_bucket", "seed"):
+            if k in near:
+                near[k] = int(near[k])
+    deco = None
+    if args.decontaminate is not None:
+        deco = {"probe": spark.read.parquet(args.decontaminate),
+                "n": args.decontaminate_n,
+                "max_frac": args.decontaminate_max_frac}
+    build_kw = {}
+    if args.segment_docs is not None:
+        build_kw["segment_docs"] = args.segment_docs
+    if args.with_positions:
+        build_kw["with_positions"] = True
+
+    report = prepare_corpus(
+        spark, df, args.out_dir, id_col=args.id_col,
+        text_col=args.text_col, lang=args.lang,
+        quality=_kv(args.quality), repetition=_kv(args.repetition),
+        exact_dedup=not args.no_exact_dedup, near_dedup=near,
+        decontaminate=deco, index_dir=args.index_dir, **build_kw)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""prepare_corpus — the canonical training-data preparation pipeline.
+
+Composes the engine's pipeline operators into the standard web-corpus
+cleaning flow (the C4 / Gopher / MassiveText recipe):
+
+    language filter → quality thresholds → repetition thresholds →
+    exact dedup → near dedup (MinHash-LSH + connected components) →
+    benchmark decontamination → write cleaned parquet [+ build index]
+
+Every stage is optional (None disables it) and runs on the PREVIOUS
+stage's survivors; the return value is a per-stage report of kept /
+dropped counts — a 100-TB run needs that observability, and the counts
+force each stage to materialize so retries re-read a persisted
+frontier, not the whole upstream chain.
+
+Scale shape: every stage is one of the already-audited distributed
+operators (no new shuffles introduced here) — quality/repetition are
+shuffle-free scans, exact dedup exchanges (hash, id) pairs, near dedup
+is the hard-capped LSH bucket join + O(log n) star clustering, and
+decontamination broadcasts the (tiny) probe spans. The keep-frontier
+between stages is a doc_id left-semi join, never a collected list.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def _threshold_pred(thresholds: Dict[str, float], valid_cols) -> "F.Column":
+    """"min_<col>" keeps rows with col >= value, "max_<col>" keeps
+    col <= value; <col> must be one of the stage's stats columns
+    (quality_stats: n_chars n_tokens distinct_ratio avg_token_len
+    punct_ratio stopword_ratio; repetition_stats: top{n}gram_frac /
+    dup{n}gram_frac)."""
+    pred = F.lit(True)
+    for key, val in thresholds.items():
+        kind, _, col = key.partition("_")
+        if kind not in ("min", "max") or col not in valid_cols:
+            raise ValueError(f"unknown threshold {key!r}; use "
+                             f"min_/max_ + one of {sorted(valid_cols)}")
+        cond = (F.col(col) >= val) if kind == "min" else (F.col(col) <= val)
+        pred = pred & cond
+    return pred
+
+
+def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   lang: Optional[str] = None,
+                   quality: Optional[Dict[str, float]] = None,
+                   repetition: Optional[Dict[str, float]] = None,
+                   exact_dedup: bool = True,
+                   near_dedup: Optional[Dict] = None,
+                   decontaminate: Optional[Dict] = None,
+                   index_dir: Optional[str] = None,
+                   **build_kw) -> dict:
+    """Run the cleaning pipeline over `df` (id_col + text_col at
+    minimum; extra columns ride along), write the surviving rows to
+    `out_dir` as parquet, optionally build a search index over them.
+
+    lang: keep docs whose n-gram language-ID prediction equals this.
+    quality: min_/max_ thresholds over quality_stats columns, e.g.
+        {"min_n_tokens": 50, "max_punct_ratio": 0.2,
+         "min_stopword_ratio": 0.05}.
+    repetition: min_/max_ thresholds over repetition_stats columns,
+        e.g. {"max_top2gram_frac": 0.2, "max_dup5gram_frac": 0.3}.
+    exact_dedup: drop byte-identical texts (keep the min doc_id).
+    near_dedup: MinHash-LSH near-dup clustering; dict of
+        minhash_lsh_pairs overrides ({"threshold": 0.9, ...}); only the
+        minimum-id representative of each cluster survives.
+    decontaminate: {"probe": DataFrame[, "probe_text_col"], "n": 8,
+        "max_frac": 0.0} — drop docs whose distinct n-token spans
+        overlap the probe (benchmark) set beyond max_frac.
+
+    Returns {"stages": [{stage, kept, dropped}...], "n_in", "n_out",
+    "out_dir"[, "index": BuildResult-ish dict]}.
+    """
+    from pysearchlite_spark.functions import text as T
+    from pysearchlite_spark.operators import dedup as D
+    from pysearchlite_spark.operators.cluster import dedup_clusters
+
+    cur = df
+    report: dict = {"stages": [], "n_in": df.count(), "out_dir": out_dir}
+    n_prev = report["n_in"]
+
+    def advance(stage: str, kept: DataFrame) -> DataFrame:
+        nonlocal n_prev, cur
+        kept = kept.persist()
+        n = kept.count()
+        report["stages"].append(
+            {"stage": stage, "kept": n, "dropped": n_prev - n})
+        cur.unpersist()
+        n_prev, cur = n, kept
+        return kept
+
+    cur = cur.persist()
+
+    if lang is not None:
+        pred = T.lang_id(cur, id_col=id_col, text_col=text_col)
+        keep = pred.filter(F.col("lang_pred") == lang).select(id_col)
+        advance("lang", cur.join(keep, id_col, "left_semi"))
+
+    if quality:
+        stats = T.quality_stats(cur, id_col=id_col, text_col=text_col)
+        ok = set(stats.columns) - {id_col, "doc_id"}
+        keep = stats.filter(_threshold_pred(quality, ok)).select(id_col)
+        advance("quality", cur.join(keep, id_col, "left_semi"))
+
+    if repetition:
+        stats = T.repetition_stats(cur, id_col=id_col, text_col=text_col)
+        ok = set(stats.columns) - {id_col, "doc_id"}
+        keep = stats.filter(_threshold_pred(repetition, ok)).select(id_col)
+        advance("repetition", cur.join(keep, id_col, "left_semi"))
+
+    if exact_dedup:
+        verd = D.exact_dedup(cur, id_col=id_col, text_col=text_col)
+        keep = (verd.filter(~F.col("is_dup"))
+                .select(F.col("doc_id").alias(id_col)))
+        advance("exact_dedup", cur.join(keep, id_col, "left_semi"))
+
+    if near_dedup is not None:
+        kw = dict(near_dedup)
+        pairs = D.minhash_lsh_pairs(cur, id_col=id_col, text_col=text_col,
+                                    **kw)
+        verd = dedup_clusters(cur, id_col=id_col, text_col=text_col,
+                              pairs=pairs)
+        keep = (verd.filter(~F.col("is_dup"))
+                .select(F.col("doc_id").alias(id_col)))
+        advance("near_dedup", cur.join(keep, id_col, "left_semi"))
+
+    if decontaminate is not None:
+        kw = dict(decontaminate)
+        probe = kw.pop("probe")
+        max_frac = float(kw.pop("max_frac", 0.0))
+        sig = D.span_contamination(cur, probe, id_col=id_col,
+                                   text_col=text_col, **kw)
+        keep = (sig.filter(F.col("contamination_frac") <= max_frac)
+                .select(F.col("doc_id").alias(id_col)))
+        advance("decontaminate", cur.join(keep, id_col, "left_semi"))
+
+    cur.write.mode("overwrite").parquet(out_dir)
+    report["n_out"] = n_prev
+
+    if index_dir is not None:
+        from pysearchlite_spark.plans.builder import build_index
+        cleaned = spark.read.parquet(out_dir)
+        build_index(spark, cleaned, index_dir, text_col=text_col,
+                    id_col=id_col, **build_kw)
+        report["index_dir"] = index_dir
+    cur.unpersist()
+    return report

@@ -1,0 +1,98 @@
+"""prepare_corpus — the composed cleaning pipeline: each stage drops
+exactly the planted offenders, the survivors land in the output parquet,
+and the optional index build searches only survivors."""
+
+import pytest
+
+from pysearchlite_spark.pipeline import prepare_corpus
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then walks "
+        "into town to find some other words worth keeping around")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 10 good docs: a long DISTINCT tail per doc (a shared head alone
+    # would make them near-dups of each other)
+    for i in range(10):
+        tail = " ".join(f"w{i}x{j}" for j in range(20))
+        rows.append((i, GOOD + " " + tail))
+    rows.append((20, "zz " * 3))                        # too short
+    rows.append((21, ";;; !!! ??? ::: " * 20))          # punctuation soup
+    # repetition offender: passes quality (stopword 'the', no punct) but
+    # one bigram is ~1/3 of all bigram instances
+    rows.append((22, ("the spam phrase " * 40).strip()))
+    rows.append((23, rows[0][1]))                       # exact dup of 0
+    rows.append((24, rows[1][1] + " tiny edit"))        # near dup of 1
+    rows.append((25, GOOD + " contains the secret benchmark answer "
+                     "sequence alpha beta gamma delta epsilon zeta eta "
+                     "theta"))                          # contaminated
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def probe(spark):
+    return spark.createDataFrame(
+        [(0, "the secret benchmark answer sequence alpha beta gamma "
+             "delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+
+
+def test_pipeline_stages_drop_the_planted_offenders(
+        spark, corpus, probe, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("clean") / "out")
+    idx_dir = str(tmp_path_factory.mktemp("clean_idx"))
+    report = prepare_corpus(
+        spark, corpus, out,
+        quality={"min_n_tokens": 10, "max_punct_ratio": 0.2,
+                 "min_stopword_ratio": 0.05},
+        repetition={"max_top2gram_frac": 0.3},
+        exact_dedup=True,
+        near_dedup={"threshold": 0.8, "max_bucket": 100},
+        decontaminate={"probe": probe, "n": 8, "max_frac": 0.0},
+        index_dir=idx_dir, segment_docs=8)
+
+    stages = {s["stage"]: s for s in report["stages"]}
+    assert report["n_in"] == 16
+    assert stages["quality"]["dropped"] == 2      # 20 (short), 21 (punct)
+    assert stages["repetition"]["dropped"] == 1   # 22
+    assert stages["exact_dedup"]["dropped"] == 1  # 23
+    assert stages["near_dedup"]["dropped"] == 1   # 24
+    assert stages["decontaminate"]["dropped"] == 1  # 25
+    assert report["n_out"] == 10
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == set(range(10))
+
+    # the index was built over survivors only
+    from pysearchlite_spark.engine import SearchIndex
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.n_docs == 10
+    assert idx.count("quick brown fox") == 10
+    assert idx.count("secret benchmark") == 0
+
+
+def test_pipeline_stage_toggles_and_errors(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("clean2") / "out")
+    # only exact dedup enabled: one drop, everything else untouched
+    report = prepare_corpus(spark, corpus, out)
+    assert [s["stage"] for s in report["stages"]] == ["exact_dedup"]
+    assert report["n_out"] == report["n_in"] - 1
+    with pytest.raises(ValueError):
+        prepare_corpus(spark, corpus, out, exact_dedup=False,
+                       quality={"min_bogus_col": 1})
+
+
+def test_pipeline_lang_filter(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(0, GOOD), (1, GOOD + " more of the same english text here"),
+         (2, "der schnelle braune fuchs springt und der hund schläft "
+             "während die katze über die straße in die stadt läuft")],
+        "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("clean3") / "out")
+    report = prepare_corpus(spark, df, out, lang="en", exact_dedup=False)
+    assert report["stages"][0]["stage"] == "lang"
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 1}
