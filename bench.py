@@ -174,6 +174,23 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
                 F.sum("top2gram_frac"), F.sum("dup5gram_frac")).collect()
         with timed("repeated_spans"):
             repeated_spans(docs, n=8).agg(F.sum("dup_spans")).collect()
+        # the composed cleaning pipeline (quality + repetition + exact
+        # dedup + cleaned parquet): measures the stage-chaining overhead
+        # on top of the operators benched individually above; near-dedup
+        # is excluded here because its components already have their own
+        # keys (minhash_lsh_pairs, dedup_clusters) and its
+        # connected-components rounds are job-dispatch-bound at bench SF
+        from pysearchlite_spark.pipeline import prepare_corpus
+        clean_dir = tempfile.mkdtemp(prefix="bench_clean_")
+        try:
+            with timed("prepare_corpus"):
+                rep = prepare_corpus(
+                    spark, docs, os.path.join(clean_dir, "out"),
+                    quality={"min_n_tokens": 10, "max_punct_ratio": 0.3},
+                    repetition={"max_top2gram_frac": 0.5})
+            extras["prepare_corpus_kept"] = rep["n_out"]
+        finally:
+            shutil.rmtree(clean_dir, ignore_errors=True)
         with timed("events_hourly"):
             (events.groupBy(F.window("ts", "1 hour"), "event_type")
              .agg(F.count("*"), F.sum("value")).count())
