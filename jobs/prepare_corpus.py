@@ -8,7 +8,7 @@ JSON report line with per-stage kept/dropped counts.
         [--id-col doc_id] [--text-col text] [--lang en] \
         [--quality min_n_tokens=50,max_punct_ratio=0.2] \
         [--repetition max_top2gram_frac=0.2,max_dup5gram_frac=0.3] \
-        [--no-exact-dedup] [--near-dedup threshold=0.9,max_df=100] \
+        [--no-exact-dedup] [--near-dedup threshold=0.9,max_bucket=1000] \
         [--decontaminate probe.parquet --decontaminate-n 8 \
          --decontaminate-max-frac 0.0] \
         [--index-dir idx/ [--with-positions] [--segment-docs N]]
@@ -33,9 +33,12 @@ def _kv(s: str | None) -> dict | None:
     out = {}
     for part in s.split(","):
         k, _, v = part.partition("=")
-        if not _ or not k:
+        try:
+            if not _ or not k:
+                raise ValueError
+            out[k.strip()] = float(v)
+        except ValueError:
             raise SystemExit(f"bad key=value pair: {part!r}")
-        out[k.strip()] = float(v)
     return out
 
 
@@ -89,7 +92,9 @@ def main() -> None:
         text_col=args.text_col, lang=args.lang,
         quality=_kv(args.quality), repetition=_kv(args.repetition),
         exact_dedup=not args.no_exact_dedup, near_dedup=near,
-        decontaminate=deco, index_dir=args.index_dir, **build_kw)
+        decontaminate=deco, index_dir=args.index_dir,
+        release_cache=True,  # this job owns its session
+        **build_kw)
     print(json.dumps(report))
     spark.stop()
 

@@ -54,6 +54,7 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
                    near_dedup: Optional[Dict] = None,
                    decontaminate: Optional[Dict] = None,
                    index_dir: Optional[str] = None,
+                   release_cache: bool = False,
                    **build_kw) -> dict:
     """Run the cleaning pipeline over `df` (id_col + text_col at
     minimum; extra columns ride along), write the surviving rows to
@@ -72,81 +73,138 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     decontaminate: {"probe": DataFrame[, "probe_text_col"], "n": 8,
         "max_frac": 0.0} — drop docs whose distinct n-token spans
         overlap the probe (benchmark) set beyond max_frac.
+    release_cache: clear the ENTIRE session cache on exit (including
+        failures). The dedup operators persist() intermediates whose
+        release is documented as the caller's job and expose no handle;
+        a job that owns its SparkSession (jobs/prepare_corpus.py) should
+        pass True — a library caller sharing a session with its own
+        cached frames should leave it False and manage the cache itself.
 
     Returns {"stages": [{stage, kept, dropped}...], "n_in", "n_out",
-    "out_dir"[, "index": BuildResult-ish dict]}.
+    "out_dir"[, "index_dir", "index": BuildResult dict]}.
     """
+    import inspect
+
     from pysearchlite_spark.functions import text as T
     from pysearchlite_spark.operators import dedup as D
     from pysearchlite_spark.operators.cluster import dedup_clusters
 
-    cur = df
-    report: dict = {"stages": [], "n_in": df.count(), "out_dir": out_dir}
-    n_prev = report["n_in"]
+    # ---- validate EVERY config up front: a typo'd key must fail before
+    # the first Spark action, not after hours of upstream stages --------
+    if quality:
+        _threshold_pred(quality, {"n_chars", "n_tokens", "distinct_ratio",
+                                  "avg_token_len", "punct_ratio",
+                                  "stopword_ratio"})
+    if repetition:
+        _threshold_pred(repetition, {"top2gram_frac", "top3gram_frac",
+                                     "dup5gram_frac"})
+    if near_dedup is not None:
+        ok = set(inspect.signature(D.minhash_lsh_pairs).parameters)
+        bad = set(near_dedup) - (ok - {"df", "id_col", "text_col"})
+        if bad:
+            raise ValueError(f"unknown near_dedup keys {sorted(bad)}; "
+                             f"minhash_lsh_pairs takes "
+                             f"{sorted(ok - {'df', 'id_col', 'text_col'})}")
+        # dedup_clusters/minhash signatures key docs by LONG ids
+        id_type = df.schema[id_col].dataType.simpleString()
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(f"near_dedup requires an integral id_col; "
+                             f"{id_col} is {id_type}")
+    if decontaminate is not None and "probe" not in decontaminate:
+        raise ValueError("decontaminate needs a 'probe' DataFrame")
+
+    report: dict = {"stages": [], "out_dir": out_dir}
+    owned: list = []  # frames THIS call persisted (never the caller's df)
 
     def advance(stage: str, kept: DataFrame) -> DataFrame:
         nonlocal n_prev, cur
         kept = kept.persist()
+        owned.append(kept)
         n = kept.count()
         report["stages"].append(
             {"stage": stage, "kept": n, "dropped": n_prev - n})
-        cur.unpersist()
+        # identity check (DataFrame == builds a Column, never use `in`);
+        # never release a cache the CALLER holds
+        if any(f is cur for f in owned):
+            cur.unpersist()
+            owned[:] = [f for f in owned if f is not cur]
         n_prev, cur = n, kept
         return kept
 
-    cur = cur.persist()
+    # Input caching: if the caller already cached df, their cache serves
+    # the n_in count and the first stage and is NOT ours to release
+    # (persisting/unpersisting any plan-equivalent alias evicts the same
+    # CacheManager entry — select("*") canonicalizes away). Otherwise
+    # persist it ourselves, BEFORE counting, so the n_in pass fills the
+    # cache instead of being a wasted extra input scan.
+    cur = df
+    if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        cur = df.persist()
+        owned.append(cur)
+    report["n_in"] = n_prev = cur.count()
 
-    if lang is not None:
-        pred = T.lang_id(cur, id_col=id_col, text_col=text_col)
-        keep = pred.filter(F.col("lang_pred") == lang).select(id_col)
-        advance("lang", cur.join(keep, id_col, "left_semi"))
+    try:
+        if lang is not None:
+            pred = T.lang_id(cur, id_col=id_col, text_col=text_col)
+            keep = pred.filter(F.col("lang_pred") == lang).select(id_col)
+            advance("lang", cur.join(keep, id_col, "left_semi"))
 
-    if quality:
-        stats = T.quality_stats(cur, id_col=id_col, text_col=text_col)
-        ok = set(stats.columns) - {id_col, "doc_id"}
-        keep = stats.filter(_threshold_pred(quality, ok)).select(id_col)
-        advance("quality", cur.join(keep, id_col, "left_semi"))
+        if quality:
+            stats = T.quality_stats(cur, id_col=id_col, text_col=text_col)
+            ok = set(stats.columns) - {id_col, "doc_id"}
+            keep = stats.filter(_threshold_pred(quality, ok)).select(id_col)
+            advance("quality", cur.join(keep, id_col, "left_semi"))
 
-    if repetition:
-        stats = T.repetition_stats(cur, id_col=id_col, text_col=text_col)
-        ok = set(stats.columns) - {id_col, "doc_id"}
-        keep = stats.filter(_threshold_pred(repetition, ok)).select(id_col)
-        advance("repetition", cur.join(keep, id_col, "left_semi"))
+        if repetition:
+            stats = T.repetition_stats(cur, id_col=id_col,
+                                       text_col=text_col)
+            ok = set(stats.columns) - {id_col, "doc_id"}
+            keep = stats.filter(_threshold_pred(repetition, ok)) \
+                .select(id_col)
+            advance("repetition", cur.join(keep, id_col, "left_semi"))
 
-    if exact_dedup:
-        verd = D.exact_dedup(cur, id_col=id_col, text_col=text_col)
-        keep = (verd.filter(~F.col("is_dup"))
-                .select(F.col("doc_id").alias(id_col)))
-        advance("exact_dedup", cur.join(keep, id_col, "left_semi"))
+        if exact_dedup:
+            verd = D.exact_dedup(cur, id_col=id_col, text_col=text_col)
+            keep = (verd.filter(~F.col("is_dup"))
+                    .select(F.col("doc_id").alias(id_col)))
+            advance("exact_dedup", cur.join(keep, id_col, "left_semi"))
 
-    if near_dedup is not None:
-        kw = dict(near_dedup)
-        pairs = D.minhash_lsh_pairs(cur, id_col=id_col, text_col=text_col,
-                                    **kw)
-        verd = dedup_clusters(cur, id_col=id_col, text_col=text_col,
-                              pairs=pairs)
-        keep = (verd.filter(~F.col("is_dup"))
-                .select(F.col("doc_id").alias(id_col)))
-        advance("near_dedup", cur.join(keep, id_col, "left_semi"))
+        if near_dedup is not None:
+            pairs = D.minhash_lsh_pairs(cur, id_col=id_col,
+                                        text_col=text_col, **near_dedup)
+            verd = dedup_clusters(cur, id_col=id_col, text_col=text_col,
+                                  pairs=pairs)
+            keep = (verd.filter(~F.col("is_dup"))
+                    .select(F.col("doc_id").alias(id_col)))
+            advance("near_dedup", cur.join(keep, id_col, "left_semi"))
 
-    if decontaminate is not None:
-        kw = dict(decontaminate)
-        probe = kw.pop("probe")
-        max_frac = float(kw.pop("max_frac", 0.0))
-        sig = D.span_contamination(cur, probe, id_col=id_col,
-                                   text_col=text_col, **kw)
-        keep = (sig.filter(F.col("contamination_frac") <= max_frac)
-                .select(F.col("doc_id").alias(id_col)))
-        advance("decontaminate", cur.join(keep, id_col, "left_semi"))
+        if decontaminate is not None:
+            kw = dict(decontaminate)
+            probe = kw.pop("probe")
+            max_frac = float(kw.pop("max_frac", 0.0))
+            sig = D.span_contamination(cur, probe, id_col=id_col,
+                                       text_col=text_col, **kw)
+            keep = (sig.filter(F.col("contamination_frac") <= max_frac)
+                    .select(F.col("doc_id").alias(id_col)))
+            advance("decontaminate", cur.join(keep, id_col, "left_semi"))
 
-    cur.write.mode("overwrite").parquet(out_dir)
-    report["n_out"] = n_prev
+        cur.write.mode("overwrite").parquet(out_dir)
+        report["n_out"] = n_prev
 
-    if index_dir is not None:
-        from pysearchlite_spark.plans.builder import build_index
-        cleaned = spark.read.parquet(out_dir)
-        build_index(spark, cleaned, index_dir, text_col=text_col,
-                    id_col=id_col, **build_kw)
-        report["index_dir"] = index_dir
-    cur.unpersist()
+        if index_dir is not None:
+            import dataclasses
+
+            from pysearchlite_spark.plans.builder import build_index
+            cleaned = spark.read.parquet(out_dir)
+            res = build_index(spark, cleaned, index_dir, text_col=text_col,
+                              id_col=id_col, **build_kw)
+            report["index_dir"] = index_dir
+            report["index"] = dataclasses.asdict(res)
+    finally:
+        # release everything this call persisted — including on failure,
+        # where half-run stages must not leak corpus-scale caches
+        for frame in owned:
+            frame.unpersist()
+        if release_cache:
+            spark.catalog.clearCache()
     return report

@@ -72,6 +72,7 @@ def test_pipeline_stages_drop_the_planted_offenders(
     assert idx.n_docs == 10
     assert idx.count("quick brown fox") == 10
     assert idx.count("secret benchmark") == 0
+    assert report["index"]["n_docs"] == 10  # BuildResult in the report
 
 
 def test_pipeline_stage_toggles_and_errors(spark, corpus, tmp_path_factory):
@@ -83,6 +84,32 @@ def test_pipeline_stage_toggles_and_errors(spark, corpus, tmp_path_factory):
     with pytest.raises(ValueError):
         prepare_corpus(spark, corpus, out, exact_dedup=False,
                        quality={"min_bogus_col": 1})
+
+
+def test_pipeline_validates_config_before_any_stage(spark, corpus,
+                                                    tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("clean4") / "out")
+    # a typo'd near_dedup key fails up front — NOT after hours of
+    # upstream stages at real scale (max_df belongs to token_jaccard)
+    with pytest.raises(ValueError, match="near_dedup"):
+        prepare_corpus(spark, corpus, out, near_dedup={"max_df": 100})
+    assert not __import__("os").path.exists(out)  # no stage ran
+    # near dedup keys docs by long ids: string id_col fails fast
+    sdf = corpus.selectExpr("CAST(doc_id AS STRING) AS doc_id", "text")
+    with pytest.raises(ValueError, match="integral id_col"):
+        prepare_corpus(spark, sdf, out, near_dedup={"threshold": 0.9})
+
+
+def test_pipeline_never_evicts_the_callers_cache(spark, corpus,
+                                                 tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("clean5") / "out")
+    cached = corpus.select("doc_id", "text").persist()
+    cached.count()
+    try:
+        prepare_corpus(spark, cached, out)
+        assert cached.storageLevel.useMemory  # still cached afterwards
+    finally:
+        cached.unpersist()
 
 
 def test_pipeline_lang_filter(spark, tmp_path_factory):
