@@ -1210,6 +1210,44 @@ class SearchIndex:
     def _idfs(self, dfs: Dict[str, int]) -> Dict[str, float]:
         return {t: bm25_idf(self.n_docs, d) for t, d in dfs.items() if d > 0}
 
+    def describe(self) -> dict:
+        """Operational snapshot of the index handle — the `_cat indices`
+        / Luke-style introspection surface: corpus stats, committed
+        segment lists, pending delete files, positionality, on-disk
+        bytes per table. One local-filesystem walk + manifest read, no
+        Spark job."""
+        import os
+
+        def du(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        snap = self.snapshot
+        out = {
+            "index_dir": self.cat.root,
+            "snapshot_id": int(snap["snapshot_id"]),
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "n_buckets": self.n_buckets,
+            "has_positions": bool(self.stats.get("has_positions")),
+            "doc_segments": [int(s) for s in snap.get(
+                "doc_segments", snap["segments"])],
+            "posting_segments": [int(s) for s in snap.get(
+                "posting_segments", snap["segments"])],
+            "pending_delete_files": len(self.delete_files or []),
+            "n_snapshots": len(self.cat.load_manifest()["snapshots"]),
+        }
+        if "://" not in self.cat.root:  # local fs only; object stores
+            out["postings_bytes"] = du(self.cat.postings_dir())
+            out["docmap_bytes"] = du(os.path.join(self.cat.root, "docmap"))
+        return out
+
     def search_query_ids(self, q: str, distributed: bool = False
                          ) -> np.ndarray:
         """Lucene-style query STRING → matching doc_ids: terms, quoted

@@ -131,3 +131,25 @@ def test_explain_edge_cases(spark, tmp_path_factory):
     idx = SearchIndex(spark, d)
     ex = idx.explain_score("test", 1)
     assert ex["deleted"] and ex["score"] == 0.0
+
+
+def test_describe_reports_the_handle_state(spark, tmp_path_factory):
+    from pysearchlite_spark.plans.deletes import delete_docs
+    df = spark.createDataFrame(
+        [(i, f"doc{i}", text) for i, text in CORPUS],
+        "doc_id long, url string, text string")
+    d = str(tmp_path_factory.mktemp("describe_idx"))
+    build_index(spark, df, d, id_col="doc_id", url_col="url",
+                segment_docs=2)
+    idx = SearchIndex(spark, d)
+    desc = idx.describe()
+    assert desc["n_docs"] == len(CORPUS)
+    assert desc["pending_delete_files"] == 0
+    assert not desc["has_positions"]
+    assert desc["postings_bytes"] > 0 and desc["docmap_bytes"] > 0
+    assert desc["doc_segments"] == desc["posting_segments"]
+    delete_docs(spark, d, [0])
+    desc2 = SearchIndex(spark, d).describe()
+    assert desc2["pending_delete_files"] == 1
+    assert desc2["snapshot_id"] != desc["snapshot_id"]
+    assert desc2["n_snapshots"] == desc["n_snapshots"] + 1
