@@ -230,6 +230,7 @@ Q_MSM, MSM_M = "table query spark merge", 3   # min-should-match: 3 of 4
 W_PATTERN, W_LIKE = "s?a*", "s_a%"  # wildcard ≙ SQL LIKE (token alphabet)
 RX_PATTERN = "s(mall|low|ort)"  # regex term query (valid re/rlike/RE2)
 Q_STRING = f'value "{Q_PHRASE}" -merge {W_PATTERN}'  # parser composite
+SYN_Q, SYN_MAP = "table value", {"table": ["row"]}  # synonym group
 FIELD_Q = {"title": "table", "body": "part value"}  # cross-field AND
 Q_DIS, DIS_W = "table value", {"title": 2.0, "body": 1.0}  # dismax
 
@@ -365,6 +366,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed with the sorted-mask kernels (positional index)
         return _ids_df(spark, _index_pos(spark, sf)
                        .search_query_ids(Q_STRING))
+
+    def search_synonym_and(spark, sf):
+        # query-time synonym expansion (table|row) AND value — union
+        # within group, intersect across groups, per segment
+        return _ids_df(spark, _index(spark, sf)
+                       .search_synonym_ids(SYN_Q, SYN_MAP))
+
+    def bm25_topk_syn(spark, sf):
+        # Lucene SynonymQuery scoring: group tf = sum of member tfs
+        # (saturation once), group idf from the max member df
+        top = _index(spark, sf).topk_synonyms(SYN_Q, SYN_MAP, k=10)
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
 
     def bm25_topk_query(spark, sf):
         # ranked query string: phrase/wildcard/NOT clauses gate
@@ -610,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_regex": search_regex,
         "search_query": search_query,
         "bm25_topk_query": bm25_topk_query,
+        "search_synonym_and": search_synonym_and,
+        "bm25_topk_syn": bm25_topk_syn,
         "field_search_and": field_search_and,
         "bm25_dismax": bm25_dismax,
         "doc_len": doc_len,
@@ -693,6 +710,43 @@ ORDER BY score DESC, doc_id LIMIT 10 OFFSET {offset}
                     f"NOT list_contains({_TOK}, '{Q_NOT}') AND "
                     f"len(list_filter({_TOK}, t -> t LIKE "
                     f"'{W_LIKE}')) > 0")
+    # synonym-group BM25 (Lucene SynonymQuery): group tf = SUM of member
+    # tfs (saturation applied once), group idf from the MAX member df
+    syn_g0 = ", ".join(f"'{t}'" for t in ["table"] + SYN_MAP["table"])
+    syn_all = ", ".join(f"'{t}'" for t in
+                        ["table"] + SYN_MAP["table"] + ["value"])
+    bm25_syn = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+), dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({syn_all}) GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), gtf AS (
+  SELECT doc_id, CASE WHEN term IN ({syn_g0}) THEN 0 ELSE 1 END AS g,
+         sum(tf) AS tf
+  FROM tf GROUP BY doc_id, g
+), gdf AS (
+  SELECT CASE WHEN term IN ({syn_g0}) THEN 0 ELSE 1 END AS g,
+         max(df) AS df
+  FROM dft GROUP BY g
+), scores AS (
+  SELECT gtf.doc_id,
+         sum( ln(1 + (stats.n - gdf.df + 0.5)/(gdf.df + 0.5))
+              * gtf.tf * (1.2 + 1)
+              / (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM gtf JOIN gdf USING (g) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY gtf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10"""
     msm_in = ", ".join(f"'{t}'" for t in Q_MSM.split())
     bm25_msm = bm25_sql(
         msm_in, having=f"HAVING count(DISTINCT tf.term) >= {MSM_M}")
@@ -1065,6 +1119,12 @@ WHERE c >= {MSM_M} ORDER BY doc_id""",
         "bm25_topk_query": bm25_sql(
             "'value'", where=f"WHERE doc_id IN (SELECT doc_id "
                              f"FROM documents WHERE {qstring_pred})"),
+        "search_synonym_and": f"SELECT doc_id FROM documents WHERE "
+                              f"(list_contains({_TOK}, 'table') OR "
+                              f"list_contains({_TOK}, 'row')) AND "
+                              f"list_contains({_TOK}, 'value') "
+                              f"ORDER BY doc_id",
+        "bm25_topk_syn": bm25_syn,
         "search_regex": f"SELECT doc_id FROM documents WHERE "
                         f"len(list_filter({_TOK}, t -> "
                         f"regexp_full_match(t, '{RX_PATTERN}'))) > 0 "

@@ -105,6 +105,77 @@ def _after_cut(docs: np.ndarray, scores: np.ndarray,
     return docs[keep], scores[keep]
 
 
+def _merge_group_streams(rows: List[dict], deleted: Optional[np.ndarray],
+                         allowed: Optional[np.ndarray]
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge one synonym GROUP's member posting rows (same segment) into
+    a single pseudo-term stream — Lucene SynonymQuery semantics: the
+    group matches the union of member docs, a doc's tf is the SUM of its
+    member tfs (then the BM25 saturation applies ONCE to the sum — NOT
+    the sum of per-member partials), dl is the doc's length (identical
+    across members). Full-decode path; masks applied per member first."""
+    doc_l, tf_l, dl_l = [], [], []
+    for r in rows:
+        df = int(r["df"])
+        docs = codec.unpack_docs(r["docs"], df)
+        tfs = codec.unpack_stream(r["tfs"], df).astype(np.int64)
+        dls = codec.unpack_stream(r["dls"], df).astype(np.int64)
+        if deleted is not None and deleted.size:
+            keep = codec.tombstone_keep_mask(docs, deleted)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if allowed is not None:
+            keep = _allowed_mask(docs, allowed)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        doc_l.append(docs)
+        tf_l.append(tfs)
+        dl_l.append(dls)
+    cat = np.concatenate(doc_l) if doc_l else np.empty(0, np.int64)
+    if cat.size == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    u, inv = np.unique(cat, return_inverse=True)
+    tf = np.bincount(inv, weights=np.concatenate(tf_l)).astype(np.int64)
+    dl = np.zeros(u.size, dtype=np.int64)
+    dl[inv] = np.concatenate(dl_l)  # identical per doc across members
+    return u, tf, dl
+
+
+def score_segment_groups(groups_rows: List[List[dict]],
+                         idfs_g: List[float], k: int, mode: str,
+                         avgdl: float, min_match: int = 1,
+                         deleted: Optional[np.ndarray] = None,
+                         allowed: Optional[np.ndarray] = None,
+                         after: Optional[Tuple[int, float]] = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Score one segment under synonym-group semantics: each group is a
+    pseudo-term (merged via _merge_group_streams) with idf from the
+    group's MAX member df (Lucene SynonymQuery's docFreq bound), then
+    the ordinary disjunctive/conjunctive scoring over pseudo-terms.
+    Always exhaustive — per-member block-max bounds don't bound the
+    group's summed-tf partials."""
+    if allowed is not None and allowed.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    streams = [_merge_group_streams(rows, deleted, allowed)
+               for rows in groups_rows]
+    if mode == "and":
+        if any(s[0].size == 0 for s in streams):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = I.intersect_sorted([s[0] for s in streams])
+        if ids.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        scores = np.zeros(ids.size, dtype=np.float64)
+        for (u, tf, dl), idf in zip(streams, idfs_g):
+            pos = np.searchsorted(u, ids)
+            scores += idf * codec.bm25_partial(tf[pos], dl[pos], avgdl)
+        docs = ids
+    else:
+        docs, scores = W.score_disjunctive(
+            [s[0] for s in streams], [s[1] for s in streams],
+            [s[2] for s in streams], idfs_g, avgdl, min_match=min_match)
+    docs, scores = _after_cut(docs, scores, after)
+    return _truncate_topk(docs, scores, k)
+
+
 def _split_aux(ddf: Optional[pd.DataFrame], has_filter: bool
                ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
     """Parse one segment's cogrouped aux rows (_seg_aux_grouped) into the
@@ -685,6 +756,150 @@ class SearchIndex:
         ids = _mask_deleted(np.concatenate(parts), self._deleted())
         return self._apply_flat_filter(ids, filter_ids, filter_sql,
                                        has_filter)
+
+    # --------------------------------------------------------- synonyms --
+    def _synonym_groups(self, query: str,
+                        synonyms: Dict[str, List[str]]) -> List[List[str]]:
+        """Query terms → ordered synonym groups: each query term expands
+        to [term] + its synonyms (tokenized, deduped within the group).
+        Terms without an entry are singleton groups."""
+        groups = []
+        for t in query_terms(query):
+            g = [t] + [s for alt in (synonyms.get(t) or ())
+                       for s in query_terms(alt)]
+            groups.append(list(dict.fromkeys(g)))
+        return groups
+
+    def search_synonym_ids(self, query: str,
+                           synonyms: Dict[str, List[str]],
+                           distributed: bool = False) -> np.ndarray:
+        """Boolean AND with query-time synonym expansion (Lucene
+        SynonymGraphFilter shape): each query term matches if the doc
+        contains the term OR any of its synonyms; docs must satisfy
+        every group. Per segment: union within group, intersect across
+        groups (segments partition the docID space)."""
+        groups = self._synonym_groups(query, synonyms)
+        if not groups:
+            return np.empty(0, dtype=np.int64)
+        all_terms = list(dict.fromkeys(t for g in groups for t in g))
+        if distributed:
+            out = (self._matching_ids_dist(all_terms, "groups",
+                                           groups=groups)
+                   .orderBy("doc_id").toPandas())
+            return out["doc_id"].to_numpy(np.int64)
+        fetched = self._fetch(all_terms)
+        dfs = self.global_dfs(fetched, all_terms)
+        if any(all(dfs[t] == 0 for t in g) for g in groups):
+            return np.empty(0, dtype=np.int64)  # a whole group is dead
+        parts = []
+        for seg, rows in sorted(self._rows_by_seg(fetched).items()):
+            by_term = {r["term"]: r for r in rows}
+            unions = []
+            for g in groups:
+                grows = [by_term[t] for t in g if t in by_term]
+                unions.append(I.union_sorted(
+                    [codec.unpack_docs(r["docs"], int(r["df"]))
+                     for r in grows]))
+            if any(u.size == 0 for u in unions):
+                continue
+            parts.append(I.intersect_sorted(unions))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return _mask_deleted(np.concatenate(parts), self._deleted())
+
+    def count_synonyms(self, query: str, synonyms: Dict[str, List[str]],
+                       distributed: bool = False) -> int:
+        return int(self.search_synonym_ids(
+            query, synonyms, distributed=distributed).size)
+
+    def topk_synonyms(self, query: str, synonyms: Dict[str, List[str]],
+                      k: int = 10, mode: str = "or",
+                      distributed: bool = False, min_match: int = 1,
+                      filter_ids=None, filter_sql: Optional[str] = None,
+                      after: Optional[Tuple[int, float]] = None
+                      ) -> List[Tuple[int, float]]:
+        """BM25 top-k with query-time synonyms — Lucene SynonymQuery
+        scoring: each group is ONE pseudo-term whose per-doc tf is the
+        SUM of member tfs (saturation applies once to the sum) and whose
+        idf comes from the group's MAX member df (the docFreq upper
+        bound), so adding a rare synonym never inflates a common term's
+        idf. mode/min_match/filters/after compose exactly as in topk.
+        Always exhaustive scoring — per-member block-max bounds don't
+        bound a group's summed-tf partials."""
+        groups = self._synonym_groups(query, synonyms)
+        if not groups or k <= 0:
+            return []
+        if min_match > 1 and mode == "and":
+            raise ValueError("min_match applies to mode='or'")
+        all_terms = list(dict.fromkeys(t for g in groups for t in g))
+        has_filter = filter_ids is not None or filter_sql is not None
+        if distributed:
+            dfs = self._global_dfs_dist(all_terms)
+        else:
+            fetched = self._fetch(all_terms)
+            dfs = self.global_dfs(fetched, all_terms)
+        if mode == "and" and any(all(dfs[t] == 0 for t in g)
+                                 for g in groups):
+            return []
+        idfs_g = [bm25_idf(self.n_docs, max(dfs[t] for t in g))
+                  if any(dfs[t] > 0 for t in g) else 0.0 for g in groups]
+        if distributed:
+            return self._topk_syn_dist(
+                groups, idfs_g, k, mode, min_match, after,
+                filter_df=(self._routed_filter_df(filter_ids, filter_sql)
+                           if has_filter else None))
+        flt = (self._filter_by_seg(filter_ids, filter_sql) if has_filter
+               else None)
+        _no_allow = np.empty(0, dtype=np.int64)
+        by_seg = self._deleted_by_seg()
+        parts: List[Tuple[np.ndarray, np.ndarray]] = []
+        for seg, rows in sorted(self._rows_by_seg(fetched).items()):
+            by_term = {r["term"]: r for r in rows}
+            groups_rows = [[by_term[t] for t in g if t in by_term]
+                           for g in groups]
+            d = by_seg.get(int(seg)) if by_seg else None
+            a = flt.get(int(seg), _no_allow) if flt is not None else None
+            parts.append(score_segment_groups(
+                groups_rows, idfs_g, k, mode, self.avgdl,
+                min_match=min_match, deleted=d, allowed=a, after=after))
+        return W.topk_merge(parts, k)
+
+    def _topk_syn_dist(self, groups: List[List[str]],
+                       idfs_g: List[float], k: int, mode: str,
+                       min_match: int, after,
+                       filter_df: Optional[DataFrame] = None
+                       ) -> List[Tuple[int, float]]:
+        """Distributed synonym scoring: the per-segment group kernel runs
+        inside applyInPandas (tombstones/filters cogrouped as usual),
+        only per-segment top-k partials reach the driver."""
+        all_terms = list(dict.fromkeys(t for g in groups for t in g))
+        avgdl, kk, md, mm = self.avgdl, k, mode, min_match
+        has_filter = filter_df is not None
+
+        def run(key, pdf: pd.DataFrame,
+                ddf: Optional[pd.DataFrame] = None) -> pd.DataFrame:
+            by_term = {r["term"]: r for r in pdf.to_dict("records")}
+            deleted, allowed = _split_aux(ddf, has_filter)
+            groups_rows = [[by_term[t] for t in g if t in by_term]
+                           for g in groups]
+            d, s = score_segment_groups(groups_rows, idfs_g, kk, md,
+                                        avgdl, min_match=mm,
+                                        deleted=deleted, allowed=allowed,
+                                        after=after)
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        grouped = (self.postings_df(all_terms).select(*QUERY_COLS)
+                   .groupBy("seg"))
+        schema = "doc_id long, score double"
+        if not self.delete_files and not has_filter:
+            scored = grouped.applyInPandas(
+                lambda key, pdf: run(key, pdf, None), schema)
+        else:
+            scored = grouped.cogroup(
+                self._seg_aux_grouped(filter_df)).applyInPandas(run, schema)
+        out = scored.toPandas()
+        return W.topk_merge([(out["doc_id"].to_numpy(np.int64),
+                              out["score"].to_numpy(np.float64))], k)
 
     def count_min_match(self, query: str, min_match: int,
                         distributed: bool = False, filter_ids=None,
@@ -1551,7 +1766,9 @@ class SearchIndex:
     def _matching_ids_dist(self, terms: List[str], mode: str,
                            exclude: Optional[List[str]] = None,
                            filter_df: Optional[DataFrame] = None,
-                           min_match: int = 1) -> DataFrame:
+                           min_match: int = 1,
+                           groups: Optional[List[List[str]]] = None
+                           ) -> DataFrame:
         """Per-segment boolean kernel as a DataFrame of matching doc_ids —
         the building block every distributed path (and the scalable
         search_df surface) shares; nothing is collected here. Pending
@@ -1581,6 +1798,19 @@ class SearchIndex:
                 ids = I.min_match_sorted(
                     [codec.unpack_docs(r["docs"], int(r["df"]))
                      for r in rows], min_match)
+            elif mode == "groups":
+                # synonym groups: union within group, intersect across
+                by_term = {r["term"]: r for r in rows}
+                unions = []
+                for g in groups:
+                    grows = [by_term[t] for t in g if t in by_term]
+                    unions.append(I.union_sorted(
+                        [codec.unpack_docs(r["docs"], int(r["df"]))
+                         for r in grows]))
+                if any(u.size == 0 for u in unions):
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64")})
+                ids = I.intersect_sorted(unions)
             else:
                 ids = I.union_sorted(
                     [codec.unpack_docs(r["docs"], int(r["df"]))
