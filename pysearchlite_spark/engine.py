@@ -809,8 +809,18 @@ class SearchIndex:
 
     def count_synonyms(self, query: str, synonyms: Dict[str, List[str]],
                        distributed: bool = False) -> int:
-        return int(self.search_synonym_ids(
-            query, synonyms, distributed=distributed).size)
+        if distributed:
+            # count without materializing ids on the driver (no global
+            # sort, no id transfer) — same discipline as _count_and_dist
+            groups = self._synonym_groups(query, synonyms)
+            if not groups:
+                return 0
+            all_terms = list(dict.fromkeys(t for g in groups for t in g))
+            out = (self._matching_ids_dist(all_terms, "groups",
+                                           groups=groups)
+                   .agg(F.count("doc_id").alias("total")).collect())
+            return int(out[0]["total"] or 0)
+        return int(self.search_synonym_ids(query, synonyms).size)
 
     def topk_synonyms(self, query: str, synonyms: Dict[str, List[str]],
                       k: int = 10, mode: str = "or",
@@ -845,15 +855,18 @@ class SearchIndex:
                   if any(dfs[t] > 0 for t in g) else 0.0 for g in groups]
         if distributed:
             return self._topk_syn_dist(
-                groups, idfs_g, k, mode, min_match, after,
+                groups, idfs_g, k, mode, min_match, after, dfs=dfs,
                 filter_df=(self._routed_filter_df(filter_ids, filter_sql)
                            if has_filter else None))
-        flt = (self._filter_by_seg(filter_ids, filter_sql) if has_filter
-               else None)
+        seg_rows = sorted(self._rows_by_seg(fetched).items())
+        # resolve the allow-list (a Spark job) only once some segment
+        # actually carries the query's terms — all-miss is [] for free
+        flt = (self._filter_by_seg(filter_ids, filter_sql)
+               if has_filter and seg_rows else None)
         _no_allow = np.empty(0, dtype=np.int64)
         by_seg = self._deleted_by_seg()
         parts: List[Tuple[np.ndarray, np.ndarray]] = []
-        for seg, rows in sorted(self._rows_by_seg(fetched).items()):
+        for seg, rows in seg_rows:
             by_term = {r["term"]: r for r in rows}
             groups_rows = [[by_term[t] for t in g if t in by_term]
                            for g in groups]
@@ -867,12 +880,19 @@ class SearchIndex:
     def _topk_syn_dist(self, groups: List[List[str]],
                        idfs_g: List[float], k: int, mode: str,
                        min_match: int, after,
+                       dfs: Optional[Dict[str, int]] = None,
                        filter_df: Optional[DataFrame] = None
                        ) -> List[Tuple[int, float]]:
         """Distributed synonym scoring: the per-segment group kernel runs
         inside applyInPandas (tombstones/filters cogrouped as usual),
-        only per-segment top-k partials reach the driver."""
-        all_terms = list(dict.fromkeys(t for g in groups for t in g))
+        only per-segment top-k partials reach the driver. `dfs` (already
+        computed by the caller) prunes dead terms from the scan — a df=0
+        member must not cost its term-bucket scan (P4 discipline)."""
+        all_terms = list(dict.fromkeys(
+            t for g in groups for t in g
+            if dfs is None or dfs.get(t, 0) > 0))
+        if not all_terms:
+            return []
         avgdl, kk, md, mm = self.avgdl, k, mode, min_match
         has_filter = filter_df is not None
 
@@ -1460,7 +1480,7 @@ class SearchIndex:
         }
         if "://" not in self.cat.root:  # local fs only; object stores
             out["postings_bytes"] = du(self.cat.postings_dir())
-            out["docmap_bytes"] = du(os.path.join(self.cat.root, "docmap"))
+            out["docmap_bytes"] = du(self.cat.docmap_dir())
         return out
 
     def search_query_ids(self, q: str, distributed: bool = False

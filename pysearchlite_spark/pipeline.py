@@ -90,14 +90,17 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     from pysearchlite_spark.operators.cluster import dedup_clusters
 
     # ---- validate EVERY config up front: a typo'd key must fail before
-    # the first Spark action, not after hours of upstream stages --------
+    # the first Spark action, not after hours of upstream stages. Valid
+    # column sets come from the stats functions' own output schemas
+    # (limit(0) → plan-only, no job), so they can never desynchronize
     if quality:
-        _threshold_pred(quality, {"n_chars", "n_tokens", "distinct_ratio",
-                                  "avg_token_len", "punct_ratio",
-                                  "stopword_ratio"})
+        cols = set(T.quality_stats(df.limit(0), id_col=id_col,
+                                   text_col=text_col).columns) - {id_col}
+        _threshold_pred(quality, cols)
     if repetition:
-        _threshold_pred(repetition, {"top2gram_frac", "top3gram_frac",
-                                     "dup5gram_frac"})
+        cols = set(T.repetition_stats(df.limit(0), id_col=id_col,
+                                      text_col=text_col).columns) - {id_col}
+        _threshold_pred(repetition, cols)
     if near_dedup is not None:
         ok = set(inspect.signature(D.minhash_lsh_pairs).parameters)
         bad = set(near_dedup) - (ok - {"df", "id_col", "text_col"})

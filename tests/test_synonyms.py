@@ -84,6 +84,15 @@ def test_boolean_synonym_and(idx, corpus):
     assert idx.search_synonym_ids(Q, SYN).tolist() == want
     assert idx.search_synonym_ids(Q, SYN, distributed=True).tolist() == want
     assert idx.count_synonyms(Q, SYN) == len(want)
+    # distributed count: per-segment sizes only, no id materialization
+    assert idx.count_synonyms(Q, SYN, distributed=True) == len(want)
+    # a dead member (df=0) is pruned from the scan but never changes
+    # results — the group still matches via its live members
+    syn2 = {"fast": ["quick", "rapid", "zzunknown"],
+            "car": ["auto", "vehicle"]}
+    assert idx.search_synonym_ids(Q, syn2).tolist() == want
+    assert (idx.topk_synonyms(Q, syn2, k=10, distributed=True)
+            == idx.topk_synonyms(Q, SYN, k=10))
     # plain AND is a strict subset (synonyms only widen each group)
     plain = set(idx.search_and_ids(Q).tolist())
     assert plain <= set(want)
