@@ -53,13 +53,28 @@ def run(spark, index_dir: str, lines, out=None, err=None,
 
     out = out or sys.stdout
     err = err or sys.stderr
-    idx = SearchIndex(spark, index_dir)
+    if os.path.exists(os.path.join(index_dir, "fields.json")):
+        # a multi-field root: the query-string commands work with
+        # field-scoped clauses (QUERY title:foo body:bar); the
+        # single-index commands need a field subdirectory instead
+        from pysearchlite_spark.fields import MultiFieldIndex
+        idx = MultiFieldIndex(spark, index_dir)
+    else:
+        idx = SearchIndex(spark, index_dir)
     dist = distributed
+    is_mf = not hasattr(idx, "count")  # MultiFieldIndex surface
     for line in lines:
         line = line.rstrip("\n")
         if not line:
             continue
         cmd, _, q = line.partition("\t")
+        if is_mf and cmd not in ("QUERY", "QUERY_COUNT"):
+            err.write(f"ERR {cmd} needs a single-field index; this is a "
+                      "multi-field root (use QUERY with field: clauses, "
+                      "or point --index-dir at root/fields/<name>)\n")
+            out.write("\n")
+            out.flush()
+            continue
         if cmd == "COUNT" or cmd == "TOP_10_COUNT":
             out.write(f"{idx.count(q, distributed=dist)}\n")
         elif cmd == "TOP_10":

@@ -217,3 +217,26 @@ def test_phrase_on_plain_index_degrades_to_err_line(spark, idx_dir):
     ])
     assert out == ["", "", "2"]
     assert len(err) == 2 and all(e.startswith("ERR ") for e in err)
+
+
+def test_protocol_multi_field_root(spark, tmp_path_factory):
+    from pysearchlite_spark.fields import build_multi_field
+    df = spark.createDataFrame(
+        [(0, "a", "hello title", "hello world body"),
+         (1, "b", "other title", "this is a test body"),
+         (2, "c", "hello again", "this is another test")],
+        "doc_id long, url string, title string, body string")
+    root = str(tmp_path_factory.mktemp("cli_mf"))
+    build_multi_field(spark, df, root,
+                      fields={"title": "title", "body": "body"},
+                      id_col="doc_id", url_col="url", segment_docs=2)
+    out, err = _run(spark, root, [
+        "QUERY\ttitle:hello body:test",    # fielded query string → doc 2
+        "QUERY_COUNT\ttitle:hello",        # docs 0, 2
+        "COUNT\thello",                    # single-index cmd → ERR line
+    ])
+    assert out == ["2", "2", ""]
+    assert len(err) == 1 and "multi-field root" in err[0]
+    # the per-field subdirectory stays a full single-field index
+    out2, _ = _run(spark, f"{root}/fields/body", ["COUNT\ttest"])
+    assert out2 == ["2"]
