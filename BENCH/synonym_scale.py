@@ -1,0 +1,100 @@
+"""Synonym-group queries at scale: 1M deterministic synthetic docs, one
+plain index, unpinned local[32]. Measures the cost of SynonymQuery
+semantics (per-group stream merge + summed-tf scoring, always
+exhaustive) against plain BM25 over the same terms, for hot Zipf-head
+synonym members — the worst case, since every member stream fully
+decodes. Sanity: the synonym AND count is >= the plain AND count (groups
+only widen), and dropping blockmax alone doesn't explain the delta
+(plain exhaustive is measured too).
+
+Usage: python BENCH/synonym_scale.py [n_docs] → one JSON line + writes
+BENCH/synonym_scale.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pysearchlite_spark.session import get_spark  # noqa: E402
+
+Q = "high school"
+SYN = {"high": ["united"], "school": ["states"]}  # hot-member groups
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    from pysearchlite_spark.datagen import generate_pages
+    from pysearchlite_spark.engine import SearchIndex
+    from pysearchlite_spark.plans.builder import build_index
+
+    spark = get_spark("synonym_scale", master="local[32]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_docs": n, "cpus": 32, "pinned": False,
+                 "query": Q, "synonyms": SYN}
+
+    pages_dir = tempfile.mkdtemp(prefix="syn_scale_pages_")
+    idx_dir = tempfile.mkdtemp(prefix="syn_scale_idx_")
+    try:
+        pages = generate_pages(spark, n, seed=42).select("url", "text")
+        pages.write.mode("overwrite").parquet(pages_dir)
+        docs = spark.read.parquet(pages_dir)
+        t0 = time.monotonic()
+        build_index(spark, docs, idx_dir, url_col="url",
+                    segment_docs=1 << 18)
+        out["build_sec"] = round(time.monotonic() - t0, 2)
+        idx = SearchIndex(spark, idx_dir)
+
+        best: dict = {}
+
+        def probe(key, fn):
+            t0 = time.monotonic()
+            r = fn()
+            dt = time.monotonic() - t0
+            best[key] = min(best.get(key, dt), dt)
+            return r
+
+        for _ in range(3):
+            plain = probe("bm25_top10", lambda: idx.topk(Q, k=10))
+            probe("bm25_top10_exhaustive",
+                  lambda: idx.topk(Q, k=10, use_blockmax=False))
+            syn = probe("bm25_syn_top10",
+                        lambda: idx.topk_synonyms(Q, SYN, k=10))
+            n_and = probe("count_and", lambda: idx.count(Q))
+            n_syn = probe("count_syn_and",
+                          lambda: idx.count_synonyms(Q, SYN))
+            n_syn_d = probe("count_syn_and_dist",
+                            lambda: idx.count_synonyms(Q, SYN,
+                                                       distributed=True))
+        assert len(plain) == 10 and len(syn) == 10
+        assert n_syn >= n_and and n_syn_d == n_syn
+        out["count_and"] = n_and
+        out["count_syn_and"] = n_syn
+        for k, v in best.items():
+            out[f"{k}_sec"] = round(v, 3)
+        out["syn_vs_plain"] = round(
+            best["bm25_syn_top10"] / best["bm25_top10"], 2)
+        out["syn_vs_exhaustive"] = round(
+            best["bm25_syn_top10"] / best["bm25_top10_exhaustive"], 2)
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "synonym_scale.json"), "w") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
