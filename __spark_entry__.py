@@ -228,8 +228,11 @@ BATCH_QUERIES = [Q_BM25, Q_AND, Q_OR]  # bm25_topk_batch: one job, 3 queries
 FILTER_PRED = "n_chars >= 300"  # allow-list predicate (filtered entries)
 Q_MSM, MSM_M = "table query spark merge", 3   # min-should-match: 3 of 4
 W_PATTERN, W_LIKE = "s?a*", "s_a%"  # wildcard ≙ SQL LIKE (token alphabet)
+FZ_TERM, FZ_EDITS = "part", 2  # fuzzy: expands to {fast,part,sort,spark}
 RX_PATTERN = "s(mall|low|ort)"  # regex term query (valid re/rlike/RE2)
 Q_STRING = f'value "{Q_PHRASE}" -merge {W_PATTERN}'  # parser composite
+GRP_Q = "(table OR row)^2 value"  # OR-group + boost query string
+GRP_BOOST = 2.0
 SYN_Q, SYN_MAP = "table value", {"table": ["row"]}  # synonym group
 FIELD_Q = {"title": "table", "body": "part value"}  # cross-field AND
 Q_DIS, DIS_W = "table value", {"title": 2.0, "body": 1.0}  # dismax
@@ -360,6 +363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ids_df(spark, _index(spark, sf)
                        .search_regex_ids(RX_PATTERN))
 
+    def search_fuzzy(spark, sf):
+        # fuzzy term query (Lucene FuzzyQuery, transpositions=false):
+        # dictionary expansion by length-banded thresholded Levenshtein
+        # over the (term, df) scan, then OR union
+        return _ids_df(spark, _index(spark, sf)
+                       .search_fuzzy_ids(FZ_TERM, max_edits=FZ_EDITS))
+
     def search_query(spark, sf):
         # Lucene-style query STRING (query_parser): term AND exact-phrase
         # AND wildcard-any AND NOT term, each clause on its own kernel,
@@ -386,6 +396,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # membership, the term clause ('value') scores — filtered top-k
         # inside the boolean match set
         top = _index_pos(spark, sf).topk_query(Q_STRING, k=10)
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_topk_boosted(spark, sf):
+        # OR-group + boost query string ((table OR row)^2 value): the
+        # group gates AND scores as ONE SynonymQuery pseudo-term whose
+        # contribution is multiplied by the boost (folded into the group
+        # idf — bit-identical to post-scaling); conjunctive gating across
+        # clauses, filtered group scoring inside the match set
+        top = _index(spark, sf).topk_query(GRP_Q, k=10)
         out = spark.createDataFrame(
             [(int(d), float(s)) for d, s in top], "doc_id long, score double")
         return out.select("doc_id", F.round("score", 6).alias("score"))
@@ -623,8 +644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_min_match": search_min_match,
         "search_wildcard": search_wildcard,
         "search_regex": search_regex,
+        "search_fuzzy": search_fuzzy,
         "search_query": search_query,
         "bm25_topk_query": bm25_topk_query,
+        "bm25_topk_boosted": bm25_topk_boosted,
         "search_synonym_and": search_synonym_and,
         "bm25_topk_syn": bm25_topk_syn,
         "field_search_and": field_search_and,
@@ -743,6 +766,47 @@ WITH tok AS (
               / (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
          ) AS score
   FROM gtf JOIN gdf USING (g) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY gtf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10"""
+    # OR-group + boost query string (GRP_Q = "(table OR row)^2 value"):
+    # same SynonymQuery group scoring as bm25_syn, but (a) the g=0 group's
+    # contribution is multiplied by the boost and (b) gating is
+    # CONJUNCTIVE — a doc must match BOTH clauses (the group and the term)
+    # to be a candidate, per the query-string grammar
+    bm25_boosted = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+), dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({syn_all}) GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), gtf AS (
+  SELECT doc_id, CASE WHEN term IN ({syn_g0}) THEN 0 ELSE 1 END AS g,
+         sum(tf) AS tf
+  FROM tf GROUP BY doc_id, g
+), gdf AS (
+  SELECT CASE WHEN term IN ({syn_g0}) THEN 0 ELSE 1 END AS g,
+         max(df) AS df
+  FROM dft GROUP BY g
+), cand AS (
+  SELECT doc_id FROM gtf GROUP BY doc_id HAVING count(DISTINCT g) = 2
+), scores AS (
+  SELECT gtf.doc_id,
+         sum( (CASE WHEN gtf.g = 0 THEN {GRP_BOOST} ELSE 1.0 END)
+              * ln(1 + (stats.n - gdf.df + 0.5)/(gdf.df + 0.5))
+              * gtf.tf * (1.2 + 1)
+              / (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM gtf JOIN gdf USING (g) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE gtf.doc_id IN (SELECT doc_id FROM cand)
   GROUP BY gtf.doc_id
 )
 SELECT doc_id, round(score, 6) AS score FROM scores
@@ -1125,6 +1189,11 @@ WHERE c >= {MSM_M} ORDER BY doc_id""",
                               f"list_contains({_TOK}, 'value') "
                               f"ORDER BY doc_id",
         "bm25_topk_syn": bm25_syn,
+        "bm25_topk_boosted": bm25_boosted,
+        "search_fuzzy": f"SELECT doc_id FROM documents WHERE "
+                        f"len(list_filter({_TOK}, t -> "
+                        f"levenshtein(t, '{FZ_TERM}') <= {FZ_EDITS})) > 0 "
+                        f"ORDER BY doc_id",
         "search_regex": f"SELECT doc_id FROM documents WHERE "
                         f"len(list_filter({_TOK}, t -> "
                         f"regexp_full_match(t, '{RX_PATTERN}'))) > 0 "

@@ -17,13 +17,15 @@ PREFIX / PREFIX_COUNT (payload is a single term prefix, expanded against
 the dictionary and unioned like OR; cap the expansion with
 ``--prefix-max-terms N`` — keeps the N highest-df matches),
 WILDCARD / WILDCARD_COUNT (payload is one */? pattern over the token
-alphabet, same expansion cap), REGEX / REGEX_COUNT (payload is one
+alphabet, same expansion cap), FUZZY / FUZZY_COUNT (payload
+``<term>[~<edits>]``: terms within Levenshtein distance edits ≤ 2, bare
+term defaults to ~2, same cap), REGEX / REGEX_COUNT (payload is one
 anchored regular expression, same cap), MSM / MSM_COUNT (payload ``<m> <query>``:
 docs matching at least m distinct terms), TOP_10_AFTER (payload
 ``<doc_id>:<score> <query>``: the next ranked page strictly after that
 cursor — searchAfter pagination), and QUERY / QUERY_COUNT (full
 query-string grammar — terms, "phrase", "phrase"~slop, -negation,
-wild*cards, /regex/ — see pysearchlite_spark/query_parser.py).
+wild*cards, fuzzy~1, /regex/ — see pysearchlite_spark/query_parser.py).
 
     spark-submit --py-files pysearchlite_spark.zip jobs/query.py \
         --index-dir /path/to/idx [--distributed] [--prefix-max-terms N]
@@ -32,6 +34,7 @@ wild*cards, /regex/ — see pysearchlite_spark/query_parser.py).
 from __future__ import annotations
 
 import argparse
+import re
 import os
 import sys
 
@@ -141,6 +144,21 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 max_terms=prefix_max_terms).tolist())) + "\n")
         elif cmd == "WILDCARD_COUNT":
             out.write(f"{idx.count_wildcard(q, distributed=dist, max_terms=prefix_max_terms)}\n")
+        elif cmd == "FUZZY" or cmd == "FUZZY_COUNT":
+            # payload is "<term>" or "<term>~<edits>" (bare term = ~2,
+            # the Lucene default)
+            fm = re.fullmatch(r"(.*?)(?:~(\d*))?", q.strip())
+            fterm, fed = fm[1], int(fm[2]) if fm[2] else 2
+            try:
+                ids = idx.search_fuzzy_ids(
+                    fterm, max_edits=fed, distributed=dist,
+                    max_terms=prefix_max_terms)
+            except ValueError as e:
+                err.write(f"ERR {e}\n")
+                out.write("\n")
+            else:
+                out.write((f"{ids.size}" if cmd == "FUZZY_COUNT" else
+                           " ".join(map(str, ids.tolist()))) + "\n")
         elif cmd == "REGEX":
             out.write(" ".join(map(str, idx.search_regex_ids(
                 q, distributed=dist,

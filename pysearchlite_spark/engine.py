@@ -65,6 +65,48 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _fuzzy_mask(terms, target: str, k: int, prefix: str) -> np.ndarray:
+    """Boolean mask over a pandas Series of dictionary terms: full-string
+    Levenshtein distance to `target` ≤ k (and exact `prefix` when set).
+    Vectorized ACROSS candidates: the DP rows are (n_candidates, L+1)
+    numpy arrays, so the Python-level loop is O(|target|·L) regardless of
+    dictionary size — the per-candidate axis stays in C. Terms are ASCII
+    by construction (tokenizer.py [A-Za-z0-9]+ lowered), so byte codes
+    are character codes."""
+    arr = terms.to_numpy(dtype=object)
+    m = len(target)
+    lens = np.fromiter((len(t) for t in arr), dtype=np.int64,
+                       count=arr.size)
+    band = np.abs(lens - m) <= k          # |len(a)-len(b)| ≤ lev(a,b)
+    if prefix:
+        band &= terms.str.startswith(prefix).to_numpy()
+    out = np.zeros(arr.size, dtype=bool)
+    idx = np.nonzero(band)[0]
+    if idx.size == 0 or m == 0:
+        return out
+    sub = arr[idx]
+    sub_lens = lens[idx]
+    L = int(sub_lens.max())
+    codes = np.zeros((idx.size, L), dtype=np.int32)
+    for i, t in enumerate(sub):
+        b = t.encode("ascii", "replace")
+        codes[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    tco = np.frombuffer(target.encode("ascii", "replace"), dtype=np.uint8)
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (idx.size, 1))
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ti = np.int32(tco[i - 1])
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j], cur[:, j - 1]) + 1,
+                prev[:, j - 1] + (codes[:, j - 1] != ti))
+        prev = cur
+    dist = prev[np.arange(idx.size), sub_lens]
+    out[idx] = dist <= k
+    return out
+
+
 def _mask_deleted(ids: np.ndarray, deleted: Optional[np.ndarray]
                   ) -> np.ndarray:
     """Drop ids present in the SORTED deleted array (tombstone mask)."""
@@ -834,10 +876,37 @@ class SearchIndex:
         idf comes from the group's MAX member df (the docFreq upper
         bound), so adding a rare synonym never inflates a common term's
         idf. mode/min_match/filters/after compose exactly as in topk.
-        Always exhaustive scoring — per-member block-max bounds don't
-        bound a group's summed-tf partials."""
-        groups = self._synonym_groups(query, synonyms)
-        if not groups or k <= 0:
+        Thin wrapper: query terms expand to groups, topk_groups scores."""
+        return self.topk_groups(
+            self._synonym_groups(query, synonyms), k=k, mode=mode,
+            distributed=distributed, min_match=min_match,
+            filter_ids=filter_ids, filter_sql=filter_sql, after=after)
+
+    def topk_groups(self, groups: List[List[str]],
+                    k: int = 10, mode: str = "or",
+                    boosts: Optional[List[float]] = None,
+                    distributed: bool = False, min_match: int = 1,
+                    filter_ids=None, filter_sql: Optional[str] = None,
+                    after: Optional[Tuple[int, float]] = None
+                    ) -> List[Tuple[int, float]]:
+        """BM25 top-k over explicit disjunction groups — the Lucene
+        BooleanQuery-of-SynonymQuery shape `(a OR b) c^2`: each group is
+        ONE pseudo-term whose per-doc tf is the SUM of member tfs
+        (saturation applies once to the sum) and whose idf comes from the
+        group's MAX member df (the docFreq upper bound). `boosts`
+        (parallel to groups, default all 1.0) multiplies each group's
+        score contribution — Lucene BoostQuery multiplies the sub-query
+        score, and a group's score is idf·saturation, so the boost folds
+        into the group idf EXACTLY (bit-identical to scaling after the
+        fact). mode/min_match/filters/after compose as in topk."""
+        groups = [list(dict.fromkeys(g)) for g in groups]
+        if boosts is None:
+            boosts = [1.0] * len(groups)
+        if len(boosts) != len(groups):
+            raise ValueError("boosts must be parallel to groups")
+        if any(b < 0 for b in boosts):
+            raise ValueError("boosts must be non-negative")
+        if not groups or any(not g for g in groups) or k <= 0:
             return []
         if min_match > 1 and mode == "and":
             raise ValueError("min_match applies to mode='or'")
@@ -851,8 +920,9 @@ class SearchIndex:
         if mode == "and" and any(all(dfs[t] == 0 for t in g)
                                  for g in groups):
             return []
-        idfs_g = [bm25_idf(self.n_docs, max(dfs[t] for t in g))
-                  if any(dfs[t] > 0 for t in g) else 0.0 for g in groups]
+        idfs_g = [b * bm25_idf(self.n_docs, max(dfs[t] for t in g))
+                  if any(dfs[t] > 0 for t in g) else 0.0
+                  for g, b in zip(groups, boosts)]
         if distributed:
             return self._topk_syn_dist(
                 groups, idfs_g, k, mode, min_match, after, dfs=dfs,
@@ -1118,6 +1188,75 @@ class SearchIndex:
         return self._expand_terms(
             cond, lambda s: s.map(lambda t: rx.fullmatch(t) is not None),
             max_terms)
+
+    # --------------------------------------------------------------- fuzzy --
+    def expand_fuzzy(self, term: str, max_edits: int = 2,
+                     prefix_len: int = 0,
+                     max_terms: Optional[int] = None) -> List[str]:
+        """Dictionary terms within Levenshtein distance `max_edits` of
+        `term` (Lucene FuzzyQuery shape, transpositions=false: plain
+        Levenshtein so Spark's levenshtein(), DuckDB's levenshtein() and
+        the numpy DP all agree byte-for-byte). `max_edits` ∈ {0,1,2}
+        exactly as Lucene bounds it (0 degenerates to an existence
+        probe). `prefix_len` > 0 requires the first prefix_len chars to
+        match exactly — distance is still computed over the FULL strings
+        (simpler than Lucene's suffix automaton, SQL-reproducible) — and
+        turns the dictionary scan into a StartsWith row-group skip.
+        max_terms keeps the highest-global-df expansions (ties by term),
+        the same maxExpansions convention as prefix/wildcard (Lucene
+        FuzzyQuery itself prefers *closest* terms; df is this engine's
+        uniform cost bound across all multi-term queries).
+
+        Scale: the scan reads only (term, df); the length band
+        |len(t)-len(q)| ≤ k and the thresholded levenshtein (early-exit
+        banded DP in the JVM, -1 past the threshold) bound per-row cost;
+        with prefix_len the StartsWith pushdown skips row groups via
+        parquet min/max on the term-sorted postings. A fully-preloaded
+        index expands driver-side with no Spark job."""
+        if not 0 <= max_edits <= 2:
+            raise ValueError("max_edits must be 0, 1 or 2 "
+                             f"(got {max_edits})")
+        t = term.strip().lower()
+        if not t or ASCII_TOKEN.fullmatch(t) is None:
+            return []
+        k = max_edits
+        prefix = t[:prefix_len] if prefix_len > 0 else ""
+        m = len(t)
+        cond = (F.length(F.col("term")).between(m - k, m + k)
+                & (F.levenshtein(F.col("term"), F.lit(t), k) >= 0))
+        if prefix:
+            cond = F.col("term").startswith(prefix) & cond
+        return self._expand_terms(
+            cond, lambda s: _fuzzy_mask(s, t, k, prefix), max_terms)
+
+    def search_fuzzy_ids(self, term: str, max_edits: int = 2,
+                         prefix_len: int = 0, distributed: bool = False,
+                         max_terms: Optional[int] = None) -> np.ndarray:
+        """Docs containing ANY term within `max_edits` of `term`
+        (ascending docID): dictionary expansion + the OR machinery."""
+        terms = self.expand_fuzzy(term, max_edits=max_edits,
+                                  prefix_len=prefix_len,
+                                  max_terms=max_terms)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if distributed:
+            return self._search_or_ids_dist(terms)
+        return self._or_ids_local(terms)
+
+    def count_fuzzy(self, term: str, max_edits: int = 2,
+                    prefix_len: int = 0, distributed: bool = False,
+                    max_terms: Optional[int] = None) -> int:
+        return int(self.search_fuzzy_ids(
+            term, max_edits=max_edits, prefix_len=prefix_len,
+            distributed=distributed, max_terms=max_terms).size)
+
+    def search_fuzzy(self, term: str, max_edits: int = 2,
+                     prefix_len: int = 0, distributed: bool = False,
+                     max_terms: Optional[int] = None) -> List[str]:
+        """Fuzzy query → doc names (urls), ascending docID order."""
+        return self._urls_for_ids(self.search_fuzzy_ids(
+            term, max_edits=max_edits, prefix_len=prefix_len,
+            distributed=distributed, max_terms=max_terms))
 
     def search_regex_ids(self, pattern: str, distributed: bool = False,
                          max_terms: Optional[int] = None) -> np.ndarray:

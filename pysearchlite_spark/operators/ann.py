@@ -560,14 +560,21 @@ class IvfIndex:
               train_sample: int = 100_000, iters: int = 5,
               seed: int = 17) -> "IvfIndex":
         if centroids is None:
-            # seeded RANDOM sample — limit() would take the first rows of
-            # the first partitions, training k-means on whatever corpus
+            # seeded RANDOM sample in ONE job: order by a seeded hash of the
+            # id and take the first train_sample rows. Catalyst compiles
+            # orderBy+limit to TakeOrderedAndProject (per-partition top-K
+            # heap, no full sort, no shuffle of the corpus), so this is a
+            # single scan — vs the former count()+sample() double scan. A
+            # bare limit() without the hash order would take the first rows
+            # of the first partitions, training k-means on whatever corpus
             # slice happens to sort first (silent recall collapse on
-            # class/source-grouped tables)
-            n_total = df.count()
-            frac = min(1.0, 1.2 * train_sample / max(n_total, 1))
-            samp = (df.select(vec_col).sample(False, frac, seed)
-                    .limit(train_sample).collect())
+            # class/source-grouped tables); the hash order is uniform and
+            # seed-deterministic.
+            samp = (df.select(F.col(vec_col),
+                              F.xxhash64(F.col(id_col),
+                                         F.lit(seed)).alias("__h"))
+                    .orderBy("__h").limit(train_sample)
+                    .select(vec_col).collect())
             if not samp:
                 raise ValueError("cannot build IvfIndex over an empty table")
             m = np.vstack([np.asarray(r[0], dtype=np.float64) for r in samp])

@@ -10,7 +10,12 @@ clause dispatching to the existing (tested, oracle-backed) kernel:
     "big table"~2               ordered proximity, slop 2 (NEAR)
     -merge  -"slow scan"        negated clause (AND-NOT subtraction)
     tab*  te?t                  wildcard expansion + OR union
+    tabel~1  tabel~             fuzzy term (Levenshtein ≤ 1 / ≤ 2)
     /s(mall|low)/               regex expansion + OR union
+    (table OR row)              disjunctive group: ANY member matches;
+                                scored as ONE SynonymQuery pseudo-term
+    part^2  (a OR b)^1.5        boost: multiplies the clause's BM25
+                                contribution (no boolean effect)
     title:part                  field-scoped term (MultiFieldIndex)
     title:"big table"           field-scoped phrase
 
@@ -40,25 +45,29 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 # one clause: "-" negation, optional "field:", then exactly one of
-# quoted phrase (optional ~slop), /regex/, or a bare token (which may
-# carry * / ? wildcards)
+# quoted phrase (optional ~slop), /regex/, (disjunctive group) with
+# optional ^boost, or a bare token (which may carry * / ? wildcards, a
+# ~edits fuzzy suffix, or a ^boost suffix)
 _CLAUSE = re.compile(r"""
     (?P<neg>-)?
     (?:(?P<field>[A-Za-z0-9_][A-Za-z0-9_.-]*):)?
     (?:
         "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
       | /(?P<regex>[^/]+)/
-      | (?P<token>[^\s"/]+)
+      | \((?P<group>[^()"/]*)\)(?:\^(?P<gboost>\d+(?:\.\d+)?))?
+      | (?P<token>[^\s"/()]+)
     )""", re.VERBOSE)
 
 
 @dataclass
 class Clause:
-    kind: str                    # "term" | "phrase" | "near" | "wild" | "regex"
+    kind: str        # "term" | "phrase" | "near" | "wild" | "regex" | "fuzzy"
     text: str
     negated: bool = False
     field: Optional[str] = None
     slop: int = 0
+    edits: int = 0               # fuzzy clauses: max Levenshtein distance
+    boost: float = 1.0           # term/group clauses: score multiplier
 
 
 @dataclass
@@ -95,10 +104,34 @@ def parse(q: str) -> ParsedQuery:
             c = Clause(kind, m["phrase"], field=m["field"], slop=slop)
         elif m["regex"] is not None:
             c = Clause("regex", m["regex"], field=m["field"])
+        elif m["group"] is not None:
+            # (a OR b) disjunctive group: standalone uppercase OR is the
+            # Lucene operator (separator); members analyze like terms.
+            # Bare whitespace separates too — (a b) ≡ (a OR b).
+            from pysearchlite_spark.tokenizer import query_terms
+            members = list(dict.fromkeys(
+                t for w in m["group"].split() if w != "OR"
+                for t in query_terms(w)))
+            c = Clause("group", " ".join(members), field=m["field"],
+                       boost=float(m["gboost"] or 1.0))
         else:
             tok = m["token"]
-            kind = "wild" if ("*" in tok or "?" in tok) else "term"
-            c = Clause(kind, tok, field=m["field"])
+            boost = 1.0
+            bm = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", tok)
+            if bm is not None:
+                tok, boost = bm[1], float(bm[2])
+            fz = re.fullmatch(r"([^~]+)~(\d*)", tok)
+            if fz is not None:
+                # Lucene fuzzy syntax: term~N (bare ~ defaults to 2)
+                edits = int(fz[2]) if fz[2] else 2
+                if edits > 2:
+                    raise ValueError(
+                        f"fuzzy clause {tok!r}: max_edits must be ≤ 2")
+                c = Clause("fuzzy", fz[1], field=m["field"], edits=edits,
+                           boost=boost)
+            else:
+                kind = "wild" if ("*" in tok or "?" in tok) else "term"
+                c = Clause(kind, tok, field=m["field"], boost=boost)
         c.negated = bool(m["neg"])
         (out.must_not if c.negated else out.must).append(c)
     # Lucene-analyzer semantics: a term/phrase clause whose text contains
@@ -108,7 +141,7 @@ def parse(q: str) -> ParsedQuery:
     from pysearchlite_spark.tokenizer import query_terms
     for lst in (out.must, out.must_not):
         lst[:] = [c for c in lst
-                  if c.kind not in ("term", "phrase", "near")
+                  if c.kind not in ("term", "phrase", "near", "group")
                   or query_terms(c.text)]
     if not out.must:
         raise ValueError("query needs at least one non-negated clause "
@@ -142,8 +175,14 @@ def _clause_ids(idx, c: Clause, distributed: bool) -> np.ndarray:
         return s.search_phrase_ids(c.text, distributed=distributed)
     if c.kind == "near":
         return s.search_near_ids(c.text, c.slop, distributed=distributed)
+    if c.kind == "group":
+        # ANY member matches — exactly the OR-union kernel
+        return s.search_or_ids(c.text, distributed=distributed)
     if c.kind == "wild":
         return s.search_wildcard_ids(c.text, distributed=distributed)
+    if c.kind == "fuzzy":
+        return s.search_fuzzy_ids(c.text, max_edits=c.edits,
+                                  distributed=distributed)
     return s.search_regex_ids(c.text, distributed=distributed)
 
 
@@ -180,24 +219,47 @@ def evaluate_topk(idx, q: str, k: int = 10,
                   distributed: bool = False) -> List[Tuple[int, float]]:
     """BM25 top-k for a query string: candidates are the FULL boolean
     match set (every clause enforced — phrases, wildcards, negations),
-    scores are disjunctive BM25 over the plain term clauses (phrase/
-    wildcard/regex clauses gate membership but don't score — the
-    classic filter-vs-score split). Composition: evaluate() produces
-    the allow-list, the filtered top-k path ranks inside it. A query
-    with no term clause has nothing to score → ValueError."""
+    scores are disjunctive BM25 over the plain term and (a OR b) group
+    clauses, each scaled by its ^boost (phrase/wildcard/fuzzy/regex
+    clauses gate membership but don't score — the classic filter-vs-
+    score split; a group scores as ONE SynonymQuery pseudo-term).
+    Composition: evaluate() produces the allow-list, the filtered top-k
+    path ranks inside it. A query with no term/group clause has nothing
+    to score → ValueError."""
+    from pysearchlite_spark.tokenizer import query_terms
+
     pq = parse(q)
-    terms = [c.text for c in pq.must if c.kind == "term"
-             and c.field is None]
     if hasattr(idx, "fields"):
         raise ValueError("evaluate_topk ranks a single index; use "
                          "MultiFieldIndex.topk_dismax for fields")
-    if not terms:
+    groups: List[List[str]] = []
+    boosts: List[float] = []
+    has_group = False
+    for c in pq.must:
+        if c.field is not None:
+            continue
+        if c.kind == "term":
+            # a term clause may analyze to several tokens ('a.b') — each
+            # scores independently, as the plain topk path always did
+            for t in query_terms(c.text):
+                groups.append([t])
+                boosts.append(c.boost)
+        elif c.kind == "group":
+            groups.append(query_terms(c.text))
+            boosts.append(c.boost)
+            has_group = True
+    if not groups:
         raise ValueError("query has no scoring term clause")
     ids = evaluate(idx, q, distributed=distributed)
     if ids.size == 0:
         return []
-    return idx.topk(" ".join(terms), k=k, distributed=distributed,
-                    filter_ids=ids)
+    if not has_group and all(b == 1.0 for b in boosts):
+        # pure-term unboosted query: keep the plain (block-max-capable)
+        # topk path, bit-identical to pre-grammar behavior
+        return idx.topk(" ".join(g[0] for g in groups), k=k,
+                        distributed=distributed, filter_ids=ids)
+    return idx.topk_groups(groups, k=k, boosts=boosts,
+                           distributed=distributed, filter_ids=ids)
 
 
 _DF_MODE = {"term": "and", "phrase": "phrase", "near": "near",
@@ -212,11 +274,14 @@ def evaluate_df(idx, q: str):
 
     def clause_df(c: Clause):
         s = _scope(idx, c)
-        if c.kind == "regex":
-            # regex has no search_df mode; expand here and union like OR
-            terms = s.expand_regex(c.text)
+        if c.kind in ("regex", "fuzzy"):
+            # no search_df mode for these; expand here and union like OR
+            terms = (s.expand_regex(c.text) if c.kind == "regex" else
+                     s.expand_fuzzy(c.text, max_edits=c.edits))
             return s.search_df(" ".join(terms), mode="or") if terms else \
                 s.search_df("", mode="or")
+        if c.kind == "group":
+            return s.search_df(c.text, mode="or")
         return s.search_df(c.text, mode=_DF_MODE[c.kind], slop=c.slop)
 
     out = clause_df(pq.must[0])
