@@ -45,6 +45,38 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """(doc_id, media binary) with deterministic PSL1/PSLA blobs derived
+    from doc_id alone — the oracle re-derives the same pixels/samples in
+    SQL, so the Spark side exercises the real container encode/decode and
+    feature kernels (functions/multimodal.py) end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from pysearchlite_spark.functions import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = np.int64(did)
+                if kind == "image":
+                    flat = (d * 131 + np.arange(192, dtype=np.int64)
+                            * 7919) % 256
+                    blobs.append(mm.encode_image(
+                        flat.astype(np.uint8).reshape(8, 8, 3)))
+                else:
+                    s16 = ((d * 7 + np.arange(200, dtype=np.int64) * 13)
+                           % 64001) - 32000
+                    blobs.append(mm.encode_audio(
+                        s16.astype(np.int16), sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return docs.mapInPandas(synth, "doc_id long, media binary")
+
+
 def _index(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir) and cache the inverted index over documents."""
     from pysearchlite_spark.engine import SearchIndex
@@ -613,6 +645,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_contamination(docs, docs.filter(F.col("doc_id") < 50),
                                    n=3, cache=False)
 
+    def image_feats(spark, sf):
+        # multimodal image decode+featurize (functions/multimodal.py):
+        # deterministic 8x8x3 PSL1 blobs synthesized from doc_id, run
+        # through the REAL encode -> decode_image -> image_feature_vec
+        # Arrow path, feature vector exploded to (dim, val) rows. The
+        # oracle recomputes mean/std/luma-histogram analytically from the
+        # same pixel formula v(i) = (doc_id*131 + i*7919) % 256; both
+        # sides quantize through float32 so float64 summation-order
+        # differences collapse.
+        from pysearchlite_spark.functions.multimodal import image_features
+        feats = image_features(_media_df(spark, sf, "image"))
+        return (feats.select(
+                    "doc_id",
+                    F.col("meta.width").alias("width"),
+                    F.col("meta.height").alias("height"),
+                    F.col("meta.channels").alias("channels"),
+                    F.posexplode("feature").alias("dim", "v"))
+                .select("doc_id", "width", "height", "channels", "dim",
+                        F.round(F.col("v").cast("double"), 6).alias("val")))
+
+    def audio_feats(spark, sf):
+        # multimodal audio decode+featurize: deterministic 200-sample
+        # 8 kHz PSLA PCM blobs from doc_id, run through the real
+        # decode_audio -> audio_feature_vec path. Oracle recomputes
+        # duration/rms/zcr/|amp|-histogram from the sample formula
+        # s16(i) = ((doc_id*7 + i*13) % 64001) - 32000.
+        from pysearchlite_spark.functions.multimodal import audio_features
+        feats = audio_features(_media_df(spark, sf, "audio"))
+        return (feats.select(
+                    "doc_id", "sample_rate",
+                    F.round("duration_sec", 6).alias("dur_sec"),
+                    F.posexplode("feature").alias("dim", "v"))
+                .select("doc_id", "sample_rate", "dur_sec", "dim",
+                        F.round(F.col("v").cast("double"), 6).alias("val")))
+
     def events_hourly(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -669,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": repetition,
         "repeated_spans": rep_spans,
         "span_contamination": contamination,
+        "image_features": image_feats,
+        "audio_features": audio_feats,
         "ann_cosine_topk": ann_cosine,
         "ann_lsh_topk": ann_lsh,
         "ann_lsh_topk_batch": ann_lsh_batch,
@@ -1323,6 +1392,94 @@ ORDER BY doc_id""",
                    THEN round(coalesce(pd.cont, 0) / len(sp.spans), 6)
                    ELSE 0.0 END AS contamination_frac
             FROM sp LEFT JOIN pd USING (doc_id)""",
+        # multimodal oracles: recompute the spec'd feature vectors
+        # (functions/multimodal.py docstring) analytically from the same
+        # deterministic pixel/sample formulas the Spark entries encode
+        # into PSL1/PSLA blobs. CAST(... AS FLOAT)::DOUBLE mirrors the
+        # engine's float32 feature dtype so both sides quantize
+        # identically before round(,6).
+        "image_features": """
+            WITH px AS (
+              SELECT d.doc_id, g.i::BIGINT AS i,
+                     ((d.doc_id*131 + g.i*7919) % 256)::DOUBLE AS v
+              FROM documents d, generate_series(0, 191) g(i)
+            ),
+            chan AS (  -- dims 0-2 mean/255, dims 3-5 std/255 per channel
+              SELECT doc_id, (i % 3)::INT AS ch,
+                     avg(v)/255.0 AS mean_v,
+                     stddev_pop(v)/255.0 AS std_v
+              FROM px GROUP BY doc_id, ch
+            ),
+            luma AS (  -- Rec.601 luminance per pixel (channel-last i%3)
+              SELECT doc_id, i // 3 AS p,
+                     0.299*max(CASE WHEN i % 3 = 0 THEN v END)
+                   + 0.587*max(CASE WHEN i % 3 = 1 THEN v END)
+                   + 0.114*max(CASE WHEN i % 3 = 2 THEN v END) AS l
+              FROM px GROUP BY doc_id, p
+            ),
+            hist AS (  -- dims 6-63: 58-bin luminance histogram fractions
+              SELECT doc_id,
+                     LEAST(floor(l*58.0/255.0)::INT, 57) AS b,
+                     count(*)/64.0 AS frac
+              FROM luma GROUP BY doc_id, b
+            ),
+            vals AS (
+              SELECT doc_id, ch AS dim, mean_v AS val FROM chan
+              UNION ALL SELECT doc_id, ch + 3, std_v FROM chan
+              UNION ALL SELECT doc_id, b + 6, frac FROM hist
+            ),
+            dims AS (
+              SELECT d.doc_id, g.dim::INT AS dim
+              FROM documents d, generate_series(0, 63) g(dim)
+            )
+            SELECT dims.doc_id, 8 AS width, 8 AS height, 3 AS channels,
+                   dims.dim,
+                   round(CAST(coalesce(vals.val, 0.0) AS FLOAT)::DOUBLE, 6)
+                     AS val
+            FROM dims LEFT JOIN vals
+              ON dims.doc_id = vals.doc_id AND dims.dim = vals.dim""",
+        "audio_features": """
+            WITH smp AS (
+              SELECT d.doc_id, g.i::BIGINT AS i,
+                     ((((d.doc_id*7 + g.i*13) % 64001) - 32000)::DOUBLE
+                      / 32768.0) AS s
+              FROM documents d, generate_series(0, 199) g(i)
+            ),
+            lagged AS (
+              SELECT doc_id, i, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM smp
+            ),
+            base AS (  -- dim 0 duration, dim 1 rms, dim 2 zero-crossing
+              SELECT doc_id,
+                     200.0/8000.0 AS dur,
+                     sqrt(avg(s*s)) AS rms,
+                     sum(CASE WHEN prev IS NOT NULL
+                              AND ((s < 0) <> (prev < 0))
+                         THEN 1 ELSE 0 END)/199.0 AS zcr
+              FROM lagged GROUP BY doc_id
+            ),
+            hist AS (  -- dims 3-63: 61-bin |amplitude| histogram fractions
+              SELECT doc_id, floor(abs(s)*61.0)::INT AS b,
+                     count(*)/200.0 AS frac
+              FROM smp GROUP BY doc_id, b
+            ),
+            vals AS (
+              SELECT doc_id, 0 AS dim, dur AS val FROM base
+              UNION ALL SELECT doc_id, 1, rms FROM base
+              UNION ALL SELECT doc_id, 2, zcr FROM base
+              UNION ALL SELECT doc_id, b + 3, frac FROM hist
+            ),
+            dims AS (
+              SELECT d.doc_id, g.dim::INT AS dim
+              FROM documents d, generate_series(0, 63) g(dim)
+            )
+            SELECT dims.doc_id, 8000 AS sample_rate,
+                   round(200.0/8000.0, 6) AS dur_sec, dims.dim,
+                   round(CAST(coalesce(vals.val, 0.0) AS FLOAT)::DOUBLE, 6)
+                     AS val
+            FROM dims LEFT JOIN vals
+              ON dims.doc_id = vals.doc_id AND dims.dim = vals.dim""",
         "minhash_lsh_pairs": minhash_oracle,
         "doc_fingerprint": fingerprint_sql,
         "simhash_signatures": simhash_sql,
