@@ -414,6 +414,84 @@ def _truncate_topk(docs: np.ndarray, scores: np.ndarray, k: int
     return docs, scores
 
 
+class FilterHandle:
+    """A search filter resolved ONCE and reused across queries.
+
+    Repeated filtered retrieval (the "rank only docs that passed the
+    upstream quality pass" loop) pays the allow-list resolution — a
+    docmap scan/semi-join Spark job — on EVERY query when the filter is
+    passed as raw ids/SQL (the 1.45-1.89× overhead measured in
+    BENCH/filter_scale.json). `idx.prepare_filter(...)` resolves the
+    allow-list once and hands back this handle; every `filter_ids=`
+    parameter accepts it and reuses the cached shapes:
+
+      * routed_df(): the (pseg, doc_id) frame the distributed cogroup
+        path consumes, persisted MEMORY_AND_DISK so each query's
+        semi-join re-reads the cache instead of re-scanning the docmap;
+      * by_seg(): posting-segment → sorted unique doc_ids dict for the
+        driver/preloaded path (resolved with ONE job, then free);
+      * flat(): the boolean paths' single sorted array, derived from
+        by_seg() without another job (pseg routing only re-attributes
+        seg — the id set is identical).
+
+    Results are byte-identical to the per-query path: the handle calls
+    the same `_routed_filter_df` resolution, just once. Safe to cache
+    because a SearchIndex is snapshot-bound — delete files are read at
+    construction and never mutate — so a handle can only go stale by
+    being passed to a DIFFERENT SearchIndex, which `_check` rejects.
+    Call release() to drop the persisted frame when done."""
+
+    def __init__(self, index: "SearchIndex", filter_ids=None,
+                 filter_sql: Optional[str] = None) -> None:
+        if (filter_ids is None) == (filter_sql is None):
+            raise ValueError(
+                "exactly one of filter_ids / filter_sql is required")
+        if isinstance(filter_ids, FilterHandle):
+            raise TypeError("filter_ids is already a FilterHandle")
+        self._index = index
+        self._spec = (filter_ids, filter_sql)
+        self._routed: Optional[DataFrame] = None
+        self._by_seg: Optional[Dict[int, np.ndarray]] = None
+        self._flat: Optional[np.ndarray] = None
+
+    def _check(self, index: "SearchIndex") -> "FilterHandle":
+        if index is not self._index:
+            raise ValueError(
+                "FilterHandle is bound to a different SearchIndex — "
+                "prepare_filter() again on the index you query")
+        return self
+
+    def routed_df(self) -> DataFrame:
+        if self._routed is None:
+            from pyspark import StorageLevel
+            self._routed = (self._index._routed_filter_df(*self._spec)
+                            .persist(StorageLevel.MEMORY_AND_DISK))
+        return self._routed
+
+    def by_seg(self) -> Dict[int, np.ndarray]:
+        if self._by_seg is None:
+            pdf = self._index._routed_filter_df(*self._spec).toPandas() \
+                if self._routed is None else self._routed.toPandas()
+            self._by_seg = {
+                int(seg): np.unique(grp["doc_id"].to_numpy(np.int64))
+                for seg, grp in pdf.groupby("seg")}
+        return self._by_seg
+
+    def flat(self) -> np.ndarray:
+        if self._flat is None:
+            arrs = list(self.by_seg().values())
+            self._flat = (np.unique(np.concatenate(arrs)) if arrs
+                          else np.empty(0, dtype=np.int64))
+        return self._flat
+
+    def release(self) -> None:
+        """Unpersist the cached distributed frame (driver-side caches
+        are plain numpy and just get garbage-collected)."""
+        if self._routed is not None:
+            self._routed.unpersist()
+            self._routed = None
+
+
 class SearchIndex:
     def __init__(self, spark: SparkSession, index_dir: str,
                  snapshot_id: Optional[int] = None) -> None:
@@ -582,6 +660,17 @@ class SearchIndex:
         return self._docmap.join(dels, "doc_id", "left_anti")
 
     # ------------------------------------------------------ filter lists --
+    def prepare_filter(self, filter_ids=None,
+                       filter_sql: Optional[str] = None) -> FilterHandle:
+        """Resolve a search filter once into a reusable FilterHandle.
+
+        Pass the handle anywhere a `filter_ids=` parameter is accepted
+        (topk/count/search/search_df/topk_synonyms/...); repeated
+        filtered queries then skip the per-query allow-list resolution
+        job and reuse the cached routed frame / per-segment arrays.
+        Results are identical to passing the raw ids/SQL directly."""
+        return FilterHandle(self, filter_ids, filter_sql)
+
     def _routed_filter_df(self, filter_ids=None,
                           filter_sql: Optional[str] = None) -> DataFrame:
         """Resolve a search filter into (seg, doc_id) rows keyed by the
@@ -595,9 +684,13 @@ class SearchIndex:
         filter_sql: a SQL predicate over docmap columns
         (doc_id, url, doc_len, seg) — ONE pruned docmap scan.
         filter_ids: a DataFrame with a doc_id column (e.g. the output of a
-        quality pass) or a plain iterable of ints; semi-joined against the
-        LIVE docmap, which validates ids, dedupes, and attributes dseg.
-        Tombstoned docs can never re-enter through a filter."""
+        quality pass), a plain iterable of ints, or a FilterHandle from
+        prepare_filter() (reuses the resolved, persisted frame);
+        semi-joined against the LIVE docmap, which validates ids, dedupes,
+        and attributes dseg. Tombstoned docs can never re-enter through a
+        filter."""
+        if isinstance(filter_ids, FilterHandle):
+            return filter_ids._check(self).routed_df()
         rows = self._filter_base_df(filter_ids, filter_sql)
         pseg_of = {int(k): int(v) for k, v in
                    (self.stats.get("pseg_of") or {}).items()}
@@ -635,6 +728,8 @@ class SearchIndex:
         unique allowed doc_ids (the allow-list mirror of
         _deleted_by_seg). Collects the filtered id set — fine for the
         interactive path; the distributed path cogroups instead."""
+        if isinstance(filter_ids, FilterHandle):
+            return filter_ids._check(self).by_seg()
         pdf = (self._routed_filter_df(filter_ids, filter_sql)
                .toPandas())
         return {int(seg): np.unique(grp["doc_id"].to_numpy(np.int64))
@@ -645,6 +740,8 @@ class SearchIndex:
         """Flat driver-path shape: one sorted unique allowed array (the
         boolean paths mask once at the end, so per-segment slices — and
         the pseg routing that keys them — buy nothing there)."""
+        if isinstance(filter_ids, FilterHandle):
+            return filter_ids._check(self).flat()
         pdf = (self._filter_base_df(filter_ids, filter_sql)
                .select("doc_id").toPandas())
         return np.unique(pdf["doc_id"].to_numpy(np.int64))

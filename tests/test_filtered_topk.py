@@ -175,3 +175,79 @@ def test_filtered_search_count_ids(idx):
     assert got_d.tolist() == sorted(allow)
     assert idx.count(q, filter_ids=allow) == len(allow)
     assert idx.count(q, distributed=True, filter_ids=allow) == len(allow)
+
+
+# ----------------------------------------------------- FilterHandle -------
+
+def test_filter_handle_matches_raw_paths(idx, spark):
+    """prepare_filter() results are identical to passing raw ids/SQL on
+    every surface (ranked, boolean, count, batch, distributed)."""
+    q = "t1 t2 t3"
+    allow = [d for d in range(idx.n_docs) if d % 3 == 0]
+    h = idx.prepare_filter(filter_ids=allow)
+    want = idx.topk(q, k=10, filter_ids=allow)
+    assert idx.topk(q, k=10, filter_ids=h) == want
+    assert idx.topk(q, k=10, filter_ids=h, distributed=True) == want
+    assert (idx.search_and_ids("t1 t2", filter_ids=h).tolist()
+            == idx.search_and_ids("t1 t2", filter_ids=allow).tolist())
+    assert (idx.count("t1 t2", filter_ids=h)
+            == idx.count("t1 t2", filter_ids=allow))
+    assert (idx.topk_batch(QUERIES, k=7, filter_ids=h)
+            == idx.topk_batch(QUERIES, k=7, filter_ids=allow))
+
+    h_sql = idx.prepare_filter(filter_sql="doc_id % 3 = 0")
+    assert idx.topk(q, k=10, filter_ids=h_sql) == want
+    h_sql.release()
+    # handle is still usable after release (driver caches survive;
+    # the distributed frame just re-resolves if asked again)
+    assert idx.topk(q, k=10, filter_ids=h_sql) == want
+
+
+def test_filter_handle_resolves_once(idx):
+    """The second query through a handle must not re-run the allow-list
+    resolution job: by_seg is computed once and cached."""
+    allow = [d for d in range(idx.n_docs) if d % 2 == 0]
+    h = idx.prepare_filter(filter_ids=allow)
+    first = h.by_seg()
+    assert h.by_seg() is first  # cached, no re-resolution
+    idx.topk("hello test", k=5, filter_ids=h)
+    assert h.by_seg() is first
+    # flat derives from by_seg without another Spark job
+    flat = h.flat()
+    assert flat.tolist() == sorted(allow)
+    assert h.flat() is flat
+
+
+def test_filter_handle_validation(idx, spark, tmp_path_factory, corpus):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        idx.prepare_filter()
+    with _pytest.raises(ValueError):
+        idx.prepare_filter(filter_ids=[1], filter_sql="doc_id = 1")
+    with _pytest.raises(TypeError):
+        idx.prepare_filter(filter_ids=idx.prepare_filter(filter_ids=[1]))
+    # cross-index use is rejected: a handle is snapshot-bound
+    other = _build(spark, corpus,
+                   tmp_path_factory.mktemp("filt_other"))
+    h = idx.prepare_filter(filter_ids=[1, 2, 3])
+    with _pytest.raises(ValueError):
+        other.topk("hello", k=5, filter_ids=h)
+
+
+def test_filter_handle_empty_and_tombstones(spark, tmp_path_factory,
+                                            corpus):
+    d = tmp_path_factory.mktemp("filt_handle_del")
+    idx = _build(spark, corpus, d)
+    q = "hello test"
+    full = [doc for doc, _ in idx.topk(q, k=20, use_blockmax=False)]
+    assert len(full) >= 2
+    h_empty = idx.prepare_filter(filter_ids=[])
+    assert idx.topk(q, k=10, filter_ids=h_empty) == []
+    # deleted docs cannot re-enter through a pre-resolved handle:
+    # the handle binds to the post-delete snapshot's SearchIndex
+    delete_docs(spark, str(d), [full[0]])
+    idx2 = SearchIndex(spark, str(d))
+    h = idx2.prepare_filter(filter_ids=full[:4])
+    got = [doc for doc, _ in idx2.topk(q, k=10, filter_ids=h)]
+    assert full[0] not in got
+    assert set(got) == set(full[1:4])
