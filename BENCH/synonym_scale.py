@@ -1,10 +1,18 @@
 """Synonym-group queries at scale: 1M deterministic synthetic docs, one
-plain index, unpinned local[32]. Measures the cost of SynonymQuery
-semantics (per-group stream merge + summed-tf scoring, always
-exhaustive) against plain BM25 over the same terms, for hot Zipf-head
-synonym members — the worst case, since every member stream fully
-decodes. Sanity: the synonym AND count is >= the plain AND count (groups
-only widen), and dropping blockmax alone doesn't explain the delta
+plain index, unpinned local[32]. Two regimes:
+
+* HOT members (Q/SYN: Zipf-head words) — the group-merge worst case.
+  Flat zone bounds mean no pruning is possible (Lucene has the same
+  property); the auto probe must keep this on the exhaustive pass, so
+  the honest target is syn ≈ the plain EXHAUSTIVE cost plus the
+  summed-tf merge, not plain block-max.
+* SELECTIVE members (RARE_Q/RARE_SYN: Zipf-tail synonyms + a head term)
+  — group-aware block-max (wand.blockmax_topk_groups, round 4) prunes
+  zones no member can win; target is within ~1.2× of the plain
+  block-max query over the same rare term.
+
+Sanity: the synonym AND count is >= the plain AND count (groups only
+widen), and dropping blockmax alone doesn't explain the hot delta
 (plain exhaustive is measured too).
 
 Usage: python BENCH/synonym_scale.py [n_docs] → one JSON line + writes
@@ -26,6 +34,10 @@ from pysearchlite_spark.session import get_spark  # noqa: E402
 
 Q = "high school"
 SYN = {"high": ["united"], "school": ["states"]}  # hot-member groups
+# Zipf-tail synonyms (df ~ hundreds at 1M docs) + one head term: the
+# selective regime where group block-max should prune
+RARE_Q = "the w10000"
+RARE_SYN = {"w10000": ["w11000"]}
 
 
 def main() -> None:
@@ -74,7 +86,17 @@ def main() -> None:
             n_syn_d = probe("count_syn_and_dist",
                             lambda: idx.count_synonyms(Q, SYN,
                                                        distributed=True))
+            probe("bm25_rare_top10",
+                  lambda: idx.topk(RARE_Q, k=10))
+            syn_rare = probe(
+                "bm25_syn_rare_top10",
+                lambda: idx.topk_synonyms(RARE_Q, RARE_SYN, k=10))
+            syn_rare_ex = probe(
+                "bm25_syn_rare_top10_exhaustive",
+                lambda: idx.topk_synonyms(RARE_Q, RARE_SYN, k=10,
+                                          use_blockmax=False))
         assert len(plain) == 10 and len(syn) == 10
+        assert syn_rare == syn_rare_ex  # pruned == exhaustive, rank+score
         assert n_syn >= n_and and n_syn_d == n_syn
         out["count_and"] = n_and
         out["count_syn_and"] = n_syn
@@ -84,6 +106,11 @@ def main() -> None:
             best["bm25_syn_top10"] / best["bm25_top10"], 2)
         out["syn_vs_exhaustive"] = round(
             best["bm25_syn_top10"] / best["bm25_top10_exhaustive"], 2)
+        out["syn_rare_vs_plain_rare"] = round(
+            best["bm25_syn_rare_top10"] / best["bm25_rare_top10"], 2)
+        out["syn_rare_vs_syn_rare_exhaustive"] = round(
+            best["bm25_syn_rare_top10"]
+            / best["bm25_syn_rare_top10_exhaustive"], 2)
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -187,16 +187,47 @@ def score_segment_groups(groups_rows: List[List[dict]],
                          avgdl: float, min_match: int = 1,
                          deleted: Optional[np.ndarray] = None,
                          allowed: Optional[np.ndarray] = None,
-                         after: Optional[Tuple[int, float]] = None
+                         after: Optional[Tuple[int, float]] = None,
+                         use_blockmax="auto", bound_scale: float = 1.0
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Score one segment under synonym-group semantics: each group is a
     pseudo-term (merged via _merge_group_streams) with idf from the
     group's MAX member df (Lucene SynonymQuery's docFreq bound), then
     the ordinary disjunctive/conjunctive scoring over pseudo-terms.
-    Always exhaustive — per-member block-max bounds don't bound the
-    group's summed-tf partials."""
+
+    use_blockmax: group-aware block-max pruning (W.blockmax_topk_groups)
+    — a group's zone upper bound is idf_g · Σ member block maxes, valid
+    because BM25 saturation is concave/subadditive in tf (see wand.py).
+    'auto' runs the same metadata-only probe as plain terms; pruning is
+    disabled under masks/msm/after for the same ghost-heap reasons as
+    score_segment_rows (bounds include docs the constraint rejects)."""
     if allowed is not None and allowed.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    if (after is not None or allowed is not None
+            or (deleted is not None and deleted.size)
+            or (min_match > 1 and mode != "and")):
+        use_blockmax = False
+    if mode != "and":
+        zb = None
+        if use_blockmax == "auto":
+            use_blockmax = False
+            flat = [r for rows in groups_rows for r in rows]
+            if flat and k > 0:
+                big = max(flat, key=lambda r: r["df"])
+                if len(big["first_docs"]) > 8:
+                    zb = W.zone_bounds_groups(groups_rows, idfs_g)
+                    use_blockmax = W.decide_blockmax_groups(
+                        groups_rows, idfs_g, k, zb=zb)
+        if use_blockmax:
+            flat = [r for rows in groups_rows for r in rows]
+            if not flat:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            top = W.blockmax_topk_groups(groups_rows, idfs_g, avgdl, k,
+                                         bound_scale=bound_scale, zb=zb)
+            if not top:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            d, s = zip(*top)
+            return np.asarray(d, np.int64), np.asarray(s, np.float64)
     streams = [_merge_group_streams(rows, deleted, allowed)
                for rows in groups_rows]
     if mode == "and":
@@ -963,6 +994,7 @@ class SearchIndex:
 
     def topk_synonyms(self, query: str, synonyms: Dict[str, List[str]],
                       k: int = 10, mode: str = "or",
+                      use_blockmax="auto",
                       distributed: bool = False, min_match: int = 1,
                       filter_ids=None, filter_sql: Optional[str] = None,
                       after: Optional[Tuple[int, float]] = None
@@ -976,12 +1008,14 @@ class SearchIndex:
         Thin wrapper: query terms expand to groups, topk_groups scores."""
         return self.topk_groups(
             self._synonym_groups(query, synonyms), k=k, mode=mode,
+            use_blockmax=use_blockmax,
             distributed=distributed, min_match=min_match,
             filter_ids=filter_ids, filter_sql=filter_sql, after=after)
 
     def topk_groups(self, groups: List[List[str]],
                     k: int = 10, mode: str = "or",
                     boosts: Optional[List[float]] = None,
+                    use_blockmax="auto",
                     distributed: bool = False, min_match: int = 1,
                     filter_ids=None, filter_sql: Optional[str] = None,
                     after: Optional[Tuple[int, float]] = None
@@ -1023,6 +1057,7 @@ class SearchIndex:
         if distributed:
             return self._topk_syn_dist(
                 groups, idfs_g, k, mode, min_match, after, dfs=dfs,
+                use_blockmax=use_blockmax,
                 filter_df=(self._routed_filter_df(filter_ids, filter_sql)
                            if has_filter else None))
         seg_rows = sorted(self._rows_by_seg(fetched).items())
@@ -1041,13 +1076,16 @@ class SearchIndex:
             a = flt.get(int(seg), _no_allow) if flt is not None else None
             parts.append(score_segment_groups(
                 groups_rows, idfs_g, k, mode, self.avgdl,
-                min_match=min_match, deleted=d, allowed=a, after=after))
+                min_match=min_match, deleted=d, allowed=a, after=after,
+                use_blockmax=use_blockmax,
+                bound_scale=self._bound_scale(seg)))
         return W.topk_merge(parts, k)
 
     def _topk_syn_dist(self, groups: List[List[str]],
                        idfs_g: List[float], k: int, mode: str,
                        min_match: int, after,
                        dfs: Optional[Dict[str, int]] = None,
+                       use_blockmax="auto",
                        filter_df: Optional[DataFrame] = None
                        ) -> List[Tuple[int, float]]:
         """Distributed synonym scoring: the per-segment group kernel runs
@@ -1061,6 +1099,8 @@ class SearchIndex:
         if not all_terms:
             return []
         avgdl, kk, md, mm = self.avgdl, k, mode, min_match
+        ubm = use_blockmax
+        scales = {int(s): self._bound_scale(s) for s in self.pack_avgdl}
         has_filter = filter_df is not None
 
         def run(key, pdf: pd.DataFrame,
@@ -1072,7 +1112,9 @@ class SearchIndex:
             d, s = score_segment_groups(groups_rows, idfs_g, kk, md,
                                         avgdl, min_match=mm,
                                         deleted=deleted, allowed=allowed,
-                                        after=after)
+                                        after=after, use_blockmax=ubm,
+                                        bound_scale=scales.get(
+                                            int(key[0]), 1.0))
             return pd.DataFrame({"doc_id": d, "score": s})
 
         grouped = (self.postings_df(all_terms).select(*QUERY_COLS)

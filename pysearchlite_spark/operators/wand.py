@@ -237,3 +237,147 @@ def _decode_blocks(r: dict, lo: int, hi: int
     """Decode blocks [lo, hi) of a packed row's three streams (bulk range
     decode — one varbyte pass per stream)."""
     return codec.unpack_block_range(codec.packed_from_row(r), lo, hi)
+
+
+# --------------------------------------------- synonym-group pruning ----
+#
+# A synonym GROUP scores as one pseudo-term: per-doc tf is the SUM of
+# member tfs and BM25 saturation applies once to the sum (Lucene
+# SynonymQuery). Its per-zone upper bound is
+#     idf_g · Σ_{m ∈ group} member_zone_bound(m)
+# which is valid because bm25_partial is CONCAVE in tf with f(0) = 0 and
+# therefore subadditive: f(Σ tf_m, dl) ≤ Σ f(tf_m, dl) ≤ Σ block-max(m).
+# (dl is identical across members of the same doc, so the per-member
+# bound applies at the doc's own dl.) Zones partition docID space, so a
+# doc's member postings all land in the SAME zone and the in-zone tf
+# merge equals the global merge restricted to the zone — the pruned
+# kernel is rank-identical to the exhaustive group pass by construction.
+
+def zone_bounds_groups(groups_rows: Sequence[List[dict]],
+                       idfs_g: Sequence[float]):
+    """Zone construction for group queries: (zone_edges, ub, per_group).
+    Zones come from the largest-df member across ALL groups (finest doc
+    density grid), first zone widened to the global minimum first_doc —
+    same construction as zone_bounds. per_group mirrors per_term but is
+    nested: one [(row, first_docs)] list per group. Metadata-only apart
+    from one final-block decode per member (last-doc capping)."""
+    flat = [r for rows in groups_rows for r in rows]
+    big = max(flat, key=lambda r: r["df"])
+    edges = np.asarray(big["first_docs"], dtype=np.int64)
+    mins = [np.asarray(r["first_docs"], dtype=np.int64)[0]
+            for r in flat if len(r["first_docs"])]
+    global_min = min(mins) if mins else 0
+    if edges.size == 0:
+        edges = np.array([global_min], dtype=np.int64)
+    else:
+        edges = edges.copy()
+        edges[0] = min(int(edges[0]), int(global_min))
+    zone_edges = np.concatenate([edges, [np.iinfo(np.int64).max]])
+    ub = np.zeros(zone_edges.size - 1, dtype=np.float64)
+    per_group = []
+    for rows, idf in zip(groups_rows, idfs_g):
+        fds = []
+        g_ub = np.zeros(zone_edges.size - 1, dtype=np.float64)
+        for r in rows:
+            fd = np.asarray(r["first_docs"], dtype=np.int64)
+            mp = np.asarray(r["max_partial"], dtype=np.float64)
+            g_ub += _zone_bounds_for_term(zone_edges, fd, mp,
+                                          _term_last_doc(r))
+            fds.append((r, fd))
+        ub += idf * g_ub
+        per_group.append(fds)
+    return zone_edges, ub, per_group
+
+
+def decide_blockmax_groups(groups_rows: Sequence[List[dict]],
+                           idfs_g: Sequence[float], k: int,
+                           visit_frac_cutoff: float = 0.25,
+                           zb=None) -> bool:
+    """Adaptive auto mode for group queries — same metadata-only decision
+    rule as decide_blockmax, over the group zone bounds. Pass a
+    precomputed zone_bounds_groups() via zb to share with the scorer."""
+    flat = [r for rows in groups_rows for r in rows]
+    if not flat or k <= 0:
+        return False
+    big = max(flat, key=lambda r: r["df"])
+    if len(big["first_docs"]) <= 8:
+        return False
+    _, ub, _ = zb if zb is not None else zone_bounds_groups(groups_rows,
+                                                            idfs_g)
+    if ub.size == 0 or ub.max() <= 0:
+        return False
+    visited_est = int((ub >= 0.5 * ub.max()).sum())
+    return visited_est <= visit_frac_cutoff * ub.size
+
+
+def blockmax_topk_groups(groups_rows: Sequence[List[dict]],
+                         idfs_g: Sequence[float], avgdl: float, k: int,
+                         bound_scale: float = 1.0,
+                         zb=None) -> List[Tuple[int, float]]:
+    """Block-max pruned top-k under synonym-group semantics. Zones are
+    visited in descending group-upper-bound order; within a zone each
+    group's member blocks are decoded, zone-masked and tf-merged (the
+    exact zone slice of _merge_group_streams' global merge — integer tf
+    sums are order-exact in float64), then groups score disjunctively.
+    Rank-identical to the exhaustive group pass (ties: continue while
+    ub >= current k-th (score, -doc_id))."""
+    if not groups_rows or k <= 0:
+        return []
+    zone_edges, ub, per_group = (zb if zb is not None
+                                 else zone_bounds_groups(groups_rows,
+                                                         idfs_g))
+    if bound_scale != 1.0:
+        ub = ub * bound_scale
+
+    zorder = np.argsort(-ub, kind="stable")
+    heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap
+    for z in zorder:
+        if len(heap) >= k and ub[z] < heap[0][0]:
+            break
+        z_lo, z_hi = int(zone_edges[z]), int(zone_edges[z + 1])
+        gdocs_l, gtfs_l, gdls_l, gidf_l = [], [], [], []
+        for fds, idf in zip(per_group, idfs_g):
+            m_docs, m_tfs, m_dls = [], [], []
+            for r, fd in fds:
+                if fd.size == 0:
+                    continue
+                lo = max(0, int(np.searchsorted(fd, z_lo,
+                                                side="right")) - 1)
+                hi = int(np.searchsorted(fd, z_hi, side="left"))
+                if hi <= lo:
+                    continue
+                d, t, l = _decode_blocks(r, lo, hi)
+                m = (d >= z_lo) & (d < z_hi)
+                if not m.any():
+                    continue
+                m_docs.append(d[m])
+                m_tfs.append(t[m].astype(np.int64))
+                m_dls.append(l[m].astype(np.int64))
+            if not m_docs:
+                continue
+            if len(m_docs) == 1:
+                u, tf, dl = m_docs[0], m_tfs[0], m_dls[0]
+            else:
+                cat = np.concatenate(m_docs)
+                u, inv = np.unique(cat, return_inverse=True)
+                tf = np.bincount(
+                    inv, weights=np.concatenate(m_tfs)).astype(np.int64)
+                dl = np.zeros(u.size, dtype=np.int64)
+                dl[inv] = np.concatenate(m_dls)
+            gdocs_l.append(u)
+            gtfs_l.append(tf)
+            gdls_l.append(dl)
+            gidf_l.append(idf)
+        if not gdocs_l:
+            continue
+        zdocs, zscores = score_disjunctive(gdocs_l, gtfs_l, gdls_l,
+                                           gidf_l, avgdl)
+        for d, s in zip(zdocs.tolist(), zscores.tolist()):
+            item = (s, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    results = [(-nd, s) for s, nd in heap]
+    results.sort(key=lambda x: (-x[1], x[0]))
+    return [(int(d), float(s)) for d, s in results]

@@ -80,10 +80,13 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
         pass True — a library caller sharing a session with its own
         cached frames should leave it False and manage the cache itself.
 
-    Returns {"stages": [{stage, kept, dropped}...], "n_in", "n_out",
-    "out_dir"[, "index_dir", "index": BuildResult dict]}.
+    Returns {"stages": [{stage, kept, dropped, sec}...], "n_in", "n_out",
+    "out_dir"[, "index_dir", "index": BuildResult dict]}. `sec` is the
+    stage's wall time (stats + frontier semi-join + survivor count) — the
+    per-stage observability a 100-TB run steers by.
     """
     import inspect
+    import time
 
     from pysearchlite_spark.functions import text as T
     from pysearchlite_spark.operators import dedup as D
@@ -119,15 +122,34 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     report: dict = {"stages": [], "out_dir": out_dir}
     owned: list = []  # frames THIS call persisted (never the caller's df)
 
+    def checkpoint_frontier(kept: DataFrame) -> DataFrame:
+        """Materialize AND truncate the frontier's logical plan at the
+        stage boundary. Each stage references its input 2-3× (the stats
+        side and the semi-join side), so without truncation the plan
+        grows ~3^stage and Catalyst ANALYSIS — pure driver time — comes
+        to dominate the later stages (measured at 17k docs: the
+        decontaminate stage cost 202 s on a fully cached frontier vs 8 s
+        on a flat one). persist() alone does not help: caching shortcuts
+        execution, not analysis. Reliable checkpoint() when the session
+        has a checkpoint dir (a 100-TB cluster run should set one — the
+        frontier then survives executor loss), else localCheckpoint()."""
+        if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+            return kept.checkpoint(eager=True)
+        return kept.localCheckpoint(eager=True)
+
     def advance(stage: str, kept: DataFrame) -> DataFrame:
-        nonlocal n_prev, cur
-        kept = kept.persist()
-        owned.append(kept)
+        nonlocal n_prev, cur, t_stage
+        kept = checkpoint_frontier(kept)
         n = kept.count()
+        now = time.monotonic()
         report["stages"].append(
-            {"stage": stage, "kept": n, "dropped": n_prev - n})
+            {"stage": stage, "kept": n, "dropped": n_prev - n,
+             "sec": round(now - t_stage, 2)})
+        t_stage = now
         # identity check (DataFrame == builds a Column, never use `in`);
-        # never release a cache the CALLER holds
+        # never release a cache the CALLER holds. Checkpointed frontiers
+        # are not persist()-tracked: their executor storage is freed by
+        # the ContextCleaner once the next stage drops the reference.
         if any(f is cur for f in owned):
             cur.unpersist()
             owned[:] = [f for f in owned if f is not cur]
@@ -145,6 +167,7 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
         cur = df.persist()
         owned.append(cur)
     report["n_in"] = n_prev = cur.count()
+    t_stage = time.monotonic()
 
     try:
         if lang is not None:
