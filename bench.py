@@ -103,6 +103,28 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
                     F.col("n_chars") >= 300).select("doc_id"))
         extras["filtered_query_latency_ms"] = round(
             1000 * timings["bm25_filtered_top10"] / len(qset), 2)
+        # same workload through a REUSABLE resolved-filter handle: the
+        # allow-list is resolved once (inside the timing — the handle's
+        # amortized cost is part of the honest number) and reused by all
+        # 5 queries
+        with timed("bm25_filtered_top10_handle"):
+            fh = idx.prepare_filter(filter_ids=docs.filter(
+                F.col("n_chars") >= 300).select("doc_id"))
+            for q in qset:
+                idx.topk(q, k=10, filter_ids=fh)
+        # synonym-group scoring (SynonymQuery semantics) and explicit
+        # OR-groups with boosts — both ride the group kernel with
+        # round-4 group-aware block-max in auto mode
+        with timed("bm25_syn_top10"):
+            for q in qset:
+                idx.topk_synonyms(q, {"table": ["key"], "value": ["order"]},
+                                  k=10)
+        with timed("bm25_boosted_top10"):
+            idx.topk_groups([["table", "key"], ["part"]],
+                            boosts=[2.0, 1.0], k=10)
+        # fuzzy term query: banded-Levenshtein dictionary expansion + OR
+        with timed("search_fuzzy"):
+            idx.search_fuzzy_ids("tabel", max_edits=1)
         # warm path: preloaded term cache (the reference's mmap-residency
         # analogue) — no Spark dispatch per query
         idx.preload()
