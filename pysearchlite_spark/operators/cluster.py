@@ -97,11 +97,16 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
     coalesce(cluster, id) (dedup_clusters)."""
     raw = pairs.select(F.col(a).cast("long").alias("u"),
                        F.col(b).cast("long").alias("v"))
-    e = _canonical(raw).localCheckpoint(eager=True)
+    # LAZY checkpoint: the signature aggregate is the round's only action
+    # and its scan materializes the checkpoint as a side effect — eager
+    # checkpointing would run a second full job per round purely to
+    # write the same partitions (measured: CC rounds are dispatch-bound
+    # at bench scale, so this halves the per-round fixed cost)
+    e = _canonical(raw).localCheckpoint(eager=False)
     sig = _signature(e)
     if sig[0] > 0:
         for _ in range(max_rounds):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             nxt = _signature(e)
             if nxt == sig:
                 break
