@@ -261,6 +261,9 @@ FILTER_PRED = "n_chars >= 300"  # allow-list predicate (filtered entries)
 Q_MSM, MSM_M = "table query spark merge", 3   # min-should-match: 3 of 4
 W_PATTERN, W_LIKE = "s?a*", "s_a%"  # wildcard ≙ SQL LIKE (token alphabet)
 FZ_TERM, FZ_EDITS = "part", 2  # fuzzy: expands to {fast,part,sort,spark}
+SG_TERM, SG_EDITS = "part", 2  # suggest: same neighbourhood, ranked
+MLT_TEXT = "table part value spark table query merge table"  # MLT source
+MLT_MAXT, MLT_MINDF = 4, 2     # keep 4 most characteristic terms, df >= 2
 RX_PATTERN = "s(mall|low|ort)"  # regex term query (valid re/rlike/RE2)
 Q_STRING = f'value "{Q_PHRASE}" -merge {W_PATTERN}'  # parser composite
 GRP_Q = "(table OR row)^2 value"  # OR-group + boost query string
@@ -401,6 +404,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the (term, df) scan, then OR union
         return _ids_df(spark, _index(spark, sf)
                        .search_fuzzy_ids(FZ_TERM, max_edits=FZ_EDITS))
+
+    def suggest_terms(spark, sf):
+        # spell suggestions (Lucene DirectSpellChecker shape): dictionary
+        # terms within <=2 edits of the query term, ranked (distance asc,
+        # global df desc, term asc) — plain Levenshtein so DuckDB agrees
+        rows = _index(spark, sf).suggest(SG_TERM, k=5, max_edits=SG_EDITS)
+        return spark.createDataFrame(
+            [(t, int(d), int(df)) for t, d, df in rows],
+            "term string, distance long, df long")
+
+    def more_like_this(spark, sf):
+        # Lucene MoreLikeThis: select the text's most characteristic
+        # terms by tf-in-text * corpus idf (rounded to 6dp for tie
+        # parity with the SQL ln()), then disjunctive BM25 top-10
+        top = _index(spark, sf).more_like_this(
+            MLT_TEXT, k=10, max_query_terms=MLT_MAXT, min_df=MLT_MINDF)
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
 
     def search_query(spark, sf):
         # Lucene-style query STRING (query_parser): term AND exact-phrase
@@ -712,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard": search_wildcard,
         "search_regex": search_regex,
         "search_fuzzy": search_fuzzy,
+        "suggest_terms": suggest_terms,
+        "more_like_this": more_like_this,
         "search_query": search_query,
         "bm25_topk_query": bm25_topk_query,
         "bm25_topk_boosted": bm25_topk_boosted,
@@ -1263,6 +1287,58 @@ WHERE c >= {MSM_M} ORDER BY doc_id""",
                         f"len(list_filter({_TOK}, t -> "
                         f"levenshtein(t, '{FZ_TERM}') <= {FZ_EDITS})) > 0 "
                         f"ORDER BY doc_id",
+        "suggest_terms": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
+), dict AS (
+  SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term
+)
+SELECT term, levenshtein(term, '{SG_TERM}')::BIGINT AS distance, df
+FROM dict
+WHERE levenshtein(term, '{SG_TERM}') <= {SG_EDITS}
+  AND term <> '{SG_TERM}'
+ORDER BY distance, df DESC, term LIMIT 5
+""",
+        "more_like_this": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+), dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), qt AS (
+  SELECT term, count(*)::BIGINT AS qtf
+  FROM (SELECT unnest(regexp_extract_all(lower('{MLT_TEXT}'),
+                                         '[a-z0-9]+')) AS term)
+  GROUP BY term
+), dfq AS (
+  SELECT t.term, count(DISTINCT t.doc_id) AS df
+  FROM tok t JOIN qt USING (term) GROUP BY t.term
+), sel AS (
+  SELECT dfq.term
+  FROM dfq JOIN qt USING (term) CROSS JOIN stats
+  WHERE dfq.df >= {MLT_MINDF}
+  ORDER BY round(qt.qtf * ln(1 + (stats.n - dfq.df + 0.5)
+                             / (dfq.df + 0.5)), 6) DESC, dfq.term
+  LIMIT {MLT_MAXT}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+""",
         "search_regex": f"SELECT doc_id FROM documents WHERE "
                         f"len(list_filter({_TOK}, t -> "
                         f"regexp_full_match(t, '{RX_PATTERN}'))) > 0 "

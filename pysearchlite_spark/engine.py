@@ -67,7 +67,20 @@ def bm25_idf(n_docs: int, df: int) -> float:
 
 def _fuzzy_mask(terms, target: str, k: int, prefix: str) -> np.ndarray:
     """Boolean mask over a pandas Series of dictionary terms: full-string
-    Levenshtein distance to `target` ≤ k (and exact `prefix` when set).
+    Levenshtein distance to `target` ≤ k (and exact `prefix` when set)."""
+    idx, dist = _fuzzy_dp(terms, target, k, prefix)
+    out = np.zeros(len(terms), dtype=bool)
+    out[idx[dist <= k]] = True
+    return out
+
+
+def _fuzzy_dp(terms, target: str, k: int, prefix: str
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Banded Levenshtein over a pandas Series of dictionary terms:
+    returns (candidate_indices, distances) for terms inside the length
+    band |len(t)-len(target)| ≤ k (and matching `prefix` when set) —
+    distances are FULL exact Levenshtein (callers threshold ≤ k for
+    membership, or rank by the value for suggestions).
     Vectorized ACROSS candidates: the DP rows are (n_candidates, L+1)
     numpy arrays, so the Python-level loop is O(|target|·L) regardless of
     dictionary size — the per-candidate axis stays in C. Terms are ASCII
@@ -80,10 +93,9 @@ def _fuzzy_mask(terms, target: str, k: int, prefix: str) -> np.ndarray:
     band = np.abs(lens - m) <= k          # |len(a)-len(b)| ≤ lev(a,b)
     if prefix:
         band &= terms.str.startswith(prefix).to_numpy()
-    out = np.zeros(arr.size, dtype=bool)
     idx = np.nonzero(band)[0]
     if idx.size == 0 or m == 0:
-        return out
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     sub = arr[idx]
     sub_lens = lens[idx]
     L = int(sub_lens.max())
@@ -103,8 +115,7 @@ def _fuzzy_mask(terms, target: str, k: int, prefix: str) -> np.ndarray:
                 prev[:, j - 1] + (codes[:, j - 1] != ti))
         prev = cur
     dist = prev[np.arange(idx.size), sub_lens]
-    out[idx] = dist <= k
-    return out
+    return idx, dist.astype(np.int64)
 
 
 def _mask_deleted(ids: np.ndarray, deleted: Optional[np.ndarray]
@@ -1396,6 +1407,108 @@ class SearchIndex:
         return self._urls_for_ids(self.search_fuzzy_ids(
             term, max_edits=max_edits, prefix_len=prefix_len,
             distributed=distributed, max_terms=max_terms))
+
+    def suggest(self, term: str, k: int = 5, max_edits: int = 2,
+                prefix_len: int = 0) -> List[Tuple[str, int, int]]:
+        """Spell suggestions ("did you mean") — the Lucene
+        DirectSpellChecker shape: dictionary terms within `max_edits`
+        full-string Levenshtein distance of `term` (excluding `term`
+        itself), ranked by (distance asc, global df desc, term asc),
+        top k as (term, distance, df) tuples. Reuses the fuzzy
+        machinery: length-band + optional exact-prefix pushdown on the
+        2-column dictionary scan (JVM levenshtein gives the distance),
+        or the candidate-vectorized numpy DP when the index is
+        preloaded. SQL-reproducible: plain Levenshtein, so DuckDB's
+        levenshtein() agrees byte-for-byte."""
+        if not 0 <= max_edits <= 2:
+            raise ValueError("max_edits must be 0, 1 or 2 "
+                             f"(got {max_edits})")
+        t = term.strip().lower()
+        if not t or ASCII_TOKEN.fullmatch(t) is None or k <= 0:
+            return []
+        prefix = t[:prefix_len] if prefix_len > 0 else ""
+        if self._cache_complete and self._cache_pdf is not None:
+            pdf = self._cache_pdf
+            idx, dist = _fuzzy_dp(pdf["term"].reset_index(drop=True),
+                                  t, max_edits, prefix)
+            keep = dist <= max_edits
+            idx, dist = idx[keep], dist[keep]
+            if idx.size == 0:
+                return []
+            sub = pd.DataFrame({
+                "term": pdf["term"].to_numpy(dtype=object)[idx],
+                "df": pdf["df"].to_numpy(np.int64)[idx],
+                "distance": dist})
+            agg = (sub.groupby(["term", "distance"], sort=False,
+                               as_index=False)["df"].sum())
+            agg = agg[agg["term"] != t]
+            agg = agg.sort_values(["distance", "df", "term"],
+                                  ascending=[True, False, True],
+                                  kind="stable").head(k)
+            return [(str(r.term), int(r.distance), int(r.df))
+                    for r in agg.itertuples()]
+        m = len(t)
+        dcol = F.levenshtein(F.col("term"), F.lit(t))
+        cond = (F.length(F.col("term")).between(m - max_edits,
+                                                m + max_edits)
+                & (F.levenshtein(F.col("term"), F.lit(t),
+                                 max_edits) >= 0)
+                & (F.col("term") != t))
+        if prefix:
+            cond = F.col("term").startswith(prefix) & cond
+        rows = (self._postings.filter(cond)
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .select("term", dcol.alias("distance"), "df")
+                .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+                .limit(k).collect())
+        return [(r["term"], int(r["distance"]), int(r["df"]))
+                for r in rows]
+
+    def mlt_terms(self, text: str, max_query_terms: int = 25,
+                  min_tf: int = 1, min_df: int = 1) -> List[str]:
+        """More-like-this query-term selection (Lucene
+        MoreLikeThis.retrieveInterestingTerms): tokenize `text` with the
+        index's own analyzer, score each distinct term by
+        tf_in_text · idf (the BM25 idf over the CORPUS df), and keep the
+        top `max_query_terms` by (score desc, term asc). min_tf / min_df
+        drop noise terms exactly as Lucene's minTermFreq/minDocFreq.
+        The score is rounded to 6 decimals before ranking so the SQL
+        oracle's ln() agrees on ties."""
+        from collections import Counter
+
+        toks = [w.lower() for w in ASCII_TOKEN.findall(text)]
+        tfs = {w: c for w, c in Counter(toks).items() if c >= min_tf}
+        if not tfs:
+            return []
+        terms = sorted(tfs)
+        fetched = self._fetch(terms)
+        dfs = self.global_dfs(fetched, terms)
+        scored = [(round(tfs[w] * bm25_idf(self.n_docs, dfs[w]), 6), w)
+                  for w in terms if dfs[w] >= max(1, min_df)]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return [w for _, w in scored[:max_query_terms]]
+
+    def more_like_this(self, text: str, k: int = 10,
+                       max_query_terms: int = 25, min_tf: int = 1,
+                       min_df: int = 1,
+                       exclude_doc: Optional[int] = None,
+                       distributed: bool = False
+                       ) -> List[Tuple[int, float]]:
+        """Lucene MoreLikeThis: rank documents similar to `text` —
+        select its most characteristic terms (mlt_terms), then ordinary
+        disjunctive BM25 top-k over them. exclude_doc drops the source
+        document (fetch k+1, remove, trim — exact because at most one
+        doc is excluded, so the global top-k among the rest is a subset
+        of the top-(k+1))."""
+        terms = self.mlt_terms(text, max_query_terms=max_query_terms,
+                               min_tf=min_tf, min_df=min_df)
+        if not terms or k <= 0:
+            return []
+        kk = k + 1 if exclude_doc is not None else k
+        top = self.topk(" ".join(terms), k=kk, distributed=distributed)
+        if exclude_doc is not None:
+            top = [(d, s) for d, s in top if d != int(exclude_doc)][:k]
+        return top
 
     def search_regex_ids(self, pattern: str, distributed: bool = False,
                          max_terms: Optional[int] = None) -> np.ndarray:
