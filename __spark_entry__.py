@@ -262,6 +262,8 @@ Q_MSM, MSM_M = "table query spark merge", 3   # min-should-match: 3 of 4
 W_PATTERN, W_LIKE = "s?a*", "s_a%"  # wildcard ≙ SQL LIKE (token alphabet)
 FZ_TERM, FZ_EDITS = "part", 2  # fuzzy: expands to {fast,part,sort,spark}
 SG_TERM, SG_EDITS = "part", 2  # suggest: same neighbourhood, ranked
+RANGE_EDGES = [0, 150, 250, 350, 450, 600]  # n_chars bins (range facet)
+SIG_K, SIG_MIN_FG = 10, 2      # significant-terms: top-10, fg_df >= 2
 MLT_TEXT = "table part value spark table query merge table"  # MLT source
 MLT_MAXT, MLT_MINDF = 4, 2     # keep 4 most characteristic terms, df >= 2
 RX_PATTERN = "s(mall|low|ort)"  # regex term query (valid re/rlike/RE2)
@@ -558,6 +560,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _index(spark, sf).facet_counts(
             Q_AND, _docs(spark, sf), "lang")
 
+    def facet_chars_range(spark, sf):
+        # ES range-aggregation shape: match-set counts per half-open
+        # [lo, hi) n_chars bin — lazy id set joins a 2-column doc
+        # projection, the bin CASE chain is whole-stage codegen
+        return _index(spark, sf).facet_range(
+            Q_AND, _docs(spark, sf), "n_chars", RANGE_EDGES)
+
+    def term_stats(spark, sf):
+        # Lucene CollectionStatistics/TermStatistics: (df, totalTermFreq)
+        # per term — tf streams decoded inside mapInPandas, only the
+        # per-term aggregate crosses
+        rows = _index(spark, sf).term_stats(Q_TERMS, distributed=True)
+        return spark.createDataFrame(rows, "term string, df long, cf long")
+
+    def significant_terms(spark, sf):
+        # ES significant-terms (JLH): one full postings scan cogrouped
+        # with the pseg-routed foreground rows; agg + score + top-k all
+        # JVM-side, k rows collected
+        rows = _index(spark, sf).significant_terms(
+            Q_AND, k=SIG_K, min_fg=SIG_MIN_FG)
+        return spark.createDataFrame(
+            [(t, int(f), int(d), float(s)) for t, f, d, s in rows],
+            "term string, fg_df long, df long, score double")
+
     def search_snippets_entry(spark, sf):
         # keyword-in-context highlighting: index prunes the doc set, the
         # ±5-token window around the first query-term hit is pure JVM
@@ -722,6 +748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": search_snippets_entry,
         "search_and_not": search_and_not,
         "facet_lang": facet_lang,
+        "facet_chars_range": facet_chars_range,
+        "term_stats": term_stats,
+        "significant_terms": significant_terms,
         "count_and": count_and,
         "term_df": term_df,
         "bm25_topk": bm25_topk,
@@ -1226,6 +1255,40 @@ ORDER BY doc_id""",
                           f"ORDER BY doc_id",
         "facet_lang": f"SELECT lang AS facet, count(*)::BIGINT AS n "
                       f"FROM documents WHERE {and_pred} GROUP BY lang",
+        "facet_chars_range": f"""
+WITH bins(bin, lo, hi) AS (VALUES {", ".join(
+    f"({i}::BIGINT, {float(RANGE_EDGES[i])}::DOUBLE,"
+    f" {float(RANGE_EDGES[i + 1])}::DOUBLE)"
+    for i in range(len(RANGE_EDGES) - 1))})
+SELECT b.bin, b.lo, b.hi, count(*)::BIGINT AS n
+FROM documents d JOIN bins b
+  ON d.n_chars >= b.lo AND d.n_chars < b.hi
+WHERE {and_pred}
+GROUP BY b.bin, b.lo, b.hi ORDER BY b.bin""",
+        "term_stats": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tok WHERE term IN ({df_in}) GROUP BY term ORDER BY term""",
+        "significant_terms": f"""
+WITH fg AS (
+  SELECT doc_id FROM documents WHERE {and_pred}
+), tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
+), bg AS (
+  SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term
+), f AS (
+  SELECT term, count(*)::BIGINT AS fg_df
+  FROM tok JOIN fg USING (doc_id) GROUP BY term
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM fg)::DOUBLE AS fn
+)
+SELECT term, fg_df, df,
+       round(((fg_df / fn) - (df / n)) * ((fg_df / fn) / (df / n)), 6)
+         AS score
+FROM f JOIN bg USING (term) CROSS JOIN st
+WHERE fg_df >= {SIG_MIN_FG}
+ORDER BY score DESC, term LIMIT {SIG_K}""",
         # first-hit position (1-based, min across query terms) + ±5-token
         # window; list_position returns 0 when absent, same guard as the
         # engine's when(array_position > 0)

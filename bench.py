@@ -125,6 +125,18 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
         # fuzzy term query: banded-Levenshtein dictionary expansion + OR
         with timed("search_fuzzy"):
             idx.search_fuzzy_ids("tabel", max_edits=1)
+        # spell suggestions: ranked dictionary neighbours (scan path —
+        # one 2-column dictionary job)
+        with timed("suggest"):
+            idx.suggest("tabel", k=5, max_edits=1)
+        # more-like-this: tf*idf term selection + disjunctive BM25
+        with timed("more_like_this_top10"):
+            idx.more_like_this("table part value spark query", k=10,
+                               max_query_terms=4, min_df=2)
+        # significant terms: full postings scan cogrouped with the
+        # routed foreground — the batch aggregation shape
+        with timed("significant_terms"):
+            idx.significant_terms("table part", k=10, min_fg=2)
         # warm path: preloaded term cache (the reference's mmap-residency
         # analogue) — no Spark dispatch per query
         idx.preload()
@@ -135,6 +147,11 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
         extras["query_latency_warm_ms"] = round(
             1000 * timings["bm25_top10_preloaded"]
             / (WARM_REPS * len(qset)), 3)
+        # warm suggest: candidate-vectorized numpy DP over the cached
+        # dictionary, no Spark dispatch
+        with timed("suggest_preloaded"):
+            for _ in range(WARM_REPS):
+                idx.suggest("tabel", k=5, max_edits=1)
 
         # positional variant: separate key so index_build stays comparable
         # across rounds; the delta IS the cost of carrying positions

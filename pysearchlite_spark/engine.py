@@ -1684,6 +1684,174 @@ class SearchIndex:
                         F.col(facet_col).alias("facet")), "doc_id")
         return j.groupBy("facet").agg(F.count(F.lit(1)).alias("n"))
 
+    def facet_range(self, query: str, docs: DataFrame, value_col: str,
+                    edges: List[float], mode: str = "and",
+                    exclude: str = "", id_col: str = "doc_id"
+                    ) -> DataFrame:
+        """Range faceting (the ES range-aggregation shape): counts of
+        query-matching docs per half-open [lo, hi) bin of `value_col`,
+        with bin i = [edges[i], edges[i+1]). Values outside
+        [edges[0], edges[-1]) are excluded and empty bins are absent
+        (the GROUP BY shape — callers wanting zero rows outer-join a
+        bins frame). Lazy DataFrame (bin, lo, hi, n).
+
+        Plan shape mirrors facet_counts: the distributed id set joins a
+        2-column projection of the docs table, the bin CASE chain is
+        pure JVM (whole-stage codegen), and the groupBy count is
+        map-side combined — one row per seen bin per partition crosses
+        the exchange."""
+        if len(edges) < 2 or any(float(edges[i]) >= float(edges[i + 1])
+                                 for i in range(len(edges) - 1)):
+            raise ValueError("edges must be >= 2 strictly increasing "
+                             f"values (got {edges})")
+        ids = self.search_df(query, mode=mode, exclude=exclude) \
+            .select("doc_id")
+        j = ids.join(docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                                 F.col(value_col).cast("double").alias("v")),
+                     "doc_id")
+        v = F.col("v")
+        binned = None
+        for i in range(len(edges) - 1):
+            cond = (v >= float(edges[i])) & (v < float(edges[i + 1]))
+            binned = (F.when(cond, i) if binned is None
+                      else binned.when(cond, i))
+        lo_arr = F.array(*[F.lit(float(e)) for e in edges[:-1]])
+        hi_arr = F.array(*[F.lit(float(e)) for e in edges[1:]])
+        return (j.select(binned.cast("long").alias("bin"))
+                .where(F.col("bin").isNotNull())
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+                .select("bin",
+                        F.element_at(lo_arr, F.col("bin").cast("int") + 1
+                                     ).alias("lo"),
+                        F.element_at(hi_arr, F.col("bin").cast("int") + 1
+                                     ).alias("hi"),
+                        "n"))
+
+    # -------------------------------------------------- term statistics ---
+    def term_stats(self, terms: List[str], distributed: bool = False
+                   ) -> List[Tuple[str, int, int]]:
+        """Collection statistics per term (the Lucene
+        CollectionStatistics/TermStatistics surface): (term, df, cf)
+        sorted by term, where df = docFreq (docs containing the term)
+        and cf = totalTermFreq (total occurrences) — both index-wide,
+        pre-tombstone, exactly Lucene's convention. Terms absent from
+        the index are omitted.
+
+        Driver path: the pruned (tb partition + term pushdown) postings
+        scan / warm cache, tf streams decoded in numpy. distributed=True:
+        decode runs inside mapInPandas per (term, segment) row and only
+        the per-term aggregate crosses — the 10^12-doc path."""
+        ts = sorted({w.lower() for w in terms
+                     if w and ASCII_TOKEN.fullmatch(w.lower())})
+        if not ts:
+            return []
+        if distributed:
+            scan = self.postings_df(ts).select("term", "df", "tfs")
+
+            def decode(batches):
+                for pdf in batches:
+                    cf = [int(codec.unpack_stream(b, int(d)).sum())
+                          for b, d in zip(pdf["tfs"], pdf["df"])]
+                    yield pd.DataFrame({"term": pdf["term"],
+                                        "df": pdf["df"].astype("int64"),
+                                        "cf": np.asarray(cf, np.int64)})
+
+            rows = (scan.mapInPandas(decode, "term string, df long, cf long")
+                    .groupBy("term").agg(F.sum("df").alias("df"),
+                                         F.sum("cf").alias("cf"))
+                    .collect())
+            out = [(r["term"], int(r["df"]), int(r["cf"])) for r in rows]
+            return sorted(out)
+        agg: Dict[str, List[int]] = {}
+        for r in self._fetch(ts):
+            d, c = agg.setdefault(r["term"], [0, 0])
+            agg[r["term"]][0] = d + int(r["df"])
+            agg[r["term"]][1] = c + int(
+                codec.unpack_stream(r["tfs"], int(r["df"])).sum())
+        return sorted((t, d, c) for t, (d, c) in agg.items())
+
+    # ------------------------------------------------ significant terms ---
+    def significant_terms(self, query: Optional[str] = None, k: int = 10,
+                          min_fg: int = 1, mode: str = "and",
+                          filter_ids=None,
+                          filter_sql: Optional[str] = None
+                          ) -> List[Tuple[str, int, int, float]]:
+        """Significant-terms aggregation (the ES shape): terms
+        overrepresented in a FOREGROUND doc set vs the whole corpus,
+        scored with JLH = (fg% - bg%) · (fg% / bg%) and returned as the
+        top-k (term, fg_df, df, score) by (score desc, term asc). The
+        foreground is either the docs matching `query` (mode/and
+        semantics as in search) or an explicit allow-list via
+        filter_ids/filter_sql (the "what characterizes the docs my
+        quality pass flagged?" shape). Background stats are index-wide
+        df (pre-tombstone, the Lucene docFreq convention); the
+        foreground is resolved against the LIVE docmap.
+
+        Scale shape: ONE full postings scan (term+df+docs columns only —
+        tf/dl/position sidecars never read) cogrouped per segment with
+        the pseg-routed foreground rows (never broadcast); the
+        per-(term, seg) foreground membership count is a vectorized
+        sorted-array searchsorted; the global per-term aggregate, JLH
+        score and top-k ordering all run JVM-side and exactly k rows
+        reach the driver."""
+        if (query is None) == (filter_ids is None and filter_sql is None):
+            raise ValueError("give exactly one foreground: query OR "
+                             "filter_ids/filter_sql")
+        if query is not None:
+            ids = self.search_df(query, mode=mode).select("doc_id")
+            fg = self._routed_filter_df(filter_ids=ids)
+        else:
+            fg = self._routed_filter_df(filter_ids, filter_sql)
+        fg = fg.persist()
+        try:
+            fn = fg.count()
+            if fn == 0 or k <= 0:
+                return []
+
+            def run(key, pdf: pd.DataFrame, ddf: pd.DataFrame
+                    ) -> pd.DataFrame:
+                # a segment with NO foreground rows must still emit its
+                # (term, fdf=0, df) rows — the global per-term df sums
+                # over every segment, foreground or not
+                allow = np.unique(ddf.loc[ddf["kind"] == 1, "doc_id"]
+                                  .to_numpy(np.int64))
+                terms_l, fdf_l, df_l = [], [], []
+                for r in pdf.to_dict("records"):
+                    df_r = int(r["df"])
+                    c = 0
+                    if allow.size:
+                        docs = codec.unpack_docs(r["docs"], df_r)
+                        pos = np.searchsorted(allow, docs)
+                        pos[pos == allow.size] = allow.size - 1
+                        c = int((allow[pos] == docs).sum())
+                    terms_l.append(r["term"])
+                    fdf_l.append(c)
+                    df_l.append(df_r)
+                return pd.DataFrame({
+                    "term": pd.Series(terms_l, dtype="object"),
+                    "fdf": np.asarray(fdf_l, np.int64),
+                    "df": np.asarray(df_l, np.int64)})
+
+            scan = self._postings.select("term", "seg", "df", "docs")
+            scored = scan.groupBy("seg").cogroup(
+                self._seg_aux_grouped(fg)).applyInPandas(
+                run, "term string, fdf long, df long")
+            fgp = F.col("fg_df").cast("double") / F.lit(float(fn))
+            bgp = F.col("df").cast("double") / F.lit(float(self.n_docs))
+            rows = (scored.groupBy("term")
+                    .agg(F.sum("fdf").alias("fg_df"),
+                         F.sum("df").alias("df"))
+                    .filter(F.col("fg_df") >= int(min_fg))
+                    .select("term", "fg_df", "df",
+                            F.round((fgp - bgp) * (fgp / bgp), 6)
+                            .alias("score"))
+                    .orderBy(F.desc("score"), F.asc("term"))
+                    .limit(int(k)).collect())
+            return [(r["term"], int(r["fg_df"]), int(r["df"]),
+                     float(r["score"])) for r in rows]
+        finally:
+            fg.unpersist()
+
     # ---------------------------------------------------------- snippets --
     def search_snippets(self, query: str, docs: DataFrame,
                         window: int = 5, id_col: str = "doc_id",
