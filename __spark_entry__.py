@@ -560,6 +560,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _index(spark, sf).facet_counts(
             Q_AND, _docs(spark, sf), "lang")
 
+    def search_sorted(spark, sf):
+        # Lucene Sort/SortField shape: top-10 matches by n_chars desc
+        # (doc_id tiebreak) — orderBy+limit compiles to
+        # TakeOrderedAndProject, never a full sort
+        return _index(spark, sf).search_sorted(
+            Q_AND, by="n_chars", docs=_docs(spark, sf), k=10)
+
     def facet_chars_range(spark, sf):
         # ES range-aggregation shape: match-set counts per half-open
         # [lo, hi) n_chars bin — lazy id set joins a 2-column doc
@@ -748,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": search_snippets_entry,
         "search_and_not": search_and_not,
         "facet_lang": facet_lang,
+        "search_sorted": search_sorted,
         "facet_chars_range": facet_chars_range,
         "term_stats": term_stats,
         "significant_terms": significant_terms,
@@ -1255,6 +1263,9 @@ ORDER BY doc_id""",
                           f"ORDER BY doc_id",
         "facet_lang": f"SELECT lang AS facet, count(*)::BIGINT AS n "
                       f"FROM documents WHERE {and_pred} GROUP BY lang",
+        "search_sorted": f"SELECT doc_id, n_chars FROM documents "
+                         f"WHERE {and_pred} "
+                         f"ORDER BY n_chars DESC, doc_id LIMIT 10",
         "facet_chars_range": f"""
 WITH bins(bin, lo, hi) AS (VALUES {", ".join(
     f"({i}::BIGINT, {float(RANGE_EDGES[i])}::DOUBLE,"

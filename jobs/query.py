@@ -213,6 +213,28 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 out.write("\n")
             else:
                 out.write(f"{cnt}\n")
+        elif cmd == "SUGGEST":
+            # payload "<term>" or "<term>~<edits>" like FUZZY; prints
+            # ranked "term:distance:df" triples
+            fm = re.fullmatch(r"(.*?)(?:~(\d*))?", q.strip())
+            sterm, sed = fm[1], int(fm[2]) if fm[2] else 2
+            try:
+                sug = idx.suggest(sterm, k=10, max_edits=sed)
+            except ValueError as e:
+                err.write(f"ERR {e}\n")
+                out.write("\n")
+            else:
+                out.write(" ".join(f"{t}:{d}:{df}"
+                                   for t, d, df in sug) + "\n")
+        elif cmd == "MLT":
+            # payload is free text; prints the BM25 top-10 most-similar
+            # docs as "doc_id:score" pairs (MoreLikeThis defaults)
+            top = idx.more_like_this(q, k=10, distributed=dist)
+            out.write(" ".join(f"{d}:{s:.6f}" for d, s in top) + "\n")
+        elif cmd == "TERM_STATS":
+            # payload is whitespace terms; prints "term:df:cf" sorted
+            st = idx.term_stats(q.split(), distributed=dist)
+            out.write(" ".join(f"{t}:{d}:{c}" for t, d, c in st) + "\n")
         else:
             err.write(f"ERR unknown command {cmd}\n")
         out.flush()

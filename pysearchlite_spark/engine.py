@@ -1727,6 +1727,31 @@ class SearchIndex:
                                      ).alias("hi"),
                         "n"))
 
+    def search_sorted(self, query: str, by: str = "doc_len", k: int = 10,
+                      ascending: bool = False,
+                      docs: Optional[DataFrame] = None,
+                      id_col: str = "doc_id", mode: str = "and",
+                      exclude: str = "") -> DataFrame:
+        """Sort-by-field retrieval (the Lucene Sort/SortField shape): the
+        top-k query matches ordered by a document attribute instead of
+        BM25 — "newest first", "longest first". `by` is a docmap column
+        (doc_id, url, doc_len) when docs is None, else a column of the
+        supplied docs table. Ties break by doc_id ascending, so the k-th
+        boundary is deterministic. Lazy DataFrame (doc_id, <by>).
+
+        Scale shape: the distributed id set joins a 2-column projection
+        and orderBy+limit compiles to TakeOrderedAndProject — per-
+        partition top-k heaps, k rows per partition to the driver side
+        of the exchange, never a full sort materialization."""
+        ids = self.search_df(query, mode=mode, exclude=exclude) \
+            .select("doc_id")
+        src = (self.docmap_df(live=True) if docs is None else docs)
+        j = ids.join(
+            src.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(by).alias(by)), "doc_id")
+        order = [F.asc(by) if ascending else F.desc(by), F.asc("doc_id")]
+        return j.orderBy(*order).limit(int(k))
+
     # -------------------------------------------------- term statistics ---
     def term_stats(self, terms: List[str], distributed: bool = False
                    ) -> List[Tuple[str, int, int]]:

@@ -172,3 +172,37 @@ def test_significant_terms_validates(idx):
         idx.significant_terms("alpha", filter_ids=[1])  # both
     assert idx.significant_terms("zzmissing") == []
     assert idx.significant_terms("alpha", k=0) == []
+
+
+# --------------------------------------------------------- search_sorted ---
+
+def _brute_sorted(terms, k, ascending=False):
+    rows = [(i, N_CHARS[i]) for i in _and_ids(terms)]
+    rows.sort(key=lambda x: (x[1] if ascending else -x[1], x[0]))
+    return rows[:k]
+
+
+def test_search_sorted_matches_brute_force(idx, docs):
+    got = [(r["doc_id"], r["n_chars"]) for r in
+           idx.search_sorted("alpha beta", by="n_chars", docs=docs,
+                             k=3).collect()]
+    assert got == [(i, float(v)) for i, v in
+                   _brute_sorted(["alpha", "beta"], 3)]
+
+
+def test_search_sorted_ascending(idx, docs):
+    got = [(r["doc_id"], r["n_chars"]) for r in
+           idx.search_sorted("alpha beta", by="n_chars", docs=docs, k=2,
+                             ascending=True).collect()]
+    assert got == [(i, float(v)) for i, v in
+                   _brute_sorted(["alpha", "beta"], 2, ascending=True)]
+
+
+def test_search_sorted_default_docmap_doc_len(idx):
+    # by="doc_len" against the index's own docmap — no docs table needed
+    want = sorted(((i, len(_toks(t))) for i, t in CORPUS
+                   if i in _and_ids(["alpha", "beta"])),
+                  key=lambda x: (-x[1], x[0]))[:3]
+    got = [(r["doc_id"], r["doc_len"]) for r in
+           idx.search_sorted("alpha beta", k=3).collect()]
+    assert got == want

@@ -240,3 +240,19 @@ def test_protocol_multi_field_root(spark, tmp_path_factory):
     # the per-field subdirectory stays a full single-field index
     out2, _ = _run(spark, f"{root}/fields/body", ["COUNT\ttest"])
     assert out2 == ["2"]
+
+
+def test_suggest_mlt_stats_commands(spark, idx_dir):
+    out, err = _run(spark, idx_dir, [
+        "SUGGEST\ttost~1",        # 'test' is 1 edit away (df 2)
+        "SUGGEST\tworld~0",       # exact-only → term itself excluded
+        "TERM_STATS\ttest this zzmissing",
+        "MLT\tthis is a test",
+    ])
+    assert out[0] == "test:1:2"
+    assert out[1] == ""
+    assert out[2] == "test:2:2 this:2:2"
+    # doc 1 IS the text → ranks first; pairs are doc:score like TOP_10
+    assert out[3].startswith("1:")
+    assert all(":" in p for p in out[3].split())
+    assert err == []
