@@ -1832,50 +1832,57 @@ class SearchIndex:
             fn = fg.count()
             if fn == 0 or k <= 0:
                 return []
-
-            def run(key, pdf: pd.DataFrame, ddf: pd.DataFrame
-                    ) -> pd.DataFrame:
-                # a segment with NO foreground rows must still emit its
-                # (term, fdf=0, df) rows — the global per-term df sums
-                # over every segment, foreground or not
-                allow = np.unique(ddf.loc[ddf["kind"] == 1, "doc_id"]
-                                  .to_numpy(np.int64))
-                terms_l, fdf_l, df_l = [], [], []
-                for r in pdf.to_dict("records"):
-                    df_r = int(r["df"])
-                    c = 0
-                    if allow.size:
-                        docs = codec.unpack_docs(r["docs"], df_r)
-                        pos = np.searchsorted(allow, docs)
-                        pos[pos == allow.size] = allow.size - 1
-                        c = int((allow[pos] == docs).sum())
-                    terms_l.append(r["term"])
-                    fdf_l.append(c)
-                    df_l.append(df_r)
-                return pd.DataFrame({
-                    "term": pd.Series(terms_l, dtype="object"),
-                    "fdf": np.asarray(fdf_l, np.int64),
-                    "df": np.asarray(df_l, np.int64)})
-
-            scan = self._postings.select("term", "seg", "df", "docs")
-            scored = scan.groupBy("seg").cogroup(
-                self._seg_aux_grouped(fg)).applyInPandas(
-                run, "term string, fdf long, df long")
-            fgp = F.col("fg_df").cast("double") / F.lit(float(fn))
-            bgp = F.col("df").cast("double") / F.lit(float(self.n_docs))
-            rows = (scored.groupBy("term")
-                    .agg(F.sum("fdf").alias("fg_df"),
-                         F.sum("df").alias("df"))
-                    .filter(F.col("fg_df") >= int(min_fg))
-                    .select("term", "fg_df", "df",
-                            F.round((fgp - bgp) * (fgp / bgp), 6)
-                            .alias("score"))
-                    .orderBy(F.desc("score"), F.asc("term"))
-                    .limit(int(k)).collect())
+            rows = self._significant_df(fg, fn, min_fg, k).collect()
             return [(r["term"], int(r["fg_df"]), int(r["df"]),
                      float(r["score"])) for r in rows]
         finally:
             fg.unpersist()
+
+    def _significant_df(self, fg: DataFrame, fn: int, min_fg: int,
+                        k: int) -> DataFrame:
+        """The lazy plan behind significant_terms (split out so
+        tools/explain_plans.py can audit it): full postings scan pruned
+        to (term, seg, df, docs), per-segment cogroup with the routed
+        foreground, JVM-side aggregate + JLH score + top-k."""
+        def run(key, pdf: pd.DataFrame, ddf: pd.DataFrame
+                ) -> pd.DataFrame:
+            # a segment with NO foreground rows must still emit its
+            # (term, fdf=0, df) rows — the global per-term df sums
+            # over every segment, foreground or not
+            allow = np.unique(ddf.loc[ddf["kind"] == 1, "doc_id"]
+                              .to_numpy(np.int64))
+            terms_l, fdf_l, df_l = [], [], []
+            for r in pdf.to_dict("records"):
+                df_r = int(r["df"])
+                c = 0
+                if allow.size:
+                    docs = codec.unpack_docs(r["docs"], df_r)
+                    pos = np.searchsorted(allow, docs)
+                    pos[pos == allow.size] = allow.size - 1
+                    c = int((allow[pos] == docs).sum())
+                terms_l.append(r["term"])
+                fdf_l.append(c)
+                df_l.append(df_r)
+            return pd.DataFrame({
+                "term": pd.Series(terms_l, dtype="object"),
+                "fdf": np.asarray(fdf_l, np.int64),
+                "df": np.asarray(df_l, np.int64)})
+
+        scan = self._postings.select("term", "seg", "df", "docs")
+        scored = scan.groupBy("seg").cogroup(
+            self._seg_aux_grouped(fg)).applyInPandas(
+            run, "term string, fdf long, df long")
+        fgp = F.col("fg_df").cast("double") / F.lit(float(fn))
+        bgp = F.col("df").cast("double") / F.lit(float(self.n_docs))
+        return (scored.groupBy("term")
+                .agg(F.sum("fdf").alias("fg_df"),
+                     F.sum("df").alias("df"))
+                .filter(F.col("fg_df") >= int(min_fg))
+                .select("term", "fg_df", "df",
+                        F.round((fgp - bgp) * (fgp / bgp), 6)
+                        .alias("score"))
+                .orderBy(F.desc("score"), F.asc("term"))
+                .limit(int(k)))
 
     # ---------------------------------------------------------- snippets --
     def search_snippets(self, query: str, docs: DataFrame,

@@ -119,6 +119,21 @@ def main() -> None:
         import shutil
         shutil.rmtree(pos_dir, ignore_errors=True)
 
+    # sort-by-field: orderBy+limit must compile to TakeOrderedAndProject
+    # (per-partition top-k heaps), never a global Sort
+    sorted_plan = idx_d.search_sorted("table part", by="doc_len", k=10)
+    sections.append(("Sort-by-field retrieval (TakeOrderedAndProject)",
+                     fmt(sorted_plan), []))
+
+    # significant terms: the full postings scan must read ONLY
+    # (term, seg, df, docs) — tf/dl/position sidecars pruned — and the
+    # k-row result is the only thing collected
+    fg = idx_d._routed_filter_df(
+        filter_ids=idx_d.search_df("table part").select("doc_id"))
+    sig_plan = idx_d._significant_df(fg, fn=100, min_fg=2, k=10)
+    sections.append(("Significant terms (pruned full scan + cogroup)",
+                     fmt(sig_plan), []))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plans (explain formatted)\n\n"
                 "Generated by tools/explain_plans.py — the properties the\n"
@@ -152,6 +167,11 @@ def main() -> None:
         "phrase scan reads positions + pushes terms":
             "pos:binary" in sections[9][1] and
             "PushedFilters" in sections[9][1],
+        "search_sorted is TakeOrdered, not Sort":
+            "TakeOrderedAndProject" in sections[10][1],
+        "significant scan prunes tf/dl/pos pages":
+            "tfs:binary" not in sections[11][1] and
+            "pos:binary" not in sections[11][1],
     }
     print(checks)
     spark.stop()
