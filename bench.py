@@ -13,11 +13,16 @@ Protocol: the WHOLE suite runs $SPARK_GRAFT_BENCH_TRIALS times (default 3)
 interleaved in one process, and the reported per-key number is the BEST of
 the trials — this host is co-tenant-noisy (BENCH/BASELINE.md documents 2.5x
 single-run variance) and single-shot runs are not comparable across rounds.
-All trials are preserved in the output ("trials_all").
+All trials are preserved in BENCH/trials_last.json (side artifact): the
+driver that consumes this script keeps only the last ~2KB of stdout and
+parses the final line as JSON, so the stdout line must stay compact —
+per-trial breakdowns would blow past that window (this is exactly what
+made round 3's driver record unparseable).
 
-Output: {"metric": "e2e_bench_sec", "value": <sum of per-key best sec>,
+Output (ONE compact line, stdout):
+        {"metric": "e2e_bench_sec", "value": <sum of per-key best sec>,
          "unit": "sec", "queries": {name: best sec, ...}, "sf": <dir>,
-         "trials": N, "trials_all": [...], ...extras}
+         "trials": N, ...extras}
 """
 
 from __future__ import annotations
@@ -243,6 +248,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
+    # keep \r progress bars out of the captured output (see module docstring)
+    os.environ.setdefault("SPARK_GRAFT_CONSOLE_PROGRESS", "false")
 
     from pysearchlite_spark.session import get_spark
 
@@ -281,11 +288,29 @@ def main() -> None:
         1000 * best["bm25_top10_preloaded"] / (WARM_REPS * len(QSET)), 3)
     extras["batch_query_latency_ms"] = round(
         1000 * best["bm25_top10_batch5"] / len(QSET), 2)
-    print(json.dumps({"metric": "e2e_bench_sec", "value": total,
-                      "unit": "sec", "queries": best, "sf": sf_dir,
-                      "n_docs": n_docs, "cpus": int(cpus),
-                      "trials": trials, "trials_all": all_trials,
-                      **extras}))
+    # Per-trial detail goes to a side file, NOT stdout: the driver keeps
+    # only the tail of stdout and must be able to parse the final line.
+    trials_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "trials_last.json")
+    try:
+        with open(trials_path, "w") as f:
+            json.dump({"sf": sf_dir, "cpus": int(cpus), "trials": trials,
+                       "trials_all": all_trials}, f, indent=1)
+    except OSError as e:  # read-only checkout — detail is best-effort
+        sys.stderr.write(f"bench: could not write {trials_path}: {e}\n")
+    line = json.dumps({"metric": "e2e_bench_sec", "value": total,
+                       "unit": "sec", "queries": best, "sf": sf_dir,
+                       "n_docs": n_docs, "cpus": int(cpus),
+                       "trials": trials, **extras})
+    if len(line) > 1900:  # hard guard: never exceed the driver's window
+        sys.stderr.write(f"bench: full line {len(line)}B > 1900, "
+                         "dropping per-query detail to 'queries_top'\n")
+        top = dict(sorted(best.items(), key=lambda kv: -kv[1])[:10])
+        line = json.dumps({"metric": "e2e_bench_sec", "value": total,
+                           "unit": "sec", "queries": top, "sf": sf_dir,
+                           "n_docs": n_docs, "cpus": int(cpus),
+                           "trials": trials, **extras})
+    print(line)
 
 
 if __name__ == "__main__":

@@ -96,15 +96,20 @@ def _fuzzy_dp(terms, target: str, k: int, prefix: str
     idx = np.nonzero(band)[0]
     if idx.size == 0 or m == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    sub = arr[idx]
-    sub_lens = lens[idx]
+    # the candidate rows are (term, segment) pairs — the same term string
+    # appears once PER SEGMENT, so the DP would redo identical work for
+    # every replica (measured ~4x on a multi-segment preloaded cache).
+    # Dedup the strings, DP once per distinct term, broadcast back.
+    sub, inv = np.unique(arr[idx], return_inverse=True)
+    sub_lens = np.fromiter((len(t) for t in sub), dtype=np.int64,
+                           count=sub.size)
     L = int(sub_lens.max())
-    codes = np.zeros((idx.size, L), dtype=np.int32)
+    codes = np.zeros((sub.size, L), dtype=np.int32)
     for i, t in enumerate(sub):
         b = t.encode("ascii", "replace")
         codes[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
     tco = np.frombuffer(target.encode("ascii", "replace"), dtype=np.uint8)
-    prev = np.tile(np.arange(L + 1, dtype=np.int32), (idx.size, 1))
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (sub.size, 1))
     for i in range(1, m + 1):
         cur = np.empty_like(prev)
         cur[:, 0] = i
@@ -114,8 +119,8 @@ def _fuzzy_dp(terms, target: str, k: int, prefix: str
                 np.minimum(prev[:, j], cur[:, j - 1]) + 1,
                 prev[:, j - 1] + (codes[:, j - 1] != ti))
         prev = cur
-    dist = prev[np.arange(idx.size), sub_lens]
-    return idx, dist.astype(np.int64)
+    dist = prev[np.arange(sub.size), sub_lens]
+    return idx, dist.astype(np.int64)[inv]
 
 
 def _mask_deleted(ids: np.ndarray, deleted: Optional[np.ndarray]

@@ -90,6 +90,10 @@ def get_spark(app: str = "pysearchlite_spark", master: str | None = None,
         .config("spark.driver.maxResultSize",
                 os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
+        # batch harnesses (bench.py) disable the console progress bar so
+        # their machine-parsed output tail can't be interleaved with \r bars
+        .config("spark.ui.showConsoleProgress",
+                os.environ.get("SPARK_GRAFT_CONSOLE_PROGRESS", "true"))
         .config("spark.sql.session.timeZone", "UTC")
     )
     # shuffle/spill scratch space. On a real cluster each executor has its
