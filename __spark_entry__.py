@@ -324,6 +324,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ids_df(spark, _index_pos(spark, sf)
                        .search_near_ids(Q_NEAR, NEAR_SLOP))
 
+    def search_near_unordered(spark, sf):
+        # unordered proximity (SpanNearQuery inOrder=False shape): the
+        # distinct terms in ANY arrangement inside a window of n-1+slop;
+        # anchor-scan kernel (operators/phrase.py:near_unordered_match_ids)
+        return _ids_df(spark, _index_pos(spark, sf)
+                       .search_near_ids(Q_NEAR, NEAR_SLOP, in_order=False))
+
+    def bm25_scores(spark, sf):
+        # score the WHOLE match set as a lazy DataFrame (reranker-feature /
+        # export surface): per-segment scoring kernel, no truncation, no
+        # driver hop — engine.scores_df
+        return (_index(spark, sf).scores_df(Q_BM25)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
+    def search_collapse(spark, sf):
+        # field collapsing (Lucene grouping / ES collapse): top-k matches
+        # keeping only the best-scoring doc per lang; groupBy+max_by with
+        # map-side partial combine over the scored match set
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return (_index(spark, sf)
+                .search_collapse(Q_BM25, docs, "lang", k=10)
+                .select("doc_id", F.round("score", 6).alias("score"),
+                        "collapse"))
+
     def search_prefix(spark, sf):
         # wildcard-prefix query (Lucene PrefixQuery shape): dictionary
         # expansion via a StartsWith-pushed (term, df) scan, then the OR
@@ -751,6 +775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": search_phrase,
         "search_phrase_dist": search_phrase_dist,
         "search_near": search_near,
+        "search_near_unordered": search_near_unordered,
+        "bm25_scores": bm25_scores,
+        "search_collapse": search_collapse,
         "search_prefix": search_prefix,
         "search_snippets": search_snippets_entry,
         "search_and_not": search_and_not,
@@ -818,11 +845,12 @@ def oracle_sql() -> dict[str, str]:
 
     def bm25_sql(terms_in: str, qid: int | None = None,
                  where: str = "", having: str = "",
-                 offset: int = 0) -> str:
+                 offset: int = 0, limit: int | None = 10) -> str:
         # `where`: filtered retrieval — restricts the RESULT candidates
         # only; corpus stats (n, avgdl, df) stay corpus-wide, exactly the
         # engine's Lucene-filter semantics. `having`: msm — candidates
-        # must match >= m distinct terms, scores stay full-disjunctive
+        # must match >= m distinct terms, scores stay full-disjunctive.
+        # limit=None: the FULL scored match set (scores_df oracle)
         head = ("SELECT doc_id, round(score, 6) AS score" if qid is None
                 else f"SELECT {qid} AS qid, doc_id, "
                      "round(score, 6) AS score")
@@ -851,7 +879,8 @@ WITH tok AS (
 )
 {head} FROM scores
 {where}
-ORDER BY score DESC, doc_id LIMIT 10 OFFSET {offset}
+{("ORDER BY score DESC, doc_id LIMIT " + str(limit)
+  + " OFFSET " + str(offset)) if limit is not None else "ORDER BY doc_id"}
 """
 
     bm25 = bm25_sql(bm_in)
@@ -1255,6 +1284,20 @@ SELECT doc_id FROM p
 WHERE len(list_filter(p1, pa -> len(list_filter(p2,
           pb -> pb > pa AND pb - pa <= {1 + NEAR_SLOP})) > 0)) > 0
 ORDER BY doc_id""",
+        # unordered proximity: for 2 distinct terms a window of width
+        # n-1+slop holding both ≡ |pa - pb| ≤ 1+slop, either order
+        "search_near_unordered": f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(toks)+1),
+                    i -> toks[i] = '{Q_NEAR.split()[0]}') AS p1,
+        list_filter(range(1, len(toks)+1),
+                    i -> toks[i] = '{Q_NEAR.split()[1]}') AS p2
+      FROM t)
+SELECT doc_id FROM p
+WHERE len(list_filter(p1, pa -> len(list_filter(p2,
+          pb -> abs(pb - pa) <= {1 + NEAR_SLOP})) > 0)) > 0
+ORDER BY doc_id""",
         "search_prefix": f"SELECT doc_id FROM documents WHERE "
                          f"len(list_filter({_TOK}, "
                          f"t -> t LIKE '{Q_PREFIX}%')) > 0 ORDER BY doc_id",
@@ -1329,6 +1372,21 @@ FROM p ORDER BY doc_id""",
             FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
             WHERE term IN ({df_in}) GROUP BY term""",
         "bm25_topk": bm25,
+        # the FULL scored match set (scores_df): same scoring CTE, no
+        # top-k truncation
+        "bm25_scores": bm25_sql(bm_in, limit=None),
+        # field collapsing: best-scoring doc per lang over the full scored
+        # match set, groups ranked by their winner (ties -> doc_id asc)
+        "search_collapse": f"""
+WITH s AS ({bm25_sql(bm_in, limit=None)}),
+j AS (
+  SELECT s.doc_id, s.score, d.lang AS collapse,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM s JOIN documents d USING (doc_id))
+SELECT doc_id, score, collapse FROM j WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 10
+""",
         "bm25_topk_batch": bm25_batch_sql,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_msm": bm25_msm,

@@ -13,6 +13,8 @@ the includes minus any doc containing an exclude term),
 PHRASE / PHRASE_COUNT (exact consecutive-token match; needs an index
 built with_positions=True), NEAR / NEAR_COUNT (payload ``<slop> <query>``:
 ordered proximity within slop; positional index required),
+UNEAR / UNEAR_COUNT (same payload, unordered proximity — the distinct
+query terms in any arrangement inside the window),
 PREFIX / PREFIX_COUNT (payload is a single term prefix, expanded against
 the dictionary and unioned like OR; cap the expansion with
 ``--prefix-max-terms N`` — keeps the N highest-df matches),
@@ -108,17 +110,21 @@ def run(spark, index_dir: str, lines, out=None, err=None,
                 out.write("\n")
             else:
                 out.write(" ".join(map(str, ids.tolist())) + "\n")
-        elif cmd == "NEAR" or cmd == "NEAR_COUNT":
+        elif cmd in ("NEAR", "NEAR_COUNT", "UNEAR", "UNEAR_COUNT"):
             # payload is "<slop> <query>"; bad slop / non-positional
-            # index degrade to an ERR line like the phrase commands
+            # index degrade to an ERR line like the phrase commands.
+            # UNEAR* = unordered proximity (SpanNearQuery inOrder=false)
             s, _, nq = q.partition(" ")
+            ordered = not cmd.startswith("U")
             try:
                 slop = int(s)
-                if cmd == "NEAR":
-                    res = " ".join(map(str, idx.search_near_ids(
-                        nq, slop, distributed=dist).tolist()))
+                if cmd.endswith("_COUNT"):
+                    res = str(idx.count_near(nq, slop, distributed=dist,
+                                             in_order=ordered))
                 else:
-                    res = str(idx.count_near(nq, slop, distributed=dist))
+                    res = " ".join(map(str, idx.search_near_ids(
+                        nq, slop, distributed=dist,
+                        in_order=ordered).tolist()))
             except ValueError as e:
                 err.write(f"ERR {e}\n")
                 out.write("\n")

@@ -1633,44 +1633,51 @@ class SearchIndex:
         return self._positional_ids_local(terms, P.phrase_match_ids)
 
     @staticmethod
-    def _near_kernel(slop: int):
+    def _near_kernel(slop: int, in_order: bool = True):
         """The ONE place the proximity kernel closure (and its slop
         validation) lives — search_near_ids / count_near / search_df all
         route through it so every entry path rejects a negative slop
         identically instead of silently returning empty."""
         if slop < 0:
             raise ValueError("slop must be >= 0")
+        match = P.near_match_ids if in_order else P.near_unordered_match_ids
 
         def kernel(rows, ts, deleted=None):
-            return P.near_match_ids(rows, ts, slop, deleted=deleted)
+            return match(rows, ts, slop, deleted=deleted)
 
         return kernel
 
     def search_near_ids(self, query: str, slop: int,
-                        distributed: bool = False) -> np.ndarray:
-        """Ordered proximity (Lucene SpanNearQuery inOrder=True): docs
-        where the query tokens occur in order at strictly increasing
-        positions spanning ≤ len(terms)-1+slop. slop=0 is exactly the
-        consecutive phrase. Same positional machinery as phrase — see
-        operators/phrase.py:near_match_ids for the greedy-chain kernel."""
-        kernel = self._near_kernel(slop)
+                        distributed: bool = False,
+                        in_order: bool = True) -> np.ndarray:
+        """Proximity query (Lucene SpanNearQuery): docs where the query
+        tokens occur within a span of ≤ len(terms)-1+slop positions.
+        in_order=True requires the tokens in query order at strictly
+        increasing positions (slop=0 is exactly the consecutive phrase;
+        greedy-chain kernel, operators/phrase.py:near_match_ids);
+        in_order=False accepts any arrangement of the DISTINCT terms
+        inside the window (anchor-scan kernel, near_unordered_match_ids)."""
+        kernel = self._near_kernel(slop, in_order)
         terms = self._phrase_terms(query)
         if distributed:
             return self._positional_ids_dist(terms, kernel)
         return self._positional_ids_local(terms, kernel)
 
     def count_near(self, query: str, slop: int,
-                   distributed: bool = False) -> int:
+                   distributed: bool = False, in_order: bool = True) -> int:
         if distributed:
             return self._count_positional_dist(
-                self._phrase_terms(query), self._near_kernel(slop))
-        return int(self.search_near_ids(query, slop).size)
+                self._phrase_terms(query),
+                self._near_kernel(slop, in_order))
+        return int(self.search_near_ids(query, slop,
+                                        in_order=in_order).size)
 
     def search_near(self, query: str, slop: int,
-                    distributed: bool = False) -> List[str]:
+                    distributed: bool = False,
+                    in_order: bool = True) -> List[str]:
         """Proximity query → doc names (urls), ascending docID order."""
         return self._urls_for_ids(self.search_near_ids(
-            query, slop, distributed=distributed))
+            query, slop, distributed=distributed, in_order=in_order))
 
     # ------------------------------------------------------------ facets --
     def facet_counts(self, query: str, docs: DataFrame, facet_col: str,
@@ -1756,6 +1763,100 @@ class SearchIndex:
                        F.col(by).alias(by)), "doc_id")
         order = [F.asc(by) if ascending else F.desc(by), F.asc("doc_id")]
         return j.orderBy(*order).limit(int(k))
+
+    def scores_df(self, query: str, mode: str = "or",
+                  min_match: int = 1) -> DataFrame:
+        """EVERY matching doc with its BM25 score as a LAZY DataFrame
+        (doc_id, score) — the score-the-match-set surface (reranker
+        features, score exports, collapse/grouping) as opposed to topk's
+        driver-side top-k list. Same per-segment scoring kernel as the
+        distributed topk, same accumulation order (scores are
+        bit-identical to topk's), no truncation anywhere: each segment
+        task emits its full scored match set and NOTHING reaches the
+        driver — sink it or feed downstream joins.
+
+        Scale shape: one pruned postings scan (tb partitions + term
+        pushdown), per-segment applyInPandas kernel, tombstones cogrouped
+        per segment. Block-max pruning is irrelevant by construction
+        (nothing is truncated, every match is emitted)."""
+        if min_match > 1 and mode == "and":
+            raise ValueError("min_match applies to mode='or' (mode='and' "
+                             "already requires every term)")
+        terms = query_terms(query)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        dfs = self._global_dfs_dist(terms)
+        live = [t for t in terms if dfs[t] > 0]
+        if not live or (mode == "and" and len(live) < len(terms)) \
+                or (mode != "and" and len(live) < min_match):
+            return empty
+        ts = terms if mode == "and" else live
+        idfs = self._idfs(dfs)
+        avgdl, md, mm, nq = self.avgdl, mode, min_match, len(ts)
+        scales = {int(s): self._bound_scale(s) for s in self.pack_avgdl}
+        no_k = 1 << 62  # larger than any match set — disables truncation
+
+        def run(key, pdf: pd.DataFrame,
+                ddf: Optional[pd.DataFrame] = None) -> pd.DataFrame:
+            by_term = {r["term"]: r for r in pdf.to_dict("records")}
+            deleted, _ = _split_aux(ddf, False)
+            rows = [by_term[t] for t in ts if t in by_term]
+            if not rows:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")})
+            d, s = score_segment_rows(rows, idfs, nq, no_k, md, False,
+                                      avgdl, scales.get(int(key[0]), 1.0),
+                                      deleted=deleted, min_match=mm)
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        grouped = self.postings_df(ts).select(*QUERY_COLS).groupBy("seg")
+        schema = "doc_id long, score double"
+        if not self.delete_files:
+            return grouped.applyInPandas(
+                lambda key, pdf: run(key, pdf, None), schema)
+        return grouped.cogroup(self._seg_aux_grouped(None)).applyInPandas(
+            run, schema)
+
+    def search_collapse(self, query: str, docs: DataFrame,
+                        collapse_col: str, k: int = 10, mode: str = "or",
+                        min_match: int = 1, id_col: str = "doc_id"
+                        ) -> DataFrame:
+        """Field collapsing (the Lucene grouping / ES `collapse` shape):
+        the top-k matches ranked by BM25, keeping only the BEST-scoring
+        doc per distinct `collapse_col` value — "one result per site".
+        Group rank = its best member's score; ties break by doc_id
+        ascending at both levels, so results are deterministic. Lazy
+        DataFrame (doc_id, score, collapse) in (score desc, doc_id asc)
+        order.
+
+        Scale shape: collapse is intrinsically a match-set aggregation
+        (the winning doc of a group may sit below any per-segment top-k
+        cut, so no index-side truncation is sound — same reason ES
+        collapses in the collector over all shard matches). scores_df
+        emits per-segment scored matches with no driver hop, a 2-column
+        projection of `docs` supplies the collapse key, and the
+        best-per-group reduction is groupBy + max_by — a declarative
+        aggregate with MAP-SIDE partial combine, so one row per group per
+        partition crosses the exchange (a row_number window would sort
+        whole partitions instead). The final orderBy+limit compiles to
+        TakeOrderedAndProject."""
+        scored = self.scores_df(query, mode=mode, min_match=min_match)
+        j = scored.join(
+            docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                        F.col(collapse_col).alias("collapse")), "doc_id")
+        best = (j.groupBy("collapse")
+                .agg(F.max_by(
+                    F.struct("doc_id", "score"),
+                    # max over (score asc, doc_id desc) == best by the
+                    # (score desc, doc_id asc) result order
+                    F.struct(F.col("score"),
+                             (-F.col("doc_id")).alias("nd"))).alias("b"))
+                .select(F.col("b.doc_id").alias("doc_id"),
+                        F.col("b.score").alias("score"), "collapse"))
+        return (best.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(int(k)))
 
     # -------------------------------------------------- term statistics ---
     def term_stats(self, terms: List[str], distributed: bool = False
@@ -2454,15 +2555,16 @@ class SearchIndex:
     def search_df(self, query: str, mode: str = "and",
                   slop: int = 0, exclude: str = "",
                   filter_ids=None, filter_sql: Optional[str] = None,
-                  min_match: int = 1) -> DataFrame:
+                  min_match: int = 1, in_order: bool = True) -> DataFrame:
         """The 10^12-doc search surface: matching (doc_id, url) as a LAZY
         DataFrame — per-segment kernels produce ids, a join against the
         docmap resolves names, and NOTHING reaches the driver; sink with
         .write or feed downstream joins. (search() stays the interactive
         list-returning API.) mode: "and" | "or" | "phrase" | "prefix" |
         "near" (prefix: `query` is a single term prefix, expanded against
-        the dictionary then unioned like "or"; near: ordered proximity
-        within `slop`, see search_near_ids). `exclude` (and/or modes):
+        the dictionary then unioned like "or"; near: proximity within
+        `slop`, ordered or unordered per `in_order` — see
+        search_near_ids). `exclude` (and/or modes):
         NOT terms, subtracted per segment inside the kernel.
         filter_ids/filter_sql (and/or/prefix/wildcard/min modes):
         allow-list filter, cogrouped per posting segment inside the
@@ -2485,7 +2587,7 @@ class SearchIndex:
             raise ValueError("min_match is supported for or/min modes")
         if mode in ("phrase", "near"):
             if mode == "near":
-                kernel = self._near_kernel(slop)
+                kernel = self._near_kernel(slop, in_order)
             terms = self._phrase_terms(query)
             mode = "phrase"
         elif mode == "prefix":

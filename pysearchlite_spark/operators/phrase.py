@@ -168,3 +168,51 @@ def near_match_ids(seg_rows: List[dict], terms: List[str], slop: int,
     if hits.size == 0:
         return empty
     return ids[np.unique(hits // M)]
+
+
+def near_unordered_match_ids(seg_rows: List[dict], terms: List[str],
+                             slop: int,
+                             deleted: Optional[np.ndarray] = None
+                             ) -> np.ndarray:
+    """Unordered proximity (Lucene SpanNearQuery inOrder=False shape): doc
+    ids (ascending) of ONE segment where some position window of width
+    n-1+slop contains at least one occurrence of EVERY distinct query term
+    (n = number of distinct terms; duplicates in `terms` are collapsed —
+    the unordered semantics is per-term-set, the ES match/span convention).
+
+    A window works iff anchoring it at the MINIMUM of a satisfying
+    position set does, and that minimum is itself an occurrence of some
+    term — so it suffices to test every occurrence as an anchor `a` and
+    ask each term for an occurrence in [a, a+W]. Vectorized: occurrences
+    are the same candidate_index*M+position composite keys the ordered
+    kernel uses; per term ONE searchsorted finds its smallest occurrence
+    ≥ a, and the window test is a key comparison (the key order equals the
+    (candidate, position) order, and M > maxpos+W keeps windows from
+    leaking across candidates). Cost O(total_occ · n · log occ)."""
+    empty = np.empty(0, dtype=np.int64)
+    distinct = list(dict.fromkeys(terms))
+    ids, pos_of = _candidate_positions(seg_rows, distinct, deleted)
+    if pos_of is None:
+        return ids
+    n = len(distinct)
+    w = np.int64(n - 1 + slop)
+    maxp = max((int(p.max()) if p.size else 0) for p, _ in pos_of.values())
+    M = np.int64(maxp + int(w) + 2)
+    comp: Dict[str, np.ndarray] = {}
+    for t in pos_of:
+        pvals, cnts = pos_of[t]
+        idxrep = np.repeat(np.arange(ids.size, dtype=np.int64), cnts)
+        comp[t] = idxrep * M + pvals  # ascending by construction
+    anchors = np.concatenate([comp[t] for t in distinct])
+    ok = np.ones(anchors.size, dtype=bool)
+    for t in distinct:
+        arr = comp[t]
+        j = np.searchsorted(arr, anchors, side="left")
+        in_range = j < arr.size
+        nxt = arr[np.minimum(j, arr.size - 1)]
+        # smallest occurrence of t at key ≥ anchor must sit within the
+        # window — key arithmetic is safe because M bounds pos+W
+        ok &= in_range & (nxt <= anchors + w)
+        if not ok.any():
+            return empty
+    return ids[np.unique(anchors[ok] // M)]

@@ -213,3 +213,98 @@ def test_negative_slop_rejected_on_every_path(idx):
                                        slop=-1)):
         with pytest.raises(ValueError, match="slop"):
             call()
+
+
+# ---------------------------------------------------------------- unordered --
+
+def _unear_matches(toks, terms, slop):
+    """Brute-force unordered-proximity check (SpanNearQuery inOrder=False
+    over distinct terms): some window [a, a+n-1+slop] holds at least one
+    occurrence of every distinct term; anchoring at the minimum of a
+    satisfying set shows scanning anchors over all occurrences is exact."""
+    distinct = list(dict.fromkeys(terms))
+    n = len(distinct)
+    if n == 0:
+        return False
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in distinct}
+    if any(not pos[t] for t in distinct):
+        return False
+    if n == 1:
+        return True
+    w = n - 1 + slop
+    anchors = sorted(p for t in distinct for p in pos[t])
+    return any(all(any(a <= p <= a + w for p in pos[t]) for t in distinct)
+               for a in anchors)
+
+
+UQUERIES = [("alpha beta", 0), ("beta alpha", 0), ("alpha beta", 1),
+            ("beta alpha", 1), ("alpha beta", 3), ("alpha gamma", 1),
+            ("alpha beta gamma", 0), ("alpha beta gamma", 2),
+            ("gamma beta alpha", 0), ("alpha", 0), ("alpha zz", 5)]
+
+
+@pytest.mark.parametrize("q,slop", UQUERIES)
+def test_unordered_near_brute_force(idx, q, slop):
+    terms = q.split()
+    want = [i for i, text in CORPUS
+            if _unear_matches(_toks(text), terms, slop)]
+    got = idx.search_near_ids(q, slop, in_order=False)
+    assert got.tolist() == want
+    assert idx.search_near_ids(q, slop, distributed=True,
+                               in_order=False).tolist() == want
+    assert idx.count_near(q, slop, in_order=False) == len(want)
+    assert idx.count_near(q, slop, distributed=True,
+                          in_order=False) == len(want)
+
+
+def test_unordered_near_is_symmetric_and_dedups(idx):
+    # term order can't matter, and duplicate terms collapse to the set
+    for slop in (0, 1, 3):
+        ab = idx.search_near_ids("alpha beta", slop, in_order=False)
+        ba = idx.search_near_ids("beta alpha", slop, in_order=False)
+        aba = idx.search_near_ids("alpha beta alpha", slop, in_order=False)
+        assert ab.tolist() == ba.tolist() == aba.tolist()
+
+
+def test_unordered_near_randomized(spark, tmp_path_factory):
+    rng = random.Random(77)
+    vocab = ["a", "b", "c", "d"]
+    corpus = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 30))))
+              for i in range(120)]
+    df = spark.createDataFrame(
+        [(i, f"d{i}", t) for i, t in corpus],
+        "doc_id long, url string, text string")
+    d = str(tmp_path_factory.mktemp("unear_rand_idx"))
+    build_index(spark, df, d, id_col="doc_id", url_col="url",
+                segment_docs=40, with_positions=True)
+    idx2 = SearchIndex(spark, d)
+    for _ in range(25):
+        terms = rng.sample(vocab, rng.randint(2, 4))  # distinct terms
+        q = " ".join(terms)
+        slop = rng.randint(0, 4)
+        want = [i for i, text in corpus
+                if _unear_matches(_toks(text), terms, slop)]
+        got = idx2.search_near_ids(q, slop, in_order=False)
+        assert got.tolist() == want, (q, slop)
+        # every ordered match fits the same window out of order
+        ordered = set(idx2.search_near_ids(q, slop).tolist())
+        assert ordered <= set(got.tolist()), (q, slop)
+
+
+def test_unordered_near_search_df_and_cli(spark, idx):
+    import io
+
+    from jobs.query import run
+    want = [i for i, text in CORPUS
+            if _unear_matches(_toks(text), ["beta", "alpha"], 1)]
+    got = sorted(r["doc_id"] for r in
+                 idx.search_df("beta alpha", mode="near", slop=1,
+                               in_order=False).collect())
+    assert got == want
+    out, err = io.StringIO(), io.StringIO()
+    run(spark, idx.cat.root, ["UNEAR\t1 beta alpha\n",
+                              "UNEAR_COUNT\t1 beta alpha\n",
+                              "UNEAR\tbogus beta alpha\n"], out, err)
+    assert out.getvalue().splitlines() == [
+        " ".join(map(str, want)), str(len(want)), ""]
+    assert len(err.getvalue().splitlines()) == 1
