@@ -688,6 +688,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_cosine_topk(emb.filter(F.col("vec_id") != 0),
                                  list(qv[0][0]), k=10)
 
+    def hybrid_rrf_topk(spark, sf):
+        # hybrid lexical+vector retrieval: BM25 top-50 and exact-cosine
+        # top-50 legs fused by reciprocal-rank fusion (rrf_k=60, the
+        # Cormack et al. constant / ES default) — operators/hybrid.py
+        from pysearchlite_spark.operators.hybrid import hybrid_topk
+        emb = _emb(spark, sf)
+        qv = list(emb.filter(F.col("vec_id") == 0)
+                  .select("embedding").collect()[0][0])
+        fused = hybrid_topk(_index(spark, sf),
+                            emb.filter(F.col("vec_id") != 0),
+                            Q_BM25, qv, k=10, fetch_k=50)
+        out = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in fused],
+            "doc_id long, rrf double")
+        return out.select("doc_id", F.round("rrf", 6).alias("rrf"))
+
     def ann_lsh(spark, sf):
         # persisted bucket-partitioned index (built once per sf), planes =
         # embeddings of vec_id 1..12 so DuckDB can recompute the bucket bits
@@ -827,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": image_feats,
         "audio_features": audio_feats,
         "ann_cosine_topk": ann_cosine,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
         "ann_lsh_topk": ann_lsh,
         "ann_lsh_topk_batch": ann_lsh_batch,
         "ann_ivf_topk": ann_ivf,
@@ -845,15 +862,19 @@ def oracle_sql() -> dict[str, str]:
 
     def bm25_sql(terms_in: str, qid: int | None = None,
                  where: str = "", having: str = "",
-                 offset: int = 0, limit: int | None = 10) -> str:
+                 offset: int = 0, limit: int | None = 10,
+                 rounded: bool = True) -> str:
         # `where`: filtered retrieval — restricts the RESULT candidates
         # only; corpus stats (n, avgdl, df) stay corpus-wide, exactly the
         # engine's Lucene-filter semantics. `having`: msm — candidates
         # must match >= m distinct terms, scores stay full-disjunctive.
-        # limit=None: the FULL scored match set (scores_df oracle)
-        head = ("SELECT doc_id, round(score, 6) AS score" if qid is None
-                else f"SELECT {qid} AS qid, doc_id, "
-                     "round(score, 6) AS score")
+        # limit=None: the FULL scored match set (scores_df oracle).
+        # rounded=False: raw scores — for oracles that RANK over the
+        # scores (hybrid RRF), where rounding would collapse distinct
+        # neighbors into artificial ties the engine doesn't see
+        sc = "round(score, 6) AS score" if rounded else "score"
+        head = (f"SELECT doc_id, {sc}" if qid is None
+                else f"SELECT {qid} AS qid, doc_id, {sc}")
         return f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents
@@ -1695,6 +1716,30 @@ ORDER BY doc_id""",
         "cosine_dup_pairs": cosine_dups_sql,
         "ann_lsh_topk": ann_lsh_sql,
         "ann_lsh_topk_batch": ann_lsh_batch_sql,
+        # hybrid RRF: rank each leg on RAW scores (rounding would invent
+        # ties the engine doesn't see), fuse 1/(60+rank), round only the
+        # fused output. BM25 leg ranks over the full match set; cosine leg
+        # over all non-query vectors — both truncated to the 50-deep
+        # fetch windows the engine uses
+        "hybrid_rrf_topk": f"""
+WITH bm_all AS ({bm25_sql(bm_in, limit=None, rounded=False)}),
+bm AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM bm_all QUALIFY r <= 50),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+nn_all AS (SELECT vec_id AS doc_id,
+                  list_cosine_similarity(embedding::DOUBLE[], q.qv) AS cos
+           FROM embeddings, q WHERE vec_id <> 0),
+nn AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+       FROM nn_all QUALIFY r <= 50),
+fused AS (
+  SELECT doc_id,
+         COALESCE(1.0 / (60 + bm.r), 0) + COALESCE(1.0 / (60 + nn.r), 0)
+           AS rrf
+  FROM bm FULL OUTER JOIN nn USING (doc_id))
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10""",
         "ann_cosine_topk": """
             -- DOUBLE[] casts force float64 math (DuckDB's native
             -- list_cosine_similarity on FLOAT[] computes in float32,
