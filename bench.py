@@ -157,6 +157,16 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
         with timed("suggest_preloaded"):
             for _ in range(WARM_REPS):
                 idx.suggest("tabel", k=5, max_edits=1)
+        qv0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        # field collapsing: best doc per source over the scored match set
+        # (scores_df kernel + groupBy/max_by + TakeOrderedAndProject)
+        with timed("bm25_collapse_top10"):
+            idx.search_collapse(qset[0], docs, "source", k=10).collect()
+        # hybrid BM25+ANN via RRF: both legs' top-50 fused driver-side
+        with timed("hybrid_rrf_top10"):
+            from pysearchlite_spark.operators.hybrid import hybrid_topk
+            hybrid_topk(idx, emb.filter(F.col("vec_id") != 0),
+                        qset[0], list(qv0), k=10)
 
         # positional variant: separate key so index_build stays comparable
         # across rounds; the delta IS the cost of carrying positions
@@ -169,6 +179,10 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
             with timed("search_phrase"):
                 for q in qset:
                     pidx.search_phrase_ids(q)
+            # unordered proximity (SpanNearQuery inOrder=false)
+            with timed("search_unear"):
+                for q in qset:
+                    pidx.search_near_ids(q, 3, in_order=False)
         finally:
             shutil.rmtree(pos_dir, ignore_errors=True)
 
@@ -183,7 +197,7 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
             dedup_clusters(docs, threshold=0.8, max_df=100).agg(
                 F.sum("cluster_id"), F.sum(F.col("is_dup").cast("long"))
             ).collect()
-        qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        qv = qv0
         with timed("ann_cosine_top10"):
             brute_cosine_topk(emb, list(qv), k=10).collect()
         ann_dir = tempfile.mkdtemp(prefix="bench_ann_")

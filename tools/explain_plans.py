@@ -134,6 +134,20 @@ def main() -> None:
     sections.append(("Significant terms (pruned full scan + cogroup)",
                      fmt(sig_plan), []))
 
+    # scored match set: per-segment scoring kernel straight off the pruned
+    # postings scan — no driver hop, no truncation stage
+    sections.append(("Scored match set (scores_df — pruned scan + "
+                     "per-segment kernel)",
+                     fmt(idx_d.scores_df("table part")), []))
+
+    # field collapsing: best-per-group must be a HASH AGGREGATE over
+    # max_by (with a partial_ stage — map-side combine), NOT a window
+    # sort; final top-k must be TakeOrderedAndProject
+    col_plan = idx_d.search_collapse("table part", docs, "lang", k=10)
+    sections.append(("Field collapsing (partial max_by aggregate + "
+                     "TakeOrderedAndProject)", fmt(col_plan),
+                     ["max_by", "TakeOrderedAndProject"]))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plans (explain formatted)\n\n"
                 "Generated by tools/explain_plans.py — the properties the\n"
