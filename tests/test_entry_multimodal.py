@@ -25,7 +25,8 @@ def _oracle(sql: str):
     return con.sql(sql).df()
 
 
-@pytest.mark.parametrize("key", ["image_features", "audio_features"])
+@pytest.mark.parametrize("key", ["image_features", "audio_features",
+                                 "video_features"])
 def test_multimodal_entry_matches_oracle(spark, key):
     got = E.queries()[key](spark, SF).toPandas()
     want = _oracle(E.oracle_sql()[key])
@@ -50,4 +51,15 @@ def test_image_entry_features_nontrivial(spark):
     per_doc = got.groupby("doc_id")["dim"].count()
     assert (per_doc == 64).all()
     hist_sum = got[got["dim"] >= 6].groupby("doc_id")["val"].sum()
+    assert np.allclose(hist_sum.to_numpy(), 1.0, atol=1e-4)
+
+
+def test_video_entry_samples_expected_frames(spark):
+    got = E.queries()["video_features"](spark, SF).toPandas()
+    # every_n=2 over 4 frames keeps frames {0, 2}; 64 dims per frame
+    assert sorted(got["frame_no"].unique().tolist()) == [0, 2]
+    per = got.groupby(["doc_id", "frame_no"])["dim"].count()
+    assert (per == 64).all()
+    hist_sum = (got[got["dim"] >= 6]
+                .groupby(["doc_id", "frame_no"])["val"].sum())
     assert np.allclose(hist_sum.to_numpy(), 1.0, atol=1e-4)
