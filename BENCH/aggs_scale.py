@@ -9,7 +9,11 @@ docs, one plain index, unpinned local[32]. Measures (best-of-3):
 * search_sorted — top-10 by doc_len via TakeOrderedAndProject;
 * significant_terms — the FULL postings scan cogrouped with the routed
   foreground (the batch aggregation shape; scan cost is the honest
-  number, there is no index shortcut for "look at every term").
+  number, there is no index shortcut for "look at every term");
+* search_collapse — BM25 field collapsing over the full scored match
+  set, on a ~100-value key (heavy map-side combine: one row per group
+  per partition crosses the exchange) AND a ~500k-value key (combine
+  nearly useless — the honest high-cardinality bound).
 
 Sanity asserted inline: for an AND foreground each query term's fg_df
 equals the foreground size; suggest output is distance-sorted.
@@ -87,6 +91,23 @@ def main() -> None:
                   .collect())
             sig = probe("significant_terms",
                         lambda: idx.significant_terms(Q, k=20, min_fg=10))
+        # collapse keys derived JVM-side from the docmap (site100 models
+        # "one result per site"; site500k models a near-unique key where
+        # map-side combine stops helping)
+        from pyspark.sql import functions as F
+        cdocs = idx.docmap_df().select(
+            "doc_id",
+            (F.abs(F.xxhash64("url")) % 100).alias("site100"),
+            (F.abs(F.xxhash64("url")) % 500_000).alias("site500k"))
+        for _ in range(3):
+            c100 = probe("collapse_100_top10",
+                         lambda: idx.search_collapse(
+                             Q, cdocs, "site100", k=10).collect())
+            c500 = probe("collapse_500k_top10",
+                         lambda: idx.search_collapse(
+                             Q, cdocs, "site500k", k=10).collect())
+        assert len(c100) == 10 and len(c500) == 10
+        assert len({r["collapse"] for r in c100}) == 10  # distinct groups
         assert [d for _, d, _ in sug] == sorted(d for _, d, _ in sug)
         assert all(c >= d for _, d, c in st)  # cf >= df always
         by_term = {t: f for t, f, _, _ in sig}

@@ -401,6 +401,40 @@ def unpack_docs(docs: bytes, df: int) -> np.ndarray:
     return out
 
 
+def unpack_docs_batch(payloads, dfs: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY docID streams with ONE varbyte pass: concatenate the
+    self-delimiting payloads, decode the whole buffer once, then fix up
+    every block-absolute delta (each row's blocks restart at multiples of
+    BLOCK_DOCS within that row) with one vectorized correction — the batch
+    analogue of unpack_docs, for kernels that would otherwise loop
+    decode-per-term (significant_terms was 17 s at 1M docs on that loop).
+    Returns (flat absolute docIDs, int64 row offsets of shape len(dfs)+1)."""
+    dfs = np.asarray(dfs, dtype=np.int64)
+    row_offs = np.zeros(dfs.size + 1, dtype=np.int64)
+    np.cumsum(dfs, out=row_offs[1:])
+    total = int(row_offs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64), row_offs
+    deltas = varbyte_decode(b"".join(payloads), count=total).astype(np.int64)
+    out = np.cumsum(deltas)
+    # global indices where a block-absolute value sits: for row r,
+    # row_offs[r] + k*BLOCK_DOCS for k in 0..nblocks_r-1
+    nblocks = (dfs + BLOCK_DOCS - 1) // BLOCK_DOCS
+    tot_blocks = int(nblocks.sum())
+    blk_off = np.zeros(dfs.size + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=blk_off[1:])
+    local = (np.arange(tot_blocks, dtype=np.int64)
+             - np.repeat(blk_off[:-1], nblocks))
+    starts = np.repeat(row_offs[:-1], nblocks) + local * BLOCK_DOCS
+    starts = starts[starts > 0]
+    if starts.size:
+        corrections = out[starts - 1].copy()
+        sizes = np.diff(np.append(np.concatenate(([0], starts)), total))
+        out -= np.repeat(np.concatenate(([0], corrections)), sizes)
+    return out, row_offs
+
+
 def _block_slice(buf: bytes, offs: np.ndarray, bidx: int) -> bytes:
     start = int(offs[bidx])
     end = int(offs[bidx + 1]) if bidx + 1 < offs.shape[0] else len(buf)

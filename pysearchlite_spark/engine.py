@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import re
+from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -511,14 +512,16 @@ class FilterHandle:
     def routed_df(self) -> DataFrame:
         if self._routed is None:
             from pyspark import StorageLevel
-            self._routed = (self._index._routed_filter_df(*self._spec)
-                            .persist(StorageLevel.MEMORY_AND_DISK))
+            self._routed = (
+                self._index._resolve_routed_filter_df(*self._spec)
+                .persist(StorageLevel.MEMORY_AND_DISK))
         return self._routed
 
     def by_seg(self) -> Dict[int, np.ndarray]:
         if self._by_seg is None:
-            pdf = self._index._routed_filter_df(*self._spec).toPandas() \
-                if self._routed is None else self._routed.toPandas()
+            pdf = (self._index._resolve_routed_filter_df(*self._spec)
+                   .toPandas()
+                   if self._routed is None else self._routed.toPandas())
             self._by_seg = {
                 int(seg): np.unique(grp["doc_id"].to_numpy(np.int64))
                 for seg, grp in pdf.groupby("seg")}
@@ -585,6 +588,11 @@ class SearchIndex:
         self._cache_pdf: Optional[pd.DataFrame] = None
         self._cache_pos: Optional[dict] = None
         self._cache_complete = False
+        # transparent filter-handle LRU: repeated identical filter_sql
+        # predicates through the PLAIN API reuse one resolved handle
+        # (keyed by the predicate string; safe because the index is
+        # snapshot-bound, same argument as FilterHandle)
+        self._filter_lru: "OrderedDict[str, FilterHandle]" = OrderedDict()
 
     # -------------------------------------------------------- hot cache ---
     def preload(self, terms: Optional[List[str]] = None,
@@ -718,6 +726,27 @@ class SearchIndex:
         Results are identical to passing the raw ids/SQL directly."""
         return FilterHandle(self, filter_ids, filter_sql)
 
+    _FILTER_LRU_MAX = 8
+
+    def _cached_filter_handle(self, filter_sql: str) -> FilterHandle:
+        """The transparent fast path for repeated identical filter_sql
+        through the plain API (topk/count/search/... with filter_sql=):
+        the first query resolves and persists the allow-list exactly as
+        prepare_filter() would; every later query with the SAME predicate
+        string reuses that handle, so callers who never learned
+        prepare_filter still amortize the resolution job. LRU-bounded —
+        evicted handles unpersist their routed frame."""
+        h = self._filter_lru.get(filter_sql)
+        if h is None:
+            h = FilterHandle(self, None, filter_sql)
+            self._filter_lru[filter_sql] = h
+            if len(self._filter_lru) > self._FILTER_LRU_MAX:
+                _, old = self._filter_lru.popitem(last=False)
+                old.release()
+        else:
+            self._filter_lru.move_to_end(filter_sql)
+        return h
+
     def _routed_filter_df(self, filter_ids=None,
                           filter_sql: Optional[str] = None) -> DataFrame:
         """Resolve a search filter into (seg, doc_id) rows keyed by the
@@ -738,6 +767,16 @@ class SearchIndex:
         filter."""
         if isinstance(filter_ids, FilterHandle):
             return filter_ids._check(self).routed_df()
+        if filter_sql is not None and filter_ids is None:
+            return self._cached_filter_handle(filter_sql).routed_df()
+        return self._resolve_routed_filter_df(filter_ids, filter_sql)
+
+    def _resolve_routed_filter_df(self, filter_ids=None,
+                                  filter_sql: Optional[str] = None
+                                  ) -> DataFrame:
+        """The raw resolution behind _routed_filter_df — FilterHandle
+        calls this directly (the dispatching wrapper would hand the
+        handle back to itself)."""
         rows = self._filter_base_df(filter_ids, filter_sql)
         pseg_of = {int(k): int(v) for k, v in
                    (self.stats.get("pseg_of") or {}).items()}
@@ -777,6 +816,8 @@ class SearchIndex:
         interactive path; the distributed path cogroups instead."""
         if isinstance(filter_ids, FilterHandle):
             return filter_ids._check(self).by_seg()
+        if filter_sql is not None and filter_ids is None:
+            return self._cached_filter_handle(filter_sql).by_seg()
         pdf = (self._routed_filter_df(filter_ids, filter_sql)
                .toPandas())
         return {int(seg): np.unique(grp["doc_id"].to_numpy(np.int64))
@@ -789,6 +830,8 @@ class SearchIndex:
         the pseg routing that keys them — buy nothing there)."""
         if isinstance(filter_ids, FilterHandle):
             return filter_ids._check(self).flat()
+        if filter_sql is not None and filter_ids is None:
+            return self._cached_filter_handle(filter_sql).flat()
         pdf = (self._filter_base_df(filter_ids, filter_sql)
                .select("doc_id").toPandas())
         return np.unique(pdf["doc_id"].to_numpy(np.int64))
@@ -1933,7 +1976,12 @@ class SearchIndex:
             fg = self._routed_filter_df(filter_ids=ids)
         else:
             fg = self._routed_filter_df(filter_ids, filter_sql)
-        fg = fg.persist()
+        # the handle paths (FilterHandle / cached filter_sql) hand back an
+        # already-persisted frame owned by the handle — don't unpersist it
+        own = not (isinstance(filter_ids, FilterHandle)
+                   or (filter_sql is not None and filter_ids is None))
+        if own:
+            fg = fg.persist()
         try:
             fn = fg.count()
             if fn == 0 or k <= 0:
@@ -1942,7 +1990,8 @@ class SearchIndex:
             return [(r["term"], int(r["fg_df"]), int(r["df"]),
                      float(r["score"])) for r in rows]
         finally:
-            fg.unpersist()
+            if own:
+                fg.unpersist()
 
     def _significant_df(self, fg: DataFrame, fn: int, min_fg: int,
                         k: int) -> DataFrame:
@@ -1957,26 +2006,48 @@ class SearchIndex:
             # over every segment, foreground or not
             allow = np.unique(ddf.loc[ddf["kind"] == 1, "doc_id"]
                               .to_numpy(np.int64))
-            terms_l, fdf_l, df_l = [], [], []
-            for r in pdf.to_dict("records"):
-                df_r = int(r["df"])
-                c = 0
-                if allow.size:
-                    docs = codec.unpack_docs(r["docs"], df_r)
+            dfs = pdf["df"].to_numpy(np.int64)
+            fdf = np.zeros(dfs.size, dtype=np.int64)
+            if allow.size:
+                # batch decode: ONE varbyte pass per ≤4M-posting chunk
+                # (chunked so the transient decoded array stays bounded
+                # regardless of segment size), then one searchsorted over
+                # the concatenation and a cumsum-diff per-row hit count —
+                # no per-term Python loop (was 17 s at 1M docs).
+                payloads = pdf["docs"].to_numpy(object)
+                chunk = 1 << 22
+                i = 0
+                while i < dfs.size:
+                    j, acc = i, 0
+                    while j < dfs.size and (acc == 0
+                                            or acc + dfs[j] <= chunk):
+                        acc += int(dfs[j])
+                        j += 1
+                    docs, offs = codec.unpack_docs_batch(
+                        payloads[i:j], dfs[i:j])
                     pos = np.searchsorted(allow, docs)
                     pos[pos == allow.size] = allow.size - 1
-                    c = int((allow[pos] == docs).sum())
-                terms_l.append(r["term"])
-                fdf_l.append(c)
-                df_l.append(df_r)
+                    hits = np.concatenate(
+                        ([0], np.cumsum(allow[pos] == docs)))
+                    fdf[i:j] = hits[offs[1:]] - hits[offs[:-1]]
+                    i = j
             return pd.DataFrame({
-                "term": pd.Series(terms_l, dtype="object"),
-                "fdf": np.asarray(fdf_l, np.int64),
-                "df": np.asarray(df_l, np.int64)})
+                "term": pdf["term"].reset_index(drop=True),
+                "fdf": fdf, "df": dfs})
 
-        scan = self._postings.select("term", "seg", "df", "docs")
-        scored = scan.groupBy("seg").cogroup(
-            self._seg_aux_grouped(fg)).applyInPandas(
+        # cogroup on (seg, tb), not seg alone: a 1M-doc index has ~4
+        # segments, so seg-keyed cogroup caps the full-scan parallelism at
+        # 4 tasks; keying by term bucket too gives segs × n_buckets tasks
+        # (64 here). The foreground explodes across every tb (any bucket's
+        # terms can contain any doc — the duplication is intrinsic to the
+        # finer routing and stays a distributed shuffle, never a broadcast).
+        scan = self._postings.select("term", "seg", "tb", "df", "docs")
+        fg_tb = fg.withColumn(
+            "tb", F.explode(F.array(*[F.lit(i)
+                                      for i in range(self.n_buckets)]))
+        ).withColumn("kind", F.lit(1))
+        scored = scan.groupBy("seg", "tb").cogroup(
+            fg_tb.groupBy("seg", "tb")).applyInPandas(
             run, "term string, fdf long, df long")
         fgp = F.col("fg_df").cast("double") / F.lit(float(fn))
         bgp = F.col("df").cast("double") / F.lit(float(self.n_docs))

@@ -109,3 +109,34 @@ def test_tombstone_keep_mask_edge_cases():
     keep = codec.tombstone_keep_mask(np.empty(0, dtype=np.int64),
                                      np.array([5], dtype=np.int64))
     assert keep.shape == (0,)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_unpack_docs_batch_matches_per_row(seed):
+    rng = np.random.default_rng(seed + 900)
+    payloads, dfs, expect = [], [], []
+    for _ in range(60):
+        n = int(rng.integers(0, 500))  # includes df=0 and multi-block rows
+        if n == 0:
+            payloads.append(b"")
+            dfs.append(0)
+            continue
+        ids = np.sort(rng.choice(np.arange(20000, dtype=np.int64), size=n,
+                                 replace=False))
+        tfs = np.ones(n, dtype=np.int64)
+        p = codec.pack_postings(ids, tfs, tfs, 1.0)
+        payloads.append(p.docs)
+        dfs.append(n)
+        expect.append(ids)
+    flat, offs = codec.unpack_docs_batch(payloads, np.asarray(dfs))
+    assert offs.tolist() == np.concatenate(
+        ([0], np.cumsum(dfs))).tolist()
+    got = [flat[offs[i]:offs[i + 1]] for i in range(len(dfs)) if dfs[i]]
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert np.array_equal(g, e)
+
+
+def test_unpack_docs_batch_empty():
+    flat, offs = codec.unpack_docs_batch([], np.empty(0, dtype=np.int64))
+    assert flat.size == 0 and offs.tolist() == [0]

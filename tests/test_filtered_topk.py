@@ -251,3 +251,45 @@ def test_filter_handle_empty_and_tombstones(spark, tmp_path_factory,
     got = [doc for doc, _ in idx2.topk(q, k=10, filter_ids=h)]
     assert full[0] not in got
     assert set(got) == set(full[1:4])
+
+
+def test_filter_sql_lru_cache(idx):
+    """Repeated identical filter_sql through the PLAIN API reuses one
+    cached FilterHandle (VERDICT r4 task 8): same results, one resolved
+    handle, LRU-bounded eviction releases the persisted frame."""
+    idx._filter_lru.clear()
+    pred = "doc_len >= 10"
+    a = idx.topk("hello test", k=10, filter_sql=pred)
+    assert len(idx._filter_lru) == 1
+    h1 = idx._filter_lru[pred]
+    b = idx.topk("hello test", k=10, filter_sql=pred)
+    assert a == b
+    assert idx._filter_lru[pred] is h1          # reused, not rebuilt
+    # a different spelling is a different cache entry
+    idx.count("hello", filter_sql="doc_len >= 11")
+    assert len(idx._filter_lru) == 2
+    # results equal the explicit-handle path
+    h = idx.prepare_filter(filter_sql=pred)
+    try:
+        assert idx.topk("hello test", k=10, filter_ids=h) == a
+    finally:
+        h.release()
+    # eviction: overflow the LRU and check the oldest handle is dropped
+    for i in range(idx._FILTER_LRU_MAX + 1):
+        idx.count("hello", filter_sql=f"doc_len >= {i + 20}")
+    assert len(idx._filter_lru) == idx._FILTER_LRU_MAX
+    assert pred not in idx._filter_lru
+    idx._filter_lru.clear()
+
+
+def test_significant_terms_with_cached_filter_sql(idx):
+    """significant_terms(filter_sql=...) must not unpersist the LRU
+    handle's routed frame; repeated calls stay correct."""
+    idx._filter_lru.clear()
+    pred = "doc_len >= 25"
+    r1 = idx.significant_terms(filter_sql=pred, k=5)
+    h = idx._filter_lru[pred]
+    r2 = idx.significant_terms(filter_sql=pred, k=5)
+    assert r1 == r2 and len(r1) == 5
+    assert idx._filter_lru[pred] is h
+    idx._filter_lru.clear()
