@@ -151,6 +151,41 @@ def main() -> None:
             out[f"phrase[{k}]_matches"] = matches[k]
             out[f"phrase[{k}]_dist_sec"] = round(best["dist"][k], 3)
             out[f"phrase[{k}]_warm_sec"] = round(best["warm"][k], 3)
+
+        # --- NEAR (ordered + unordered) at slop 2 and 4, same term sets ---
+        # Reads the SAME pruned positional scan as phrase (only the query
+        # terms' postings+positions pages are decoded); only the kernel
+        # differs (PLANS.md §"Phrase/NEAR scan"). Interleaved best-of-3
+        # across (query, slop, order) like the phrase block above.
+        near_best: dict = {}
+        near_ids: dict = {}
+        for _ in range(3):
+            for q in PHRASES:
+                k = q.replace(" ", "_")
+                for slop in (2, 4):
+                    for order, in_order in (("near", True), ("unear", False)):
+                        key = f"{order}[{k}]_s{slop}"
+                        t0 = time.monotonic()
+                        ids = idx.search_near_ids(q, slop, in_order=in_order)
+                        dt = time.monotonic() - t0
+                        near_best[key] = min(near_best.get(key, dt), dt)
+                        near_ids[key] = frozenset(ids.tolist())
+        for q in PHRASES:
+            k = q.replace(" ", "_")
+            # phrase ⊆ ordered(2) ⊆ ordered(4) ⊆ unordered(4); ordered ⊆
+            # unordered at equal slop — the containment ladder that pins
+            # all four kernels to the same positional ground truth
+            pids = frozenset(idx_warm.search_phrase_ids(q).tolist())
+            assert len(pids) == matches[k]
+            assert pids <= near_ids[f"near[{k}]_s2"] \
+                <= near_ids[f"near[{k}]_s4"] \
+                <= near_ids[f"unear[{k}]_s4"], k
+            for slop in (2, 4):
+                assert (near_ids[f"near[{k}]_s{slop}"]
+                        <= near_ids[f"unear[{k}]_s{slop}"]), (k, slop)
+        for key, dt in sorted(near_best.items()):
+            out[f"{key}_sec"] = round(dt, 3)
+            out[f"{key}_matches"] = len(near_ids[key])
     finally:
         for d in all_dirs:
             shutil.rmtree(d, ignore_errors=True)
