@@ -99,6 +99,10 @@ def main() -> None:
 
         for _ in range(3):
             top_plain = probe("bm25_top10", lambda: idx.topk(Q_BM25, k=10))
+            # clear the plain-API LRU first so this key KEEPS its original
+            # semantics (per-query allow-list resolution) now that
+            # filter_sql= transparently caches repeated predicates
+            idx.clear_filter_cache()
             top_sql = probe("bm25_top10_filter_sql",
                             lambda: idx.topk(Q_BM25, k=10, filter_sql=pred))
             top_ids = probe("bm25_top10_filter_df",
@@ -111,6 +115,7 @@ def main() -> None:
                                              filter_ids=h_df))
             n_and = probe("count_and_dist",
                           lambda: idx.count(Q_AND, distributed=True))
+            idx.clear_filter_cache()  # same: keep the uncached semantics
             n_and_f = probe("count_and_dist_filtered",
                             lambda: idx.count(Q_AND, distributed=True,
                                               filter_sql=pred))
@@ -129,8 +134,24 @@ def main() -> None:
             n_wl = probe("count_wildcard_leading",
                          lambda: idx.count_wildcard(W_LEADING))
 
+        # the plain-API amortization (r3 task-8 criterion: the SECOND
+        # identical filter_sql query through topk() — no prepare_filter —
+        # lands within ~1.1x of unfiltered, because the engine LRU-caches
+        # the resolved handle behind the predicate string)
+        idx.clear_filter_cache()
+        t0 = time.monotonic()
+        top_cold = idx.topk(Q_BM25, k=10, filter_sql=pred)
+        out["bm25_top10_filter_sql_cold_sec"] = round(
+            time.monotonic() - t0, 3)
+        top_rep = None
+        for _ in range(3):
+            top_rep = probe("bm25_top10_filter_sql_repeat",
+                            lambda: idx.topk(Q_BM25, k=10, filter_sql=pred))
+        assert top_cold == top_rep, "LRU-cached filter changed the answer"
+
         # ---- sanity: the measured answers are the right answers --------
         assert top_sql == top_ids, "two filter spellings disagree"
+        assert top_rep == top_sql, "plain-API cached path diverged"
         assert top_h == top_sql == top_h_first == top_hdf, \
             "FilterHandle path diverged from the per-query path"
         assert n_and_h == n_and_f, "handle changed a filtered count"
@@ -167,6 +188,8 @@ def main() -> None:
             best["bm25_top10_handle"] / best["bm25_top10"], 2)
         out["filter_overhead_handle_df"] = round(
             best["bm25_top10_handle_df"] / best["bm25_top10"], 2)
+        out["filter_overhead_sql_repeat"] = round(
+            best["bm25_top10_filter_sql_repeat"] / best["bm25_top10"], 2)
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -726,6 +726,14 @@ class SearchIndex:
         Results are identical to passing the raw ids/SQL directly."""
         return FilterHandle(self, filter_ids, filter_sql)
 
+    def clear_filter_cache(self) -> None:
+        """Release every filter_sql handle the plain API cached via
+        `_cached_filter_handle` (unpersists their routed frames). Handles
+        returned by prepare_filter() are caller-owned and unaffected."""
+        while self._filter_lru:
+            _, h = self._filter_lru.popitem(last=False)
+            h.release()
+
     _FILTER_LRU_MAX = 8
 
     def _cached_filter_handle(self, filter_sql: str) -> FilterHandle:

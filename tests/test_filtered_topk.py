@@ -282,6 +282,30 @@ def test_filter_sql_lru_cache(idx):
     idx._filter_lru.clear()
 
 
+def test_clear_filter_cache(idx):
+    """clear_filter_cache() releases every LRU handle (routed frames
+    unpersisted) without touching caller-owned prepare_filter handles,
+    and the next plain-API query re-resolves correctly."""
+    idx._filter_lru.clear()
+    pred = "doc_len >= 10"
+    a = idx.topk("hello test", k=10, filter_sql=pred)
+    owned = idx.prepare_filter(filter_sql=pred)
+    owned_top = idx.topk("hello test", k=10, filter_ids=owned)
+    cached = idx._filter_lru[pred]
+    cached.routed_df()  # force the persisted frame into existence
+    idx.clear_filter_cache()
+    assert len(idx._filter_lru) == 0
+    assert cached._routed is None  # released, not leaked
+    try:
+        # caller-owned handle still answers
+        assert idx.topk("hello test", k=10, filter_ids=owned) == owned_top
+    finally:
+        owned.release()
+    # cold re-resolution after the clear gives the same answer
+    assert idx.topk("hello test", k=10, filter_sql=pred) == a
+    idx._filter_lru.clear()
+
+
 def test_significant_terms_with_cached_filter_sql(idx):
     """significant_terms(filter_sql=...) must not unpersist the LRU
     handle's routed frame; repeated calls stay correct."""
