@@ -145,8 +145,12 @@ def main() -> None:
             time.monotonic() - t0, 3)
         top_rep = None
         for _ in range(3):
+            # paired with an unfiltered probe in the SAME window: the
+            # overhead ratio divides same-minute numbers (this host's
+            # deliverable CPU drifts between the main loop and this tail)
             top_rep = probe("bm25_top10_filter_sql_repeat",
                             lambda: idx.topk(Q_BM25, k=10, filter_sql=pred))
+            probe("bm25_top10_paired", lambda: idx.topk(Q_BM25, k=10))
         assert top_cold == top_rep, "LRU-cached filter changed the answer"
 
         # ---- sanity: the measured answers are the right answers --------
@@ -189,7 +193,8 @@ def main() -> None:
         out["filter_overhead_handle_df"] = round(
             best["bm25_top10_handle_df"] / best["bm25_top10"], 2)
         out["filter_overhead_sql_repeat"] = round(
-            best["bm25_top10_filter_sql_repeat"] / best["bm25_top10"], 2)
+            best["bm25_top10_filter_sql_repeat"]
+            / best["bm25_top10_paired"], 2)
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
         shutil.rmtree(idx_dir, ignore_errors=True)
