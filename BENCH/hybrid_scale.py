@@ -146,9 +146,22 @@ def main() -> None:
             unear = probe("near_unordered",
                           lambda: pidx.search_near_ids(Q_NEAR, SLOP,
                                                        in_order=False))
+            # distributed path: per-segment kernels, only counts collected
+            # — the shape a 1000-executor cluster runs (driver-path numbers
+            # above are the single-core kernel cost on a Zipf-head match
+            # set; this is the same scan fanned across executors)
+            n_dist = probe("near_ordered_dist",
+                           lambda: pidx.count_near(Q_NEAR, SLOP,
+                                                   distributed=True))
+            u_dist = probe("near_unordered_dist",
+                           lambda: pidx.count_near(Q_NEAR, SLOP,
+                                                   distributed=True,
+                                                   in_order=False))
         out["near_ordered_hits"] = int(near.size)
         out["near_unordered_hits"] = int(unear.size)
         assert set(near.tolist()) <= set(unear.tolist())
+        assert n_dist == near.size and u_dist == unear.size, \
+            "distributed NEAR counts diverged from the driver path"
 
         docs_keyed.unpersist()
         for k, v in best.items():
