@@ -567,6 +567,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pysearchlite_spark.operators.dedup import exact_dedup
         return exact_dedup(_docs(spark, sf))
 
+    def domain_cap(spark, sf):
+        # stratified corpus capping (Common-Crawl domain-quota shape):
+        # keep <= 7 docs per source, the deterministic md5-priority sample.
+        # Two-phase salted top-k-per-key (operators/sample.py) — the salt
+        # shapes the shuffle only; the kept SET is what the oracle's
+        # single window computes.
+        from pysearchlite_spark.operators.sample import cap_per_key
+        return (cap_per_key(_docs(spark, sf).select("doc_id", "source"),
+                            "source", 7, salts=4)
+                .orderBy("doc_id"))
+
     def jaccard_pairs(spark, sf):
         # both tiers of the two-tier dedup design in one entry:
         # variant='all' is EXACT all-pairs jaccard with the rare-token cap
@@ -867,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lang": quality_lang,
         "doc_signatures": doc_signatures,
         "exact_dedup": exact_dup,
+        "domain_cap": domain_cap,
         "token_jaccard_pairs": jaccard_pairs,
         "dedup_clusters": dedup_cluster_entry,
         "minhash_lsh_pairs": minhash_pairs,
@@ -1589,6 +1601,15 @@ ORDER BY doc_id""",
                    doc_id <> min(doc_id) OVER (PARTITION BY coalesce(text, ''))
                      AS is_dup
             FROM documents""",
+        # stratified cap: md5(doc_id) priority is engine-portable, so the
+        # oracle reproduces the engine's exact kept SET with one window
+        "domain_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+              FROM documents) WHERE rn <= 7 ORDER BY doc_id""",
         # both tiers of the entry's variant union: 'all' = uncapped
         # all-pairs, 'bounded' = rare-token (df<=100) candidate generation
         "token_jaccard_pairs": f"""

@@ -1,0 +1,87 @@
+"""Stratified corpus capping — at most `cap` documents per key.
+
+The standard Common-Crawl-pipeline skew control: boilerplate-heavy hosts
+(or over-represented sources/languages) would otherwise dominate a
+training mix, so the pipeline caps each stratum at a quota, keeping a
+DETERMINISTIC uniform sample of each key's documents rather than
+whatever ordering the scan happened to deliver.
+
+Scale design (the part that matters at 10^12 docs): the naive
+`row_number() OVER (PARTITION BY key ...)` shuffles every row of a hot
+key into ONE reducer task — a 1B-page domain becomes a 1B-row window in
+a single task, the classic skew OOM. `cap_per_key` runs the classic
+two-phase top-k-per-key instead:
+
+  phase 1  partition by (key, salt): each of `salts` sub-windows keeps
+           its own `cap` best rows — per-task window size is bounded by
+           the key's rows / salts, and at most cap x salts rows per key
+           survive toward phase 2;
+  phase 2  partition by key over the survivors: exact top-`cap`, but the
+           window now sees <= cap x salts rows per key REGARDLESS of the
+           key's original size — a 1B-page domain costs the same final
+           window as a 1k-page one.
+
+Both phases are plain JVM window functions (no UDFs, whole-stage
+codegen); the salt only shapes the shuffle, never the result.
+
+The per-key "best cap rows" are selected by a deterministic, uniform,
+engine-portable priority: `md5(cast(id as string))` ordered
+lexicographically (ties broken by id — unreachable for distinct ids but
+keeps the ordering total). Portability is load-bearing: the same
+expression evaluates identically in DuckDB, so the driver's SQL oracle
+reproduces the EXACT kept set, not just the kept counts. Callers who
+want quality-weighted rather than uniform capping pass `priority_col`
+(e.g. a negated quality score) — ascending order, best first.
+
+Reference scope note: the reference engine (stn/pysearchlite) has no
+sampling surface; this operator is part of the beyond-reference
+training-data-pipeline layer (SURVEY.md "LLM-data-pipeline operators"),
+alongside dedup/quality/decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cap_per_key"]
+
+
+def cap_per_key(df: DataFrame, key_col: str, cap: int,
+                id_col: str = "doc_id",
+                priority_col: Column | None = None,
+                salts: int = 16) -> DataFrame:
+    """Keep at most `cap` rows per distinct `key_col` value.
+
+    Deterministic: the kept set is the `cap` rows with the smallest
+    (priority, id) per key, independent of partitioning, salts, or plan
+    choices. Default priority is md5(id) — a uniform random-but-stable
+    sample of each key. Returns df's columns unchanged.
+
+    salts=1 degrades to the single-window form (useful under tests /
+    tiny inputs); any hot-key-safe deployment wants the default.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
+    pr = (priority_col if priority_col is not None
+          else F.md5(F.col(id_col).cast("string")))
+    out = df.withColumn("_pr", pr)
+    if salts > 1:
+        # phase 1: salted partial top-cap. The salt is any deterministic
+        # spread of rows WITHIN a key — xxhash64(id) keeps re-runs stable.
+        w1 = (Window.partitionBy(key_col, "_salt")
+              .orderBy(F.col("_pr").asc(), F.col(id_col).asc()))
+        out = (out
+               .withColumn("_salt",
+                           F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)))
+               .withColumn("_rn", F.row_number().over(w1))
+               .filter(F.col("_rn") <= cap)
+               .drop("_rn", "_salt"))
+    # phase 2: exact top-cap per key over <= cap x salts survivors/key
+    w2 = (Window.partitionBy(key_col)
+          .orderBy(F.col("_pr").asc(), F.col(id_col).asc()))
+    return (out.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn", "_pr"))

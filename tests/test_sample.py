@@ -1,0 +1,106 @@
+"""cap_per_key: deterministic stratified capping, skew-safe two-phase plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysearchlite_spark.operators.sample import cap_per_key
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 3 keys with very different sizes: a "hot domain" (200 rows), a
+    # mid one (40), and one under the cap (3)
+    rows = ([(i, "hot") for i in range(200)]
+            + [(1000 + i, "mid") for i in range(40)]
+            + [(2000 + i, "tiny") for i in range(3)])
+    return spark.createDataFrame(rows, ["doc_id", "source"]).cache()
+
+
+def brute(rows, cap):
+    """Independent recomputation: per key, the cap smallest (md5, id)."""
+    by_key: dict[str, list] = {}
+    for i, k in rows:
+        by_key.setdefault(k, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i))
+    keep = set()
+    for k, lst in by_key.items():
+        for _, i in sorted(lst)[:cap]:
+            keep.add(i)
+    return keep
+
+
+@pytest.mark.parametrize("cap", [1, 7, 25])
+@pytest.mark.parametrize("salts", [1, 4, 16])
+def test_matches_brute_force(docs, cap, salts):
+    got = {r["doc_id"] for r in
+           cap_per_key(docs, "source", cap, salts=salts).collect()}
+    want = brute([(r["doc_id"], r["source"]) for r in docs.collect()], cap)
+    assert got == want  # exact kept SET, not just counts
+
+
+def test_salt_invariance(docs):
+    """The salt shapes the shuffle, never the result."""
+    a = {r["doc_id"] for r in cap_per_key(docs, "source", 9,
+                                          salts=1).collect()}
+    for s in (2, 5, 16, 64):
+        b = {r["doc_id"] for r in cap_per_key(docs, "source", 9,
+                                              salts=s).collect()}
+        assert b == a, f"salts={s} changed the kept set"
+
+
+def test_under_cap_key_kept_whole(docs):
+    out = cap_per_key(docs, "source", 7)
+    counts = {r["source"]: r["c"] for r in
+              out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"hot": 7, "mid": 7, "tiny": 3}
+
+
+def test_custom_priority(docs):
+    """priority_col: keep the LOWEST doc_ids per key (ascending order)."""
+    out = cap_per_key(docs, "source", 2,
+                      priority_col=F.col("doc_id").cast("double"))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [0, 1, 1000, 1001, 2000, 2001]
+
+
+def test_columns_unchanged(docs):
+    out = cap_per_key(docs.withColumn("extra", F.lit("x")), "source", 3)
+    assert out.columns == ["doc_id", "source", "extra"]
+    assert out.filter(F.col("extra") != "x").count() == 0
+
+
+def test_phase1_bounds_hot_key(docs):
+    """Plan shape: with salts>1 the final per-key window is fed by the
+    salted partial top-cap — a hot key contributes at most cap*salts rows
+    to phase 2 (the skew bound), checked by running phase 1 standalone."""
+    cap, salts = 5, 8
+    pr = F.md5(F.col("doc_id").cast("string"))
+    from pyspark.sql import Window
+    w1 = (Window.partitionBy("source", "_salt")
+          .orderBy(F.col("_pr").asc(), F.col("doc_id").asc()))
+    phase1 = (docs.withColumn("_pr", pr)
+              .withColumn("_salt", F.pmod(F.xxhash64(F.col("doc_id")),
+                                          F.lit(salts)))
+              .withColumn("_rn", F.row_number().over(w1))
+              .filter(F.col("_rn") <= cap))
+    per_key = {r["source"]: r["c"] for r in
+               phase1.groupBy("source").agg(F.count("*").alias("c"))
+               .collect()}
+    assert per_key["hot"] <= cap * salts
+    # and the two windowed exchanges are both hash partitioned (no
+    # single-partition global window anywhere in the plan)
+    plan = cap_per_key(docs, "source", cap,
+                       salts=salts)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "SinglePartition" not in plan
+
+
+def test_validation(docs):
+    with pytest.raises(ValueError):
+        cap_per_key(docs, "source", 0)
+    with pytest.raises(ValueError):
+        cap_per_key(docs, "source", 3, salts=0)
