@@ -99,6 +99,20 @@ def test_phase1_bounds_hot_key(docs):
     assert "SinglePartition" not in plan
 
 
+def test_native_group_limit_plan(docs):
+    """The salts=1 default leans on Spark's InferWindowGroupLimit for the
+    map-side skew bound: the physical plan must carry a PARTIAL
+    WindowGroupLimit (runs before the exchange, caps each map task's
+    per-key contribution) — the native equivalent of phase 1. If a Spark
+    upgrade ever stops inferring it, this test fails and the default
+    should flip back to salts>1 (see operators/sample.py docstring)."""
+    plan = cap_per_key(docs, "source", 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_validation(docs):
     with pytest.raises(ValueError):
         cap_per_key(docs, "source", 0)
