@@ -24,7 +24,10 @@ independent of cluster width (see operators/sample.py docstring).
 Measures both forms in both regimes (best-of-3, interleaved) and
 asserts inline that they return the IDENTICAL kept set (count + id
 signature — salt invariance at scale), every key lands at <= cap, and
-the hot key is exactly at cap.
+the hot key is exactly at cap. The extreme regime also times
+weighted_sample_n (10k-doc weighted draw from the 4M-row payload
+corpus), asserting its plan is TakeOrderedAndProject with NO exchange —
+the sampling operators never shuffle the corpus.
 
 Usage: python BENCH/sample_scale.py [mild_n] [extreme_n]
   → one JSON line + writes BENCH/sample_scale.json.
@@ -110,6 +113,24 @@ def run_regime(spark, n: int, hot_frac: float, payload: bool,
         out[f"{k}_sec"] = round(v, 3)
     out["native_speedup_vs_salted"] = round(
         best["salted_s16"] / best["native_s1"], 2)
+
+    if payload:
+        # weighted sampling w/o replacement over the same corpus:
+        # TakeOrderedAndProject (size-n heap per partition, no shuffle) —
+        # the training-mix draw costs one scan regardless of corpus size
+        from pysearchlite_spark.operators.sample import weighted_sample_n
+        wdocs = docs.withColumn("w", (F.length("body") + 1).cast("double"))
+        ws = weighted_sample_n(wdocs, 10_000, "w")
+        plan = ws._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan and "Exchange" not in plan
+        wbest = float("inf")
+        wn = 0
+        for _ in range(3):
+            t0 = time.monotonic()
+            wn = ws.count()
+            wbest = min(wbest, time.monotonic() - t0)
+        assert wn == 10_000, wn
+        out["wsample_10k_sec"] = round(wbest, 3)
     return out
 
 

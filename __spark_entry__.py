@@ -567,16 +567,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pysearchlite_spark.operators.dedup import exact_dedup
         return exact_dedup(_docs(spark, sf))
 
-    def domain_cap(spark, sf):
-        # stratified corpus capping (Common-Crawl domain-quota shape):
-        # keep <= 7 docs per source, the deterministic md5-priority sample.
-        # Two-phase salted top-k-per-key (operators/sample.py) — the salt
-        # shapes the shuffle only; the kept SET is what the oracle's
-        # single window computes.
-        from pysearchlite_spark.operators.sample import cap_per_key
-        return (cap_per_key(_docs(spark, sf).select("doc_id", "source"),
-                            "source", 7, salts=4)
-                .orderBy("doc_id"))
+    def corpus_sample(spark, sf):
+        # both sampling operators in one entry (method column):
+        # 'cap' — stratified capping (Common-Crawl domain-quota shape):
+        # keep <= 7 docs per source, the deterministic md5-priority
+        # sample, via the salted two-phase path (salts=4; the salt shapes
+        # the shuffle only — the kept SET is what the oracle's single
+        # window computes; the salts=1 native-WindowGroupLimit default is
+        # exercised by test_sample + BENCH/sample_scale.py);
+        # 'wsample' — deterministic weighted sampling without replacement
+        # (Efraimidis-Spirakis exponential race, u from md5 hex — 52-bit
+        # exact in float64, so DuckDB reproduces the exact kept set),
+        # weight = length(text)+1, compiled to TakeOrderedAndProject.
+        import pyspark.sql.functions as F
+
+        from pysearchlite_spark.operators.sample import (cap_per_key,
+                                                         weighted_sample_n)
+        docs = _docs(spark, sf)
+        capped = (cap_per_key(docs.select("doc_id", "source"),
+                              "source", 7, salts=4)
+                  .select(F.lit("cap").alias("method"), "doc_id", "source"))
+        sampled = (weighted_sample_n(
+                       docs.select("doc_id", "source",
+                                   (F.length("text") + 1).cast("double")
+                                   .alias("w")),
+                       25, "w")
+                   .select(F.lit("wsample").alias("method"), "doc_id",
+                           "source"))
+        return capped.unionAll(sampled).orderBy("method", "doc_id")
 
     def jaccard_pairs(spark, sf):
         # both tiers of the two-tier dedup design in one entry:
@@ -878,7 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lang": quality_lang,
         "doc_signatures": doc_signatures,
         "exact_dedup": exact_dup,
-        "domain_cap": domain_cap,
+        "corpus_sample": corpus_sample,
         "token_jaccard_pairs": jaccard_pairs,
         "dedup_clusters": dedup_cluster_entry,
         "minhash_lsh_pairs": minhash_pairs,
@@ -1601,15 +1619,27 @@ ORDER BY doc_id""",
                    doc_id <> min(doc_id) OVER (PARTITION BY coalesce(text, ''))
                      AS is_dup
             FROM documents""",
-        # stratified cap: md5(doc_id) priority is engine-portable, so the
-        # oracle reproduces the engine's exact kept SET with one window
-        "domain_cap": """
-            SELECT doc_id, source FROM (
+        # sampling operators: (cap) md5(doc_id) priority is engine-
+        # portable, so one window reproduces the engine's exact kept SET;
+        # (wsample) the same md5 hex truncated to 13 digits = a 52-bit
+        # uniform exact in float64 — -ln(u)/w ranks identically in both
+        # engines, so the weighted draw is also an exact-set oracle
+        "corpus_sample": """
+            SELECT 'cap' AS method, doc_id, source FROM (
               SELECT doc_id, source,
                      row_number() OVER (
                        PARTITION BY source
                        ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
-              FROM documents) WHERE rn <= 7 ORDER BY doc_id""",
+              FROM documents) WHERE rn <= 7
+            UNION ALL
+            SELECT 'wsample' AS method, doc_id, source FROM (
+              SELECT doc_id, source,
+                     -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))
+                          ::UBIGINT)::DOUBLE / 4503599627370496.0)
+                       / (length(text) + 1)::DOUBLE AS k
+              FROM documents
+              ORDER BY k, doc_id LIMIT 25)
+            ORDER BY method, doc_id""",
         # both tiers of the entry's variant union: 'all' = uncapped
         # all-pairs, 'bounded' = rare-token (df<=100) candidate generation
         "token_jaccard_pairs": f"""

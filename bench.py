@@ -5,7 +5,8 @@ Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
   * full inverted-index build over `documents` (docs/sec recorded),
   * boolean COUNT / AND / OR and BM25 top-10 (block-max) query latency,
   * distributed BM25 path,
-  * dedup (exact, MinHash-LSH), ANN cosine top-k + persisted index,
+  * dedup (exact, MinHash-LSH), corpus sampling (domain cap + weighted
+    draw), ANN cosine top-k + persisted index,
   * batch-query ANN, text-quality + repetition scans, cross-doc repeated
     spans, events hourly window.
 
@@ -188,6 +189,16 @@ def run_trial(spark, docs, emb, events, n_docs: int) -> tuple[dict, dict]:
 
         with timed("exact_dedup"):
             exact_dedup(docs).count()
+        # corpus sampling: stratified domain cap (native WindowGroupLimit
+        # path) + deterministic weighted draw (TakeOrderedAndProject)
+        with timed("corpus_sample"):
+            from pysearchlite_spark.operators.sample import (
+                cap_per_key, weighted_sample_n)
+            cap_per_key(docs.select("doc_id", "source"),
+                        "source", 100).count()
+            weighted_sample_n(
+                docs.select("doc_id", (F.length("text") + 1).cast("double")
+                            .alias("w")), 1000, "w").count()
         with timed("minhash_lsh_pairs"):
             minhash_lsh_pairs(docs, threshold=0.5).count()
         # pairs → transitive-closure groups (the keep-list step); sum the

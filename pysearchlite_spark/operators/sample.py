@@ -1,6 +1,7 @@
-"""Stratified corpus capping — at most `cap` documents per key.
+"""Corpus sampling operators: stratified capping (at most `cap` docs per
+key) and deterministic weighted sampling without replacement.
 
-The standard Common-Crawl-pipeline skew control: boilerplate-heavy hosts
+Stratified capping is the standard Common-Crawl skew control: boilerplate-heavy hosts
 (or over-represented sources/languages) would otherwise dominate a
 training mix, so the pipeline caps each stratum at a quota, keeping a
 DETERMINISTIC uniform sample of each key's documents rather than
@@ -58,7 +59,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cap_per_key"]
+__all__ = ["cap_per_key", "weighted_sample_n"]
 
 
 def cap_per_key(df: DataFrame, key_col: str, cap: int,
@@ -104,3 +105,48 @@ def cap_per_key(df: DataFrame, key_col: str, cap: int,
     return (out.withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= cap)
             .drop("_rn", "_pr"))
+
+
+def weighted_sample_n(df: DataFrame, n: int, weight_col: str,
+                      id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep `n` rows
+    with inclusion bias proportional to `weight_col`.
+
+    The training-mix primitive: subsample a corpus so higher-quality (or
+    longer, or rarer-language) documents are more likely to be kept,
+    without ever materializing or shuffling the full corpus.
+
+    Algorithm: Efraimidis-Spirakis A-ES reformulated as an exponential
+    race — each row draws key = -ln(u) / w with u uniform in (0,1), and
+    the n SMALLEST keys win; P(row i beats row j) = w_i / (w_i + w_j),
+    the weighted-sampling-without-replacement property. Instead of a
+    random u, we use a DETERMINISTIC uniform: the first 13 hex digits
+    (52 bits — exactly representable in a double, so every engine
+    computes the identical float) of md5(id || salt), divided by 2^52.
+    Same corpus + same salt -> same sample, independent of partitioning
+    or plan choices; vary `salt` to draw independent samples.
+
+    Scale shape: orderBy(key, id).limit(n) compiles to
+    TakeOrderedAndProject — a size-n heap per partition, partial results
+    merged on the driver. No shuffle of the corpus, no full sort; cost
+    is one scan + O(n) per partition, at any corpus size.
+
+    Portability is load-bearing (as with cap_per_key): md5, hex->int and
+    ln evaluate identically in DuckDB, so the driver's SQL oracle
+    reproduces the EXACT kept set.
+
+    Rows with NULL or non-positive weight are excluded (their key would
+    be NaN/negative — not meaningfully orderable).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 13), 16, 10).cast("double") / F.lit(float(2 ** 52)))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+            .withColumn("_k", key)
+            .orderBy(F.col("_k").asc(), F.col(id_col).asc())
+            .limit(n)
+            .drop("_k"))

@@ -118,3 +118,82 @@ def test_validation(docs):
         cap_per_key(docs, "source", 0)
     with pytest.raises(ValueError):
         cap_per_key(docs, "source", 3, salts=0)
+
+
+# ---------------------------------------------------------------- weighted
+
+def brute_wsample(rows, n, salt=""):
+    """Independent recomputation: n smallest -ln(u)/w with u from md5."""
+    import math
+
+    def key(i, w):
+        u = int(hashlib.md5((str(i) + salt).encode()).hexdigest()[:13],
+                16) / 2 ** 52
+        return -math.log(u) / w
+    return [i for i, w in sorted(rows, key=lambda t: (key(*t), t[0]))[:n]]
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    rows = [(i, float(i % 13 + 1)) for i in range(500)]
+    return (spark.createDataFrame(rows, ["doc_id", "w"]).cache(), rows)
+
+
+@pytest.mark.parametrize("n", [1, 20, 100])
+def test_wsample_matches_brute_force(weighted, n):
+    from pysearchlite_spark.operators.sample import weighted_sample_n
+    df, rows = weighted
+    got = [r["doc_id"] for r in
+           weighted_sample_n(df, n, "w").orderBy("doc_id").collect()]
+    assert got == sorted(brute_wsample(rows, n))
+
+
+def test_wsample_salt_draws_independent_samples(weighted):
+    from pysearchlite_spark.operators.sample import weighted_sample_n
+    df, rows = weighted
+    a = {r["doc_id"] for r in weighted_sample_n(df, 50, "w").collect()}
+    b = {r["doc_id"] for r in
+         weighted_sample_n(df, 50, "w", salt="round2").collect()}
+    assert a == set(brute_wsample(rows, 50))
+    assert b == set(brute_wsample(rows, 50, salt="round2"))
+    assert a != b  # different salt, different draw
+    # re-run is identical (determinism)
+    assert a == {r["doc_id"]
+                 for r in weighted_sample_n(df, 50, "w").collect()}
+
+
+def test_wsample_weight_bias(weighted):
+    """Heavier rows must be sampled more often: mean weight of the kept
+    half should clearly exceed the corpus mean (7.0 for weights 1..13)."""
+    from pysearchlite_spark.operators.sample import weighted_sample_n
+    df, _ = weighted
+    kept = weighted_sample_n(df, 100, "w").collect()
+    mean_w = sum(r["w"] for r in kept) / len(kept)
+    assert mean_w > 7.5, mean_w
+
+
+def test_wsample_excludes_nonpositive_and_null(spark):
+    from pysearchlite_spark.operators.sample import weighted_sample_n
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 3.0)],
+        ["doc_id", "w"])
+    got = {r["doc_id"] for r in weighted_sample_n(df, 10, "w").collect()}
+    assert got == {1, 5}
+
+
+def test_wsample_plan_is_take_ordered(weighted):
+    """No shuffle, no global sort: the plan must be TakeOrderedAndProject
+    (size-n heap per partition, partials merged on the driver)."""
+    from pysearchlite_spark.operators.sample import weighted_sample_n
+    df, _ = weighted
+    plan = weighted_sample_n(df, 10, "w")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_wsample_validation(weighted):
+    from pysearchlite_spark.operators.sample import weighted_sample_n
+    df, _ = weighted
+    with pytest.raises(ValueError):
+        weighted_sample_n(df, 0, "w")

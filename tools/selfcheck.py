@@ -61,6 +61,12 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf}/{t}.parquet')")
     qs, osql = E.queries(), E.oracle_sql()
+    # driver-contract window: the driver oracle-checks only the first 50
+    # queries() entries — anything past that silently gets no CORRECTNESS
+    # row (round-4 lesson: 14 entries fell out of the window)
+    assert len(qs) <= 50, (
+        f"queries() has {len(qs)} entries but the driver checks only the "
+        f"first 50 — consolidate or rotate: {list(qs)[50:]}")
     if len(sys.argv) > 2:          # optional comma-list of keys to check
         keep = set(sys.argv[2].split(","))
         qs = {k: v for k, v in qs.items() if k in keep}
