@@ -258,6 +258,36 @@ def _ids_df(spark: SparkSession, ids) -> DataFrame:
 # because lower() on the matched runs is ASCII-only):
 _TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+def _with_pii_columns(base_sql: str) -> str:
+    """Wrap a per-doc oracle query with the PII-redaction columns: the
+    same doc_id%4-keyed synthetic PII injection as the quality_lang
+    entry, counted/redacted by the identical sequential regex chain
+    (functions/pii.py PII_PATTERNS — Java∩RE2-portable, so DuckDB
+    reproduces Spark's regexp_count/regexp_replace exactly). Built by
+    string concatenation, NOT .format(), because the patterns contain
+    literal braces."""
+    from pysearchlite_spark.functions.pii import PII_PATTERNS
+    inject = ("coalesce(text, '') || CASE doc_id % 4"
+              " WHEN 0 THEN ' contact user' || doc_id::VARCHAR ||"
+              " '@example.com or admin@test.org'"
+              " WHEN 1 THEN ' from 10.2.0.' || (doc_id % 250)::VARCHAR ||"
+              " ' and 192.168.1.1'"
+              " WHEN 2 THEN ' call (202) 555-0199 or 555-123-4567'"
+              " ELSE '' END")
+    expr, cols = "s", []
+    names = {"email": "n_emails", "phone": "n_phones", "ipv4": "n_ipv4"}
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(f"len(regexp_extract_all({expr}, '{pat}'))"
+                    f" AS {names[name]}")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    pii_q = (f"SELECT doc_id, {', '.join(cols)}, "
+             f"length({expr}) AS clean_n_chars "
+             f"FROM (SELECT doc_id, {inject} AS s FROM documents)")
+    return (f"SELECT base.*, p.n_emails, p.n_phones, p.n_ipv4, "
+            f"p.clean_n_chars FROM ({base_sql}) base "
+            f"JOIN ({pii_q}) p USING (doc_id) ORDER BY doc_id")
+
+
 Q_AND = "table part"          # terms present in the synthetic vocabulary
 Q_OR = "spark merge"
 Q_BM25 = "query value"
@@ -548,10 +578,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dl.join(tc, "doc_id").join(bc, "doc_id")
 
     def quality_lang(spark, sf):
-        # per-doc quality signals + language-ID, one scan each, joined
+        # per-doc quality signals + language-ID + PII redaction counts,
+        # one scan each, joined. The corpus has no organic PII, so the
+        # entry injects deterministic emails/IPs/phones keyed on
+        # doc_id%4 (the oracle mirrors the same concat) — the redaction
+        # regexes live in the Java∩RE2 subset, so DuckDB reproduces the
+        # counts and the redacted length exactly.
+        from pysearchlite_spark.functions.pii import redact_pii
         from pysearchlite_spark.functions.text import lang_id, quality_stats
         docs = _docs(spark, sf)
-        return quality_stats(docs).join(lang_id(docs), "doc_id")
+        m = F.col("doc_id") % 4
+        pii_txt = F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(m == 0, F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or admin@test.org")))
+            .when(m == 1, F.concat(
+                F.lit(" from 10.2.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" and 192.168.1.1")))
+            .when(m == 2, F.lit(" call (202) 555-0199 or 555-123-4567"))
+            .otherwise(F.lit("")))
+        pii = (redact_pii(docs.select("doc_id", pii_txt.alias("text")))
+               .select("doc_id", "n_emails", "n_phones", "n_ipv4",
+                       F.length("text_clean").alias("clean_n_chars")))
+        return (quality_stats(docs).join(lang_id(docs), "doc_id")
+                .join(pii, "doc_id"))
 
     def doc_signatures(spark, sf):
         # both 64-bit per-doc signatures, full VALUES oracle-checked:
@@ -564,8 +616,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .join(simhash_signatures(docs, hash_fn="md5"), "doc_id"))
 
     def exact_dup(spark, sf):
+        # both exact-dedup tiers in one entry (method column):
+        # 'text' — byte-identical-content keep-list (hash groupBy);
+        # 'url'  — re-crawl dedup by CANONICAL URL (functions/url.py:
+        # case/port/fragment/tracking-param normalization, then the same
+        # keep-list shape). documents has no url column, so the entry
+        # synthesizes one per doc exercising every canonicalization rule
+        # (mixed-case scheme+host, default ports, empty paths, utm/fbclid
+        # params, fragments); the oracle builds the identical string and
+        # canonicalizes it with the same Java∩RE2 regex chain.
+        from pysearchlite_spark.functions.url import url_dedup
         from pysearchlite_spark.operators.dedup import exact_dedup
-        return exact_dedup(_docs(spark, sf))
+        docs = _docs(spark, sf)
+        text_part = exact_dedup(docs).select(
+            F.lit("text").alias("method"), "doc_id",
+            F.lit(None).cast("string").alias("canonical_url"),
+            "keep_id", "is_dup")
+        d = F.col("doc_id")
+        raw = F.concat(
+            F.lit("HTTP"),
+            F.when(d % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+            F.lit("://WWW.H"), (d % 7).cast("string"), F.lit(".Example.COM"),
+            F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+            F.when(d % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/p/"), (d % 5).cast("string"))),
+            F.lit("?utm_source=feed&id="), (d % 4).cast("string"),
+            F.lit("&fbclid=XYZ#s"), d.cast("string"))
+        url_part = url_dedup(docs.select("doc_id", raw.alias("url"))).select(
+            F.lit("url").alias("method"), "doc_id", "canonical_url",
+            "keep_id", "is_dup")
+        return text_part.unionAll(url_part).orderBy("method", "doc_id")
 
     def corpus_sample(spark, sf):
         # both sampling operators in one entry (method column):
@@ -1582,7 +1662,7 @@ ORDER BY doc_id""",
             "len(regexp_extract_all(coalesce(text, ''), '"
             + _bpe_pattern_sql()
             + "'))::BIGINT AS n_bpe_tokens FROM documents ORDER BY doc_id"),
-        "quality_lang": """
+        "quality_lang": _with_pii_columns("""
             WITH ql AS (
             WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
                               length(regexp_replace(
@@ -1608,17 +1688,66 @@ ORDER BY doc_id""",
             FROM t
             ), li AS ({langid})
             SELECT ql.*, li.lang_pred FROM ql JOIN li USING (doc_id)
-            ORDER BY doc_id""".format(
+            """.format(
             tok=_TOK,
             sw=", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"])),
-            langid=langid),
-        "exact_dedup": """
-            SELECT doc_id,
+            langid=langid)),
+        # exact-dedup tiers: 'text' = the byte-identical keep-list window;
+        # 'url' = the synthesized raw URL pushed through the SAME
+        # canonicalization regex chain as functions/url.py (Java∩RE2
+        # subset — byte-identical canonical strings), then the keep-list
+        # window over the canonical form. coalesce() guards DuckDB's
+        # array_to_string([]) -> NULL on empty query-param lists.
+        "exact_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END
+                     || '://WWW.H' || (doc_id % 7)::VARCHAR || '.Example.COM'
+                     || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                     || CASE WHEN doc_id % 3 = 0 THEN ''
+                             ELSE '/p/' || (doc_id % 5)::VARCHAR END
+                     || '?utm_source=feed&id=' || (doc_id % 4)::VARCHAR
+                     || '&fbclid=XYZ#s' || doc_id::VARCHAR AS url
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          regexp_replace(trim(url), '#.*', '') AS u FROM raw),
+            s2 AS (SELECT doc_id,
+                  lower(regexp_extract(
+                      u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*'))
+                  || substr(u, length(regexp_extract(
+                      u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')) + 1) AS u
+                   FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+                      '^(http://[^/?#]*):80([/?#]|$)', '\1\2'),
+                      '^(https://[^/?#]*):443([/?#]|$)', '\1\2') AS u
+                   FROM s2),
+            s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+                      '^([a-z][a-z0-9+.\-]*://[^/?#]*)\?', '\1/?'),
+                      '^([a-z][a-z0-9+.\-]*://[^/?#]*)$', '\1/') AS u
+                   FROM s3),
+            s5 AS (SELECT doc_id, regexp_replace(u, '\?.*', '') AS base,
+                          coalesce(array_to_string(list_filter(
+                            string_split(regexp_extract(u, '\?(.*)', 1), '&'),
+                            p -> p <> '' AND NOT regexp_matches(p,
+                  '^(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid)=')
+                          ), '&'), '') AS q FROM s4),
+            canon AS (SELECT doc_id,
+                             CASE WHEN q = '' THEN base
+                                  ELSE base || '?' || q END AS canonical_url
+                      FROM s5)
+            SELECT 'text' AS method, doc_id, NULL::VARCHAR AS canonical_url,
                    min(doc_id) OVER (PARTITION BY coalesce(text, ''))
                      AS keep_id,
                    doc_id <> min(doc_id) OVER (PARTITION BY coalesce(text, ''))
                      AS is_dup
-            FROM documents""",
+            FROM documents
+            UNION ALL
+            SELECT 'url' AS method, doc_id, canonical_url,
+                   min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY canonical_url)
+                     AS is_dup
+            FROM canon
+            ORDER BY method, doc_id""",
         # sampling operators: (cap) md5(doc_id) priority is engine-
         # portable, so one window reproduces the engine's exact kept SET;
         # (wsample) the same md5 hex truncated to 13 digits = a 52-bit

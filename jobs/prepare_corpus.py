@@ -48,6 +48,9 @@ def main() -> None:
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-dedup-col", default=None,
+                    help="URL column: drop re-crawls whose URLs "
+                         "canonicalize identically")
     ap.add_argument("--lang", default=None)
     ap.add_argument("--quality", default=None)
     ap.add_argument("--repetition", default=None)
@@ -58,6 +61,9 @@ def main() -> None:
                          "n-gram overlap with")
     ap.add_argument("--decontaminate-n", type=int, default=8)
     ap.add_argument("--decontaminate-max-frac", type=float, default=0.0)
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="replace emails/phones/IPv4 in surviving text "
+                         "with placeholder tokens before the write")
     ap.add_argument("--index-dir", default=None)
     ap.add_argument("--segment-docs", type=int, default=None)
     ap.add_argument("--with-positions", action="store_true")
@@ -89,10 +95,12 @@ def main() -> None:
 
     report = prepare_corpus(
         spark, df, args.out_dir, id_col=args.id_col,
-        text_col=args.text_col, lang=args.lang,
+        text_col=args.text_col, url_dedup_col=args.url_dedup_col,
+        lang=args.lang,
         quality=_kv(args.quality), repetition=_kv(args.repetition),
         exact_dedup=not args.no_exact_dedup, near_dedup=near,
-        decontaminate=deco, index_dir=args.index_dir,
+        decontaminate=deco, redact_pii=args.redact_pii,
+        index_dir=args.index_dir,
         release_cache=True,  # this job owns its session
         **build_kw)
     print(json.dumps(report))

@@ -3,9 +3,10 @@
 Composes the engine's pipeline operators into the standard web-corpus
 cleaning flow (the C4 / Gopher / MassiveText recipe):
 
-    language filter → quality thresholds → repetition thresholds →
-    exact dedup → near dedup (MinHash-LSH + connected components) →
-    benchmark decontamination → write cleaned parquet [+ build index]
+    canonical-URL dedup → language filter → quality thresholds →
+    repetition thresholds → exact dedup → near dedup (MinHash-LSH +
+    connected components) → benchmark decontamination → PII redaction →
+    write cleaned parquet [+ build index]
 
 Every stage is optional (None disables it) and runs on the PREVIOUS
 stage's survivors; the return value is a per-stage report of kept /
@@ -47,12 +48,14 @@ def _threshold_pred(thresholds: Dict[str, float], valid_cols) -> "F.Column":
 
 def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
                    id_col: str = "doc_id", text_col: str = "text",
+                   url_dedup_col: Optional[str] = None,
                    lang: Optional[str] = None,
                    quality: Optional[Dict[str, float]] = None,
                    repetition: Optional[Dict[str, float]] = None,
                    exact_dedup: bool = True,
                    near_dedup: Optional[Dict] = None,
                    decontaminate: Optional[Dict] = None,
+                   redact_pii: bool = False,
                    index_dir: Optional[str] = None,
                    release_cache: bool = False,
                    **build_kw) -> dict:
@@ -60,6 +63,8 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     minimum; extra columns ride along), write the surviving rows to
     `out_dir` as parquet, optionally build a search index over them.
 
+    url_dedup_col: name of a URL column — drop re-crawls whose URLs
+        canonicalize identically (functions/url.py; keep the min doc_id).
     lang: keep docs whose n-gram language-ID prediction equals this.
     quality: min_/max_ thresholds over quality_stats columns, e.g.
         {"min_n_tokens": 50, "max_punct_ratio": 0.2,
@@ -73,6 +78,10 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     decontaminate: {"probe": DataFrame[, "probe_text_col"], "n": 8,
         "max_frac": 0.0} — drop docs whose distinct n-token spans
         overlap the probe (benchmark) set beyond max_frac.
+    redact_pii: replace emails/phones/IPv4 in the SURVIVORS' text with
+        placeholder tokens (functions/pii.py) just before the write;
+        adds n_emails/n_phones/n_ipv4 metadata columns. A transform
+        stage, never drops rows.
     release_cache: clear the ENTIRE session cache on exit (including
         failures). The dedup operators persist() intermediates whose
         release is documented as the caller's job and expose no handle;
@@ -170,6 +179,17 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     t_stage = time.monotonic()
 
     try:
+        if url_dedup_col is not None:
+            # re-crawl dedup by canonical URL — runs FIRST: it is the
+            # cheapest filter (no tokenization; shuffles only
+            # (canonical, id) pairs) and every doc it drops is work the
+            # text stages never do
+            from pysearchlite_spark.functions.url import url_dedup
+            verd = url_dedup(cur, url_col=url_dedup_col, id_col=id_col)
+            keep = (verd.filter(~F.col("is_dup"))
+                    .select(F.col("doc_id").alias(id_col)))
+            advance("url_dedup", cur.join(keep, id_col, "left_semi"))
+
         if lang is not None:
             pred = T.lang_id(cur, id_col=id_col, text_col=text_col)
             keep = pred.filter(F.col("lang_pred") == lang).select(id_col)
@@ -213,6 +233,19 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
             keep = (sig.filter(F.col("contamination_frac") <= max_frac)
                     .select(F.col("doc_id").alias(id_col)))
             advance("decontaminate", cur.join(keep, id_col, "left_semi"))
+
+        if redact_pii:
+            # transformation, not a filter: replace the text column with
+            # its redacted form (emails/phones/IPv4 -> placeholder
+            # tokens) and keep the per-doc counts as ride-along metadata.
+            # Runs LAST so redaction never perturbs the tokenize-based
+            # filter stages above, and only survivors pay for it.
+            from pysearchlite_spark.functions.pii import (
+                redact_pii as _redact_pii)
+            cur = (_redact_pii(cur, text_col=text_col)
+                   .withColumn(text_col, F.col(f"{text_col}_clean"))
+                   .drop(f"{text_col}_clean"))
+            advance("redact_pii", cur)
 
         cur.write.mode("overwrite").parquet(out_dir)
         report["n_out"] = n_prev

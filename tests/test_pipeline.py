@@ -123,3 +123,30 @@ def test_pipeline_lang_filter(spark, tmp_path_factory):
     assert report["stages"][0]["stage"] == "lang"
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {0, 1}
+
+
+def test_pipeline_url_dedup_and_pii_stages(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(0, GOOD, "https://a.com/x?utm_source=tw"),
+         (1, GOOD + " variant one of the text", "HTTPS://A.COM:443/x#frag"),
+         (2, GOOD + " mail me at bob@example.com or (202) 555-0199",
+          "https://a.com/y"),
+         (3, GOOD + " from host 10.1.2.3 tail", "https://b.com/z")],
+        "doc_id long, text string, url string")
+    out = str(tmp_path_factory.mktemp("clean6") / "out")
+    report = prepare_corpus(spark, df, out, url_dedup_col="url",
+                            exact_dedup=False, redact_pii=True)
+    stages = {s["stage"]: s for s in report["stages"]}
+    # 0 and 1 canonicalize to https://a.com/x — min id 0 survives
+    assert stages["url_dedup"]["dropped"] == 1
+    assert report["stages"][0]["stage"] == "url_dedup"  # runs first
+    assert report["stages"][-1]["stage"] == "redact_pii"  # runs last
+    assert stages["redact_pii"]["dropped"] == 0  # transform, not filter
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {0, 2, 3}
+    assert "<EMAIL>" in rows[2]["text"] and "<PHONE>" in rows[2]["text"]
+    assert "bob@example.com" not in rows[2]["text"]
+    assert "<IP>" in rows[3]["text"]
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (1, 1)
+    assert rows[3]["n_ipv4"] == 1
+    assert rows[0]["text"] == GOOD  # untouched text stays byte-identical
