@@ -1,8 +1,9 @@
 """End-to-end prepare_corpus at >=1M docs — the composed 100-TB
-cleaning-pipeline story (round-3 verdict task 2): lang → quality →
-repetition → exact dedup → near dedup (MinHash-LSH + connected-component
-clustering) → benchmark decontamination, ONE call, per-stage wall times
-and kept counts from the pipeline's own report.
+cleaning-pipeline story (round-3 verdict task 2, extended round 5 with
+the url/PII stages): canonical-URL dedup → lang → quality → repetition →
+exact dedup → near dedup (MinHash-LSH + connected-component clustering) →
+benchmark decontamination → PII redaction, ONE call, per-stage wall
+times and kept counts from the pipeline's own report.
 
 Corpus: n base pages (datagen.generate_pages, Zipf text; ~1/53 of them
 lang='xx') + 5%% injected EXACT duplicates (same text, higher doc_id) +
@@ -54,7 +55,21 @@ def build_input(spark, n_base: int, data_dir: str):
             .withColumn("doc_id",
                         F.regexp_extract("url", r"/p/(\d+)$", 1)
                         .cast("long")))
-    step = 20  # every 20th doc gets one exact and one near copy
+    # deterministic PII injection into ~1/31 of base texts BEFORE the
+    # copies are derived (so dup relations still hold); the redact_pii
+    # stage must erase every occurrence from the output. The email local
+    # part carries doc_id so every 8-token window of the suffix is
+    # doc-unique — a SHARED suffix would hand decontamination a common
+    # span with any injected probe doc and wipe the whole injected slice
+    # (observed at 20k before this fix)
+    base = base.withColumn(
+        "text",
+        F.when((F.col("doc_id") % 31) == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or call 555-123-4567")))
+        .otherwise(F.col("text")))
+    step = 20  # every 20th doc gets one exact, one near and one re-crawl copy
     src = base.filter((F.col("doc_id") % step) == 0)
     exact = (src.select(
         (F.col("doc_id") + n_base).alias("doc_id"),
@@ -67,8 +82,20 @@ def build_input(spark, n_base: int, data_dir: str):
         F.concat(F.lit("near-"), F.col("url")).alias("url"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         F.col("lang")))
+    # re-crawl copies: SAME text, decorated URL variant (uppercase
+    # scheme+host, default port, tracking param, fragment) that
+    # canonicalizes back to the source's url — the url_dedup stage must
+    # drop every one of these before any text stage runs
+    head = F.regexp_extract("url", r"^https://[^/]*", 0)
+    rest = F.col("url").substr(F.length(head) + F.lit(1),
+                               F.length("url"))
+    recrawl = (src.select(
+        (F.col("doc_id") + 3 * n_base).alias("doc_id"),
+        F.concat(F.upper(head), F.lit(":443"), rest,
+                 F.lit("?utm_source=r#f")).alias("url"),
+        F.col("text"), F.col("lang")))
     (base.select("doc_id", "url", "text", "lang")
-     .unionByName(exact).unionByName(near)
+     .unionByName(exact).unionByName(near).unionByName(recrawl)
      .write.mode("overwrite").parquet(data_dir))
     return spark.read.parquet(data_dir)
 
@@ -83,9 +110,16 @@ def replay(spark, docs, probe):
     from pysearchlite_spark.operators.cluster import dedup_clusters
     from pysearchlite_spark.pipeline import _threshold_pred
 
+    from pysearchlite_spark.functions.url import url_dedup
+
     counts = {}
     cur = docs.persist()
     cur.count()
+
+    verd = url_dedup(cur)
+    keep = verd.filter(~F.col("is_dup")).select("doc_id")
+    cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
+    counts["url_dedup"] = cur.count()
 
     # same frontier-truncation discipline as prepare_corpus (the plan
     # otherwise grows ~3^stage and driver analysis dominates)
@@ -122,6 +156,8 @@ def replay(spark, docs, probe):
             .select("doc_id"))
     cur = cur.join(keep, "doc_id", "left_semi")
     counts["decontaminate"] = cur.count()
+    # redact_pii is a transform, never a filter
+    counts["redact_pii"] = counts["decontaminate"]
     spark.catalog.clearCache()
     return counts
 
@@ -156,10 +192,12 @@ def main() -> None:
         t0 = time.monotonic()
         report = prepare_corpus(
             spark, docs, out_dir,
+            url_dedup_col="url",
             lang="en", quality=QUALITY, repetition=REPETITION,
             exact_dedup=True, near_dedup=NEAR,
             decontaminate={"probe": probe, "n": DECON_SPAN,
                            "max_frac": 0.0},
+            redact_pii=True,
             release_cache=False)
         out["e2e_sec"] = round(time.monotonic() - t0, 2)
         out["stages"] = report["stages"]
@@ -177,6 +215,12 @@ def main() -> None:
 
         # ---- injected-duplicate accounting (ground truth by construction)
         by_stage = {s["stage"]: s for s in report["stages"]}
+        # every injected re-crawl (same canonical URL, higher id) must be
+        # dropped by the FIRST stage, before any text work
+        n_recrawl = docs.filter(F.col("doc_id") >= 3 * n_base).count()
+        assert by_stage["url_dedup"]["dropped"] == n_recrawl, (
+            by_stage["url_dedup"], n_recrawl)
+        out["n_recrawl"] = n_recrawl
         # exact stage must at least remove every injected exact copy that
         # survived the scans (copies share text with their base, base has
         # the smaller id)
@@ -192,6 +236,22 @@ def main() -> None:
             "src_id", "left_semi")
         out["surviving_injected_with_source"] = paired.count()
         assert out["surviving_injected_with_source"] == 0
+        # ---- PII accounting: the injected emails/phones are gone from
+        # the output text, the redaction metadata says how many there were
+        leaked = survivors.filter(
+            F.col("text").contains("@example.com")
+            | F.col("text").contains("555-123-4567")).count()
+        assert leaked == 0, leaked
+        pii_counts = survivors.agg(
+            F.sum("n_emails").alias("e"),
+            F.sum("n_phones").alias("p")).collect()[0]
+        out["pii_emails_redacted"] = int(pii_counts["e"])
+        out["pii_phones_redacted"] = int(pii_counts["p"])
+        assert pii_counts["e"] > 0 and pii_counts["p"] > 0
+        redacted = survivors.filter(
+            F.col("text").contains("<EMAIL>")).count()
+        out["docs_with_redactions"] = int(redacted)
+        assert redacted > 0
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
