@@ -37,8 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["TRACKING_PARAM_RE", "canonical_url", "with_canonical_url",
-           "url_dedup"]
+__all__ = ["TRACKING_PARAM_RE", "canonical_url", "registered_domain",
+           "url_host", "url_dedup", "with_canonical_url"]
 
 # authority prefix: scheme://host[:port] (everything before path/query)
 _HEAD = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
@@ -94,3 +94,25 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     return (c.join(keep, "canonical_url")
             .select("doc_id", "canonical_url", "keep_id",
                     (F.col("doc_id") != F.col("keep_id")).alias("is_dup")))
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a URL (authority minus userinfo and port).
+    NULL/invalid URLs yield ''. Pure JVM regexp — zero-shuffle."""
+    u = F.col(col) if isinstance(col, str) else col
+    h = F.lower(F.regexp_extract(
+        F.trim(u), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    h = F.regexp_replace(h, r"^[^@]*@", "")
+    return F.regexp_replace(h, r":\d+$", "")
+
+
+def registered_domain(col: Column | str) -> Column:
+    """Naive registered domain: the last two dot-labels of the host
+    ('a.b.example.com' -> 'example.com'). A real implementation needs the
+    Public Suffix List (multi-label suffixes like .co.uk collapse
+    incorrectly here) — that list isn't bundled, and the quota key only
+    needs a consistent grouping, not registrar truth. Feed this to
+    operators/sample.cap_per_key for per-domain corpus quotas."""
+    h = url_host(col)
+    return F.when(h.rlike(r"[^.]+\.[^.]+$"),
+                  F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)).otherwise(h)

@@ -127,3 +127,42 @@ def test_duckdb_oracle_parity(urls):
     for k in got:
         w = want[k]
         assert got[k] == (None if w is None or w != w else w), (k, got[k], w)
+
+
+def test_url_host_and_registered_domain(spark):
+    from pysearchlite_spark.functions.url import (registered_domain,
+                                                  url_host)
+    cases = [
+        (0, "https://WWW.Sub.Example.COM:8443/p?q=1", "www.sub.example.com",
+         "example.com"),
+        (1, "http://user:pw@host.org/x", "host.org", "host.org"),
+        (2, "https://localhost:8080/", "localhost", "localhost"),
+        (3, "https://example-ab12.test/p/9", "example-ab12.test",
+         "example-ab12.test"),
+        (4, "not a url", "", ""),
+        (5, None, "", None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _, _ in cases],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: (r["h"], r["d"]) for r in df.select(
+        "doc_id", url_host("url").alias("h"),
+        registered_domain("url").alias("d")).collect()}
+    for i, _, h, d in cases:
+        if i == 5:
+            # regexp_extract(NULL) is NULL; both helpers propagate it
+            assert got[i][0] is None and got[i][1] is None
+        else:
+            assert got[i] == (h, d), (i, got[i], (h, d))
+
+
+def test_domain_capping_from_urls(spark):
+    """The quota use case end-to-end: cap docs per registered domain."""
+    from pysearchlite_spark.functions.url import registered_domain
+    from pysearchlite_spark.operators.sample import cap_per_key
+    rows = [(i, f"https://s{i % 3}.big.com/p/{i}") for i in range(30)]
+    rows += [(100 + i, f"https://small.org/p/{i}") for i in range(2)]
+    df = (spark.createDataFrame(rows, "doc_id long, url string")
+          .withColumn("domain", registered_domain("url")))
+    kept = cap_per_key(df, "domain", 5).groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in kept}
+    assert counts == {"big.com": 5, "small.org": 2}
