@@ -1,6 +1,7 @@
-"""Scale check for the corpus-cleanse operators added round 5:
-PII redaction (functions/pii.py) and canonical-URL dedup
-(functions/url.py) at 1M deterministic synthetic docs, unpinned
+"""Scale check for the corpus-cleanse / export operators added round 5:
+PII redaction (functions/pii.py), canonical-URL dedup
+(functions/url.py) and training-sequence export
+(functions/sequences.py) at 1M deterministic synthetic docs, unpinned
 local[32].
 
 Measures wall time and docs/sec for
@@ -169,6 +170,29 @@ def main() -> None:
         if v is not None:
             assert ":443" not in v[0] and "utm_" not in v[0] \
                 and "#" not in v[0] and v[0].islower()
+
+        # --- chunk_tokens: training-sequence export (seq_len 1024 over
+        # ~150-token docs -> 1 chunk/doc; the cost IS tokenize+id-map).
+        # Inline conservation law: sum of chunk n_tokens == corpus token
+        # count from the independent token_counts operator.
+        from pysearchlite_spark.functions.sequences import chunk_tokens
+        from pysearchlite_spark.functions.text import token_counts
+        ch = chunk_tokens(docs, 1024)
+        plan = ch._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "chunk_tokens must not shuffle"
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            agg = ch.agg(F.count("*").alias("chunks"),
+                         F.sum("n_tokens").alias("toks")).collect()[0]
+            best = min(best, time.monotonic() - t0)
+        out["chunk_tokens_sec"] = round(best, 3)
+        out["chunk_tokens_docs_per_sec"] = round(n_real / best, 1)
+        out["chunks"] = int(agg["chunks"])
+        out["chunk_total_tokens"] = int(agg["toks"])
+        want_toks = token_counts(docs).agg(
+            F.sum("n_tokens")).collect()[0][0]
+        assert agg["toks"] == want_toks, (agg["toks"], want_toks)
     finally:
         import shutil
         shutil.rmtree(data, ignore_errors=True)
