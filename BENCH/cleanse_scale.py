@@ -193,6 +193,33 @@ def main() -> None:
         want_toks = token_counts(docs).agg(
             F.sum("n_tokens")).collect()[0][0]
         assert agg["toks"] == want_toks, (agg["toks"], want_toks)
+
+        # --- strip_duplicate_lines: corpus-wide boilerplate-line removal
+        # (CCNet paragraph dedup). ~3/17 of docs carry a planted banner
+        # line; body lines are unique (asserted), so removed == carriers.
+        from pysearchlite_spark.functions.lines import strip_duplicate_lines
+        banner = "subscribe to our newsletter for all the latest updates"
+        mdocs = docs.select(
+            "doc_id",
+            F.when(m.isin(5, 6, 7),
+                   F.concat(F.col("text"), F.lit("\n" + banner)))
+            .otherwise(F.col("text")).alias("text"))
+        carriers = mdocs.filter(F.col("text").contains(banner)).count()
+        assert docs.agg(F.countDistinct("text")).collect()[0][0] == n_real
+        best = float("inf")
+        rem = 0
+        for _ in range(3):
+            t0 = time.monotonic()
+            rem = (strip_duplicate_lines(mdocs)
+                   .agg(F.sum("n_removed")).collect()[0][0])
+            best = min(best, time.monotonic() - t0)
+            spark.catalog.clearCache()  # operator-persisted lines frame
+        out["strip_lines_sec"] = round(best, 3)
+        out["strip_lines_docs_per_sec"] = round(n_real / best, 1)
+        out["boilerplate_lines_removed"] = int(rem)
+        assert rem == carriers, (rem, carriers)
+        # (clearCache also dropped the docs persist — this is the last
+        # measurement, nothing downstream re-reads it)
     finally:
         import shutil
         shutil.rmtree(data, ignore_errors=True)

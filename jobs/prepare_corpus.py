@@ -52,6 +52,8 @@ def main() -> None:
                     help="URL column: drop re-crawls whose URLs "
                          "canonicalize identically")
     ap.add_argument("--lang", default=None)
+    ap.add_argument("--strip-lines", default=None,
+                    help="duplicate-line removal, e.g. 'min_count=2,min_chars=15'")
     ap.add_argument("--quality", default=None)
     ap.add_argument("--repetition", default=None)
     ap.add_argument("--no-exact-dedup", action="store_true")
@@ -76,6 +78,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("psl-prepare-corpus").getOrCreate()
     df = spark.read.parquet(args.input)
 
+    strip = _kv(args.strip_lines)
+    if strip is not None:
+        strip = {k: int(v) for k, v in strip.items()}
     near = _kv(args.near_dedup)
     if near is not None:
         # int-typed knobs arrive as floats from the k=v parser
@@ -96,7 +101,7 @@ def main() -> None:
     report = prepare_corpus(
         spark, df, args.out_dir, id_col=args.id_col,
         text_col=args.text_col, url_dedup_col=args.url_dedup_col,
-        lang=args.lang,
+        lang=args.lang, strip_lines=strip,
         quality=_kv(args.quality), repetition=_kv(args.repetition),
         exact_dedup=not args.no_exact_dedup, near_dedup=near,
         decontaminate=deco, redact_pii=args.redact_pii,

@@ -3,10 +3,11 @@
 Composes the engine's pipeline operators into the standard web-corpus
 cleaning flow (the C4 / Gopher / MassiveText recipe):
 
-    canonical-URL dedup → language filter → quality thresholds →
-    repetition thresholds → exact dedup → near dedup (MinHash-LSH +
-    connected components) → benchmark decontamination → PII redaction →
-    write cleaned parquet [+ build index]
+    canonical-URL dedup → language filter → duplicate-line removal →
+    quality thresholds → repetition thresholds → exact dedup → near
+    dedup (MinHash-LSH + connected components) → benchmark
+    decontamination → PII redaction → write cleaned parquet
+    [+ build index]
 
 Every stage is optional (None disables it) and runs on the PREVIOUS
 stage's survivors; the return value is a per-stage report of kept /
@@ -50,6 +51,7 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    url_dedup_col: Optional[str] = None,
                    lang: Optional[str] = None,
+                   strip_lines: Optional[Dict] = None,
                    quality: Optional[Dict[str, float]] = None,
                    repetition: Optional[Dict[str, float]] = None,
                    exact_dedup: bool = True,
@@ -66,6 +68,12 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     url_dedup_col: name of a URL column — drop re-crawls whose URLs
         canonicalize identically (functions/url.py; keep the min doc_id).
     lang: keep docs whose n-gram language-ID prediction equals this.
+    strip_lines: corpus-wide duplicate-LINE removal (CCNet/Dolma
+        boilerplate-paragraph stage); dict of strip_duplicate_lines
+        overrides ({"min_count": 2, "min_chars": 15}). A transform —
+        rewrites text, never drops docs; runs before quality so the
+        filters judge cleaned text. Its exploded-lines cache follows the
+        dedup-operator convention (released via release_cache=True).
     quality: min_/max_ thresholds over quality_stats columns, e.g.
         {"min_n_tokens": 50, "max_punct_ratio": 0.2,
          "min_stopword_ratio": 0.05}.
@@ -113,6 +121,15 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
         cols = set(T.repetition_stats(df.limit(0), id_col=id_col,
                                       text_col=text_col).columns) - {id_col}
         _threshold_pred(repetition, cols)
+    if strip_lines is not None:
+        from pysearchlite_spark.functions.lines import strip_duplicate_lines
+        ok = set(inspect.signature(strip_duplicate_lines).parameters)
+        bad = set(strip_lines) - (ok - {"df", "id_col", "text_col"})
+        if bad:
+            raise ValueError(
+                f"unknown strip_lines keys {sorted(bad)}; "
+                f"strip_duplicate_lines takes "
+                f"{sorted(ok - {'df', 'id_col', 'text_col'})}")
     if near_dedup is not None:
         ok = set(inspect.signature(D.minhash_lsh_pairs).parameters)
         bad = set(near_dedup) - (ok - {"df", "id_col", "text_col"})
@@ -194,6 +211,18 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
             pred = T.lang_id(cur, id_col=id_col, text_col=text_col)
             keep = pred.filter(F.col("lang_pred") == lang).select(id_col)
             advance("lang", cur.join(keep, id_col, "left_semi"))
+
+        if strip_lines is not None:
+            # corpus-wide duplicate-LINE (boilerplate paragraph) removal —
+            # a transform, not a filter; runs BEFORE quality/repetition so
+            # those judge the cleaned text, and before near-dedup so
+            # boilerplate can't glue unrelated docs into one cluster
+            from pysearchlite_spark.functions.lines import (
+                strip_duplicate_lines)
+            cur = (strip_duplicate_lines(cur, id_col=id_col,
+                                         text_col=text_col, **strip_lines)
+                   .drop("n_lines", "n_removed"))
+            advance("strip_lines", cur)
 
         if quality:
             stats = T.quality_stats(cur, id_col=id_col, text_col=text_col)

@@ -150,3 +150,28 @@ def test_pipeline_url_dedup_and_pii_stages(spark, tmp_path_factory):
     assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (1, 1)
     assert rows[3]["n_ipv4"] == 1
     assert rows[0]["text"] == GOOD  # untouched text stays byte-identical
+
+
+def test_pipeline_strip_lines_stage(spark, tmp_path_factory):
+    banner = "subscribe to our newsletter for the latest updates"
+    df = spark.createDataFrame(
+        [(0, GOOD + "\n" + banner),
+         (1, banner + "\n" + GOOD + " with a second distinct body"),
+         (2, GOOD + " third body entirely boilerplate free")],
+        "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("clean7") / "out")
+    report = prepare_corpus(spark, df, out,
+                            strip_lines={"min_count": 2},
+                            exact_dedup=False, release_cache=True)
+    stages = [s["stage"] for s in report["stages"]]
+    assert stages == ["strip_lines"]
+    assert report["stages"][0]["dropped"] == 0  # transform, not filter
+    rows = {r["doc_id"]: r["text"]
+            for r in __import__("pyspark").sql.SparkSession.getActiveSession()
+            .read.parquet(out).collect()}
+    assert rows[0] == GOOD and banner not in rows[1]
+    assert rows[2].startswith(GOOD)
+    # typo'd key fails before any stage runs
+    with pytest.raises(ValueError, match="strip_lines"):
+        prepare_corpus(spark, df, out + "2",
+                       strip_lines={"mincount": 2}, exact_dedup=False)
