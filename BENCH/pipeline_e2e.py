@@ -1,9 +1,10 @@
 """End-to-end prepare_corpus at >=1M docs — the composed 100-TB
 cleaning-pipeline story (round-3 verdict task 2, extended round 5 with
-the url/PII stages): canonical-URL dedup → lang → quality → repetition →
-exact dedup → near dedup (MinHash-LSH + connected-component clustering) →
-benchmark decontamination → PII redaction, ONE call, per-stage wall
-times and kept counts from the pipeline's own report.
+the url/line/PII stages): canonical-URL dedup → lang → duplicate-line
+removal → quality → repetition → exact dedup → near dedup (MinHash-LSH +
+connected-component clustering) → benchmark decontamination → PII
+redaction — all NINE stages in ONE call, per-stage wall times and kept
+counts from the pipeline's own report.
 
 Corpus: n base pages (datagen.generate_pages, Zipf text; ~1/53 of them
 lang='xx') + 5%% injected EXACT duplicates (same text, higher doc_id) +
@@ -35,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pysearchlite_spark.session import get_spark  # noqa: E402
 
+BANNER = "subscribe to our newsletter for all the latest updates"
 QUALITY = {"min_n_tokens": 25, "max_punct_ratio": 0.3}
 REPETITION = {"max_top2gram_frac": 0.6}
 NEAR = {"threshold": 0.7, "n_perm": 64, "bands": 16, "shingle_k": 3}
@@ -68,6 +70,16 @@ def build_input(spark, n_base: int, data_dir: str):
                F.concat(F.col("text"), F.lit(" contact user"),
                         F.col("doc_id").cast("string"),
                         F.lit("@example.com or call 555-123-4567")))
+        .otherwise(F.col("text")))
+    # boilerplate-line injection (AFTER PII so the banner line stays
+    # byte-identical across carriers): ~1/7 of NON-copied base docs gain
+    # a shared banner line the strip_lines stage must remove everywhere.
+    # Copy sources (doc_id%20==0) are excluded so the dup lattice and
+    # its exact/near accounting stay byte-stable.
+    base = base.withColumn(
+        "text",
+        F.when(((F.col("doc_id") % 7) == 1) & ((F.col("doc_id") % 20) != 0),
+               F.concat(F.col("text"), F.lit("\n" + BANNER)))
         .otherwise(F.col("text")))
     step = 20  # every 20th doc gets one exact, one near and one re-crawl copy
     src = base.filter((F.col("doc_id") % step) == 0)
@@ -151,6 +163,11 @@ def replay(spark, docs, probe):
     cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
     counts["near_dedup"] = cur.count()
 
+    from pysearchlite_spark.functions.lines import strip_duplicate_lines
+    cur = (strip_duplicate_lines(cur, min_count=2)
+           .drop("n_lines", "n_removed").localCheckpoint())
+    counts["strip_lines"] = cur.count()
+
     sig = D.span_contamination(cur, probe, n=DECON_SPAN)
     keep = (sig.filter(F.col("contamination_frac") <= 0.0)
             .select("doc_id"))
@@ -189,11 +206,13 @@ def main() -> None:
                  .select("text").persist())
         out["probe_rows"] = probe.count()
 
+        print("[e2e] input built", flush=True)
         t0 = time.monotonic()
         report = prepare_corpus(
             spark, docs, out_dir,
             url_dedup_col="url",
-            lang="en", quality=QUALITY, repetition=REPETITION,
+            lang="en", strip_lines={"min_count": 2},
+            quality=QUALITY, repetition=REPETITION,
             exact_dedup=True, near_dedup=NEAR,
             decontaminate={"probe": probe, "n": DECON_SPAN,
                            "max_frac": 0.0},
@@ -203,11 +222,15 @@ def main() -> None:
         out["stages"] = report["stages"]
         out["n_out"] = report["n_out"]
         out["docs_per_sec"] = round(out["n_input"] / out["e2e_sec"], 1)
+        print(f"[e2e] pipeline done in {out['e2e_sec']}s: "
+              f"{[(st['stage'], st['sec']) for st in report['stages']]}",
+              flush=True)
 
         # ---- per-operator replay: every stage's kept count must match
         t0 = time.monotonic()
         replayed = replay(spark, docs, probe)
         out["replay_sec"] = round(time.monotonic() - t0, 2)
+        print(f"[e2e] replay done in {out['replay_sec']}s", flush=True)
         for st in report["stages"]:
             want, got = replayed[st["stage"]], st["kept"]
             assert want == got, (st["stage"], want, got)
@@ -252,6 +275,13 @@ def main() -> None:
             F.col("text").contains("<EMAIL>")).count()
         out["docs_with_redactions"] = int(redacted)
         assert redacted > 0
+        # ---- boilerplate accounting: the planted banner line is gone
+        # from every surviving doc (strip_lines is a transform — its
+        # stage must have dropped nothing)
+        assert by_stage["strip_lines"]["dropped"] == 0
+        n_banner = survivors.filter(F.col("text").contains(BANNER)).count()
+        out["surviving_banner_docs"] = int(n_banner)
+        assert n_banner == 0
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)

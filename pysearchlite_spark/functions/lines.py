@@ -1,8 +1,11 @@
 """Duplicate-line removal — the CCNet / Dolma "duplicated paragraph"
 cleaning stage: lines (paragraphs) that repeat across the corpus are
 boilerplate (nav bars, cookie banners, footers) and are stripped from
-every document BEFORE near-dedup, so boilerplate can't glue unrelated
-documents into one MinHash cluster.
+every document. In a composed pipeline this runs AFTER doc-level dedup
+(the Dolma order, and prepare_corpus's): run earlier, an exact document
+copy makes every one of its lines a corpus-repeated line, and the stage
+would gut BOTH copies to empty text instead of letting exact-dedup keep
+one.
 
 Two-pass shape (the only scalable one — per-doc heuristics can't see
 corpus-wide repetition):

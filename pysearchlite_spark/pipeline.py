@@ -3,9 +3,9 @@
 Composes the engine's pipeline operators into the standard web-corpus
 cleaning flow (the C4 / Gopher / MassiveText recipe):
 
-    canonical-URL dedup → language filter → duplicate-line removal →
-    quality thresholds → repetition thresholds → exact dedup → near
-    dedup (MinHash-LSH + connected components) → benchmark
+    canonical-URL dedup → language filter → quality thresholds →
+    repetition thresholds → exact dedup → near dedup (MinHash-LSH +
+    connected components) → duplicate-line removal → benchmark
     decontamination → PII redaction → write cleaned parquet
     [+ build index]
 
@@ -71,9 +71,11 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     strip_lines: corpus-wide duplicate-LINE removal (CCNet/Dolma
         boilerplate-paragraph stage); dict of strip_duplicate_lines
         overrides ({"min_count": 2, "min_chars": 15}). A transform —
-        rewrites text, never drops docs; runs before quality so the
-        filters judge cleaned text. Its exploded-lines cache follows the
-        dedup-operator convention (released via release_cache=True).
+        rewrites text, never drops docs; runs AFTER doc-level dedup
+        (Dolma order — earlier, an exact doc copy makes every one of its
+        lines a corpus-repeated line and both copies would be gutted to
+        empty text). Its exploded-lines cache follows the dedup-operator
+        convention (released via release_cache=True).
     quality: min_/max_ thresholds over quality_stats columns, e.g.
         {"min_n_tokens": 50, "max_punct_ratio": 0.2,
          "min_stopword_ratio": 0.05}.
@@ -212,18 +214,6 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
             keep = pred.filter(F.col("lang_pred") == lang).select(id_col)
             advance("lang", cur.join(keep, id_col, "left_semi"))
 
-        if strip_lines is not None:
-            # corpus-wide duplicate-LINE (boilerplate paragraph) removal —
-            # a transform, not a filter; runs BEFORE quality/repetition so
-            # those judge the cleaned text, and before near-dedup so
-            # boilerplate can't glue unrelated docs into one cluster
-            from pysearchlite_spark.functions.lines import (
-                strip_duplicate_lines)
-            cur = (strip_duplicate_lines(cur, id_col=id_col,
-                                         text_col=text_col, **strip_lines)
-                   .drop("n_lines", "n_removed"))
-            advance("strip_lines", cur)
-
         if quality:
             stats = T.quality_stats(cur, id_col=id_col, text_col=text_col)
             ok = set(stats.columns) - {id_col, "doc_id"}
@@ -252,6 +242,20 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
             keep = (verd.filter(~F.col("is_dup"))
                     .select(F.col("doc_id").alias(id_col)))
             advance("near_dedup", cur.join(keep, id_col, "left_semi"))
+
+        if strip_lines is not None:
+            # corpus-wide duplicate-LINE (boilerplate paragraph) removal —
+            # a transform, not a filter. Dolma's order: AFTER doc-level
+            # dedup, never before — earlier, every line of an exact doc
+            # copy is by construction a corpus-repeated line, and the
+            # stage would gut both copies to empty text instead of
+            # letting exact_dedup keep one
+            from pysearchlite_spark.functions.lines import (
+                strip_duplicate_lines)
+            cur = (strip_duplicate_lines(cur, id_col=id_col,
+                                         text_col=text_col, **strip_lines)
+                   .drop("n_lines", "n_removed"))
+            advance("strip_lines", cur)
 
         if decontaminate is not None:
             kw = dict(decontaminate)
