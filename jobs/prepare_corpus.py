@@ -1,16 +1,18 @@
 """spark-submit entrypoint: the training-data preparation pipeline —
-language filter → quality/repetition thresholds → exact + near dedup →
-benchmark decontamination → cleaned parquet [+ search index]; prints one
-JSON report line with per-stage kept/dropped counts.
+canonical-URL dedup → language filter → quality/repetition thresholds →
+exact + near dedup → duplicate-line removal → benchmark decontamination →
+PII redaction → cleaned parquet [+ search index]; prints one JSON report
+line with per-stage kept/dropped counts.
 
     spark-submit --py-files pysearchlite_spark.zip jobs/prepare_corpus.py \
         --input pages.parquet --out-dir cleaned/ \
         [--id-col doc_id] [--text-col text] [--lang en] \
         [--quality min_n_tokens=50,max_punct_ratio=0.2] \
         [--repetition max_top2gram_frac=0.2,max_dup5gram_frac=0.3] \
+        [--url-dedup-col url] [--strip-lines min_count=2,min_chars=15] \
         [--no-exact-dedup] [--near-dedup threshold=0.9,max_bucket=1000] \
         [--decontaminate probe.parquet --decontaminate-n 8 \
-         --decontaminate-max-frac 0.0] \
+         --decontaminate-max-frac 0.0] [--redact-pii] \
         [--index-dir idx/ [--with-positions] [--segment-docs N]]
 
 Threshold flags take comma-separated key=value pairs (see
