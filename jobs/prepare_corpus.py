@@ -56,6 +56,11 @@ def main() -> None:
     ap.add_argument("--lang", default=None)
     ap.add_argument("--strip-lines", default=None,
                     help="duplicate-line removal, e.g. 'min_count=2,min_chars=15'")
+    ap.add_argument("--strip-lines-stage", default="after_near",
+                    choices=["after_near", "after_exact"],
+                    help="where line removal runs: after_near (Dolma "
+                         "order) or after_exact (boilerplate-heavy "
+                         "corpora — avoids a 3.3x near-dedup LSH cost)")
     ap.add_argument("--quality", default=None)
     ap.add_argument("--repetition", default=None)
     ap.add_argument("--no-exact-dedup", action="store_true")
@@ -104,6 +109,7 @@ def main() -> None:
         spark, df, args.out_dir, id_col=args.id_col,
         text_col=args.text_col, url_dedup_col=args.url_dedup_col,
         lang=args.lang, strip_lines=strip,
+        strip_lines_stage=args.strip_lines_stage,
         quality=_kv(args.quality), repetition=_kv(args.repetition),
         exact_dedup=not args.no_exact_dedup, near_dedup=near,
         decontaminate=deco, redact_pii=args.redact_pii,

@@ -52,6 +52,7 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
                    url_dedup_col: Optional[str] = None,
                    lang: Optional[str] = None,
                    strip_lines: Optional[Dict] = None,
+                   strip_lines_stage: str = "after_near",
                    quality: Optional[Dict[str, float]] = None,
                    repetition: Optional[Dict[str, float]] = None,
                    exact_dedup: bool = True,
@@ -71,11 +72,19 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
     strip_lines: corpus-wide duplicate-LINE removal (CCNet/Dolma
         boilerplate-paragraph stage); dict of strip_duplicate_lines
         overrides ({"min_count": 2, "min_chars": 15}). A transform —
-        rewrites text, never drops docs; runs AFTER doc-level dedup
-        (Dolma order — earlier, an exact doc copy makes every one of its
-        lines a corpus-repeated line and both copies would be gutted to
-        empty text). Its exploded-lines cache follows the dedup-operator
-        convention (released via release_cache=True).
+        rewrites text, never drops docs. Never runs before exact dedup:
+        an exact doc copy makes every one of its lines a corpus-repeated
+        line and both copies would be gutted to empty text. Its
+        exploded-lines cache follows the dedup-operator convention
+        (released via release_cache=True).
+    strip_lines_stage: where the line removal runs —
+        "after_near" (default, the Dolma order: near-dup copies sharing
+        paragraphs can't gut each other) or "after_exact" (between exact
+        and near dedup: boilerplate-heavy corpora otherwise pay a
+        measured 3.3x near-dedup cost, BENCH/near_banner_ab.json —
+        short boilerplate-dominated docs collapse into shared-minima
+        LSH buckets and candidate generation is quadratic up to
+        max_bucket).
     quality: min_/max_ thresholds over quality_stats columns, e.g.
         {"min_n_tokens": 50, "max_punct_ratio": 0.2,
          "min_stopword_ratio": 0.05}.
@@ -123,6 +132,9 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
         cols = set(T.repetition_stats(df.limit(0), id_col=id_col,
                                       text_col=text_col).columns) - {id_col}
         _threshold_pred(repetition, cols)
+    if strip_lines_stage not in ("after_near", "after_exact"):
+        raise ValueError(f"strip_lines_stage must be 'after_near' or "
+                         f"'after_exact', got {strip_lines_stage!r}")
     if strip_lines is not None:
         from pysearchlite_spark.functions.lines import strip_duplicate_lines
         ok = set(inspect.signature(strip_duplicate_lines).parameters)
@@ -234,6 +246,19 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
                     .select(F.col("doc_id").alias(id_col)))
             advance("exact_dedup", cur.join(keep, id_col, "left_semi"))
 
+        def _strip_lines_stage():
+            # see strip_lines_stage docstring for the placement tradeoff
+            nonlocal cur
+            from pysearchlite_spark.functions.lines import (
+                strip_duplicate_lines)
+            cur = (strip_duplicate_lines(cur, id_col=id_col,
+                                         text_col=text_col, **strip_lines)
+                   .drop("n_lines", "n_removed"))
+            advance("strip_lines", cur)
+
+        if strip_lines is not None and strip_lines_stage == "after_exact":
+            _strip_lines_stage()
+
         if near_dedup is not None:
             pairs = D.minhash_lsh_pairs(cur, id_col=id_col,
                                         text_col=text_col, **near_dedup)
@@ -243,19 +268,8 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
                     .select(F.col("doc_id").alias(id_col)))
             advance("near_dedup", cur.join(keep, id_col, "left_semi"))
 
-        if strip_lines is not None:
-            # corpus-wide duplicate-LINE (boilerplate paragraph) removal —
-            # a transform, not a filter. Dolma's order: AFTER doc-level
-            # dedup, never before — earlier, every line of an exact doc
-            # copy is by construction a corpus-repeated line, and the
-            # stage would gut both copies to empty text instead of
-            # letting exact_dedup keep one
-            from pysearchlite_spark.functions.lines import (
-                strip_duplicate_lines)
-            cur = (strip_duplicate_lines(cur, id_col=id_col,
-                                         text_col=text_col, **strip_lines)
-                   .drop("n_lines", "n_removed"))
-            advance("strip_lines", cur)
+        if strip_lines is not None and strip_lines_stage == "after_near":
+            _strip_lines_stage()
 
         if decontaminate is not None:
             kw = dict(decontaminate)

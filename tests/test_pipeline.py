@@ -175,3 +175,32 @@ def test_pipeline_strip_lines_stage(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="strip_lines"):
         prepare_corpus(spark, df, out + "2",
                        strip_lines={"mincount": 2}, exact_dedup=False)
+
+
+def test_pipeline_strip_lines_after_exact(spark, tmp_path_factory):
+    banner = "please accept all cookies before continuing to read"
+    # exact dup pair sharing the banner: after_exact placement must let
+    # exact_dedup keep doc 0 with its BODY intact (only the banner goes)
+    df = spark.createDataFrame(
+        [(0, GOOD + "\n" + banner),
+         (1, GOOD + "\n" + banner),          # exact copy of 0
+         (2, banner + "\nsecond distinct body of text here"),
+         (3, "third body without any boilerplate")],
+        "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("clean8") / "out")
+    report = prepare_corpus(spark, df, out,
+                            strip_lines={"min_count": 2},
+                            strip_lines_stage="after_exact",
+                            exact_dedup=True,
+                            near_dedup={"threshold": 0.8, "max_bucket": 100},
+                            release_cache=True)
+    stages = [s["stage"] for s in report["stages"]]
+    assert stages == ["exact_dedup", "strip_lines", "near_dedup"]
+    rows = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {0, 2, 3}
+    assert rows[0] == GOOD                   # body survived, banner gone
+    assert banner not in rows[2]
+    with pytest.raises(ValueError, match="strip_lines_stage"):
+        prepare_corpus(spark, df, out + "2", strip_lines={"min_count": 2},
+                       strip_lines_stage="first", exact_dedup=False)
