@@ -1,8 +1,11 @@
 """End-to-end prepare_corpus at >=1M docs — the composed 100-TB
 cleaning-pipeline story (round-3 verdict task 2, extended round 5 with
-the url/line/PII stages): canonical-URL dedup → lang → duplicate-line
-removal → quality → repetition → exact dedup → near dedup (MinHash-LSH +
-connected-component clustering) → benchmark decontamination → PII
+the url/line/PII stages): canonical-URL dedup → lang → quality →
+repetition → exact dedup → duplicate-line removal
+(strip_lines_stage="after_exact" — this corpus has a planted banner on
+~1/7 of docs, and near_banner_ab.json measured a 3.3× near-dedup LSH
+cost when the banner survives to that stage) → near dedup (MinHash-LSH
++ connected-component clustering) → benchmark decontamination → PII
 redaction — all NINE stages in ONE call, per-stage wall times and kept
 counts from the pipeline's own report.
 
@@ -157,16 +160,16 @@ def replay(spark, docs, probe):
     cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
     counts["exact_dedup"] = cur.count()
 
+    from pysearchlite_spark.functions.lines import strip_duplicate_lines
+    cur = (strip_duplicate_lines(cur, min_count=2)
+           .drop("n_lines", "n_removed").localCheckpoint())
+    counts["strip_lines"] = cur.count()
+
     pairs = D.minhash_lsh_pairs(cur, **NEAR)
     verd = dedup_clusters(cur, pairs=pairs)
     keep = verd.filter(~F.col("is_dup")).select("doc_id")
     cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
     counts["near_dedup"] = cur.count()
-
-    from pysearchlite_spark.functions.lines import strip_duplicate_lines
-    cur = (strip_duplicate_lines(cur, min_count=2)
-           .drop("n_lines", "n_removed").localCheckpoint())
-    counts["strip_lines"] = cur.count()
 
     sig = D.span_contamination(cur, probe, n=DECON_SPAN)
     keep = (sig.filter(F.col("contamination_frac") <= 0.0)
@@ -212,6 +215,7 @@ def main() -> None:
             spark, docs, out_dir,
             url_dedup_col="url",
             lang="en", strip_lines={"min_count": 2},
+            strip_lines_stage="after_exact",
             quality=QUALITY, repetition=REPETITION,
             exact_dedup=True, near_dedup=NEAR,
             decontaminate={"probe": probe, "n": DECON_SPAN,
