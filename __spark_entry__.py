@@ -314,6 +314,11 @@ GRP_BOOST = 2.0
 SYN_Q, SYN_MAP = "table value", {"table": ["row"]}  # synonym group
 FIELD_Q = {"title": "table", "body": "part value"}  # cross-field AND
 Q_DIS, DIS_W = "table value", {"title": 2.0, "body": 1.0}  # dismax
+# strip_lines entry: planted boilerplate (>= 15 trimmed chars, so both
+# pass the census min_chars bar); the oracle mirrors the same concat
+BANNER_LINE = "Accept cookies to continue reading"
+FOOTER_LINE = "Copyright Example Media Holdings"
+CHUNK_LEN = 8                  # chunk_tokens entry: seq_len
 
 
 # ---------------------------------------------------------------------------
@@ -330,17 +335,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def search_and(spark, sf):
-        # BOTH boolean-AND surfaces in one verified entry: variant='local'
+        # THREE boolean-AND surfaces in one verified entry: variant='local'
         # is the collect path (leapfrog kernel, ids to driver); 'dist' is
         # the lazy 10^12-doc surface (per-segment distributed kernels +
-        # docmap join, nothing collected until the driver's comparison)
+        # docmap join, nothing collected until the driver's comparison);
+        # 'count' is count-WITHOUT-materialization (reference A3: engine
+        # .count over the Q_BM25 terms, distributed per-segment counts
+        # summed — no id list ever built), riding as one
+        # (doc_id=cnt, url=NULL) row
         idx = _index(spark, sf)
         local = (_ids_df(spark, idx.search_and_ids(Q_AND))
                  .select(F.lit("local").alias("variant"), "doc_id",
                          F.col("doc_id").cast("string").alias("url")))
         dist = (idx.search_df(Q_AND).select("doc_id", "url")
                 .select(F.lit("dist").alias("variant"), "doc_id", "url"))
-        return local.unionByName(dist)
+        cnt = (spark.createDataFrame([(int(idx.count(Q_BM25)),)],
+                                     "doc_id long")
+               .select(F.lit("count").alias("variant"), "doc_id",
+                       F.lit(None).cast("string").alias("url")))
+        return local.unionByName(dist).unionByName(cnt)
 
     def search_and_deleted(spark, sf):
         # tombstone masking on the DISTRIBUTED path (cogrouped per-segment
@@ -401,10 +414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ids_df(spark,
                        _index(spark, sf).search_prefix_ids(Q_PREFIX))
 
-    def count_and(spark, sf):
-        return spark.createDataFrame(
-            [(_index(spark, sf).count(Q_BM25),)], "cnt long")
-
     def bm25_topk_batch(spark, sf):
         # N queries through ONE distributed job (qid-tagged per-segment
         # partials, engine.topk_batch) — the text analogue of the batch
@@ -444,19 +453,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 6).alias("score"))
 
     def search_min_match(spark, sf):
-        # Lucene minimumNumberShouldMatch (3 of 4 terms), DISTRIBUTED:
-        # per-segment multiplicity counting inside the kernel — segments
-        # partition the docID space, so local counts are global counts
-        return _ids_df(spark, _index(spark, sf).search_min_match_ids(
-            Q_MSM, MSM_M, distributed=True))
-
-    def bm25_topk_msm(spark, sf):
-        # ranked msm: candidates = docs matching >= m distinct terms,
-        # scores = full disjunctive BM25 (msm restricts, never rescores)
-        top = _index(spark, sf).topk(Q_MSM, k=10, min_match=MSM_M)
-        out = spark.createDataFrame(
-            [(int(d), float(s)) for d, s in top], "doc_id long, score double")
-        return out.select("doc_id", F.round("score", 6).alias("score"))
+        # BOTH min-should-match surfaces (Lucene minimumNumberShouldMatch,
+        # 3 of 4 terms) in one entry: variant='ids' is the DISTRIBUTED
+        # match-id surface (per-segment multiplicity counting inside the
+        # kernel — segments partition the docID space, so local counts
+        # are global counts); variant='topk' is ranked msm: candidates =
+        # docs matching >= m distinct terms, scores = full disjunctive
+        # BM25 (msm restricts, never rescores)
+        idx = _index(spark, sf)
+        ids = (_ids_df(spark, idx.search_min_match_ids(
+                   Q_MSM, MSM_M, distributed=True))
+               .select(F.lit("ids").alias("variant"), "doc_id",
+                       F.lit(None).cast("double").alias("score")))
+        top = idx.topk(Q_MSM, k=10, min_match=MSM_M)
+        topdf = (spark.createDataFrame(
+                     [(int(d), float(s)) for d, s in top],
+                     "doc_id long, score double")
+                 .select(F.lit("topk").alias("variant"), "doc_id",
+                         F.round("score", 6).alias("score")))
+        return ids.unionByName(topdf)
 
     def search_termset(spark, sf):
         # the three dictionary-expansion term queries in one entry, each
@@ -675,6 +690,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .select(F.lit("wsample").alias("method"), "doc_id",
                            "source"))
         return capped.unionAll(sampled).orderBy("method", "doc_id")
+
+    def strip_lines(spark, sf):
+        # corpus-wide duplicate-line removal (CCNet/Dolma boilerplate-
+        # paragraph stage, functions/lines.py): census of trimmed lines
+        # (map-side combined on 64-bit hashes) -> anti-join -> per-doc
+        # reassembly. The synthetic corpus has no organic repeated lines,
+        # so the entry plants a cookie banner on doc_id%3==0 and a footer
+        # on doc_id%4==1 (the oracle mirrors the same concat — both
+        # >= min_chars so they pass the census bar while every organic
+        # line survives). Cleaned text ships as md5 so the value compare
+        # stays byte-exact without moving whole documents.
+        from pysearchlite_spark.functions.lines import strip_duplicate_lines
+        docs = _docs(spark, sf)
+        txt = F.concat(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(BANNER_LINE + "\n")).otherwise(F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1,
+                   F.lit("\n" + FOOTER_LINE)).otherwise(F.lit("")))
+        out = strip_duplicate_lines(
+            docs.select("doc_id", txt.alias("text")))
+        return out.select("doc_id", "n_lines", "n_removed",
+                          F.md5("text").alias("clean_md5"))
+
+    def chunk_tokens_entry(spark, sf):
+        # training-sequence export (functions/sequences.py): engine-
+        # tokenizer stream -> deterministic 60-bit md5 token ids ->
+        # seq_len-sized per-doc chunks (ragged tail, never padded), a
+        # ZERO-shuffle flatMap. Each chunk's id list is fingerprinted as
+        # md5(comma-join) so the compare is value-exact on every token id
+        # without array-typed columns in the contract.
+        from pysearchlite_spark.functions.sequences import chunk_tokens
+        out = chunk_tokens(_docs(spark, sf), CHUNK_LEN)
+        ids_str = F.concat_ws(
+            ",", F.transform("token_ids", lambda x: x.cast("string")))
+        return out.select("doc_id", "chunk_id", "n_tokens",
+                          F.md5(ids_str).alias("ids_md5"))
 
     def jaccard_pairs(spark, sf):
         # both tiers of the two-tier dedup design in one entry:
@@ -955,11 +1007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sorted": search_sorted,
         "term_stats": term_stats,
         "significant_terms": significant_terms,
-        "count_and": count_and,
         "bm25_topk": bm25_topk,
         "bm25_topk_batch": bm25_topk_batch,
         "bm25_topk_filtered": bm25_topk_filtered,
-        "bm25_topk_msm": bm25_topk_msm,
         "search_and_filtered": search_and_filtered,
         "search_min_match": search_min_match,
         "search_termset": search_termset,
@@ -977,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_signatures": doc_signatures,
         "exact_dedup": exact_dup,
         "corpus_sample": corpus_sample,
+        "strip_lines": strip_lines,
+        "chunk_tokens": chunk_tokens_entry,
         "token_jaccard_pairs": jaccard_pairs,
         "dedup_clusters": dedup_cluster_entry,
         "minhash_lsh_pairs": minhash_pairs,
@@ -1424,6 +1476,10 @@ FROM documents WHERE {and_pred}
 UNION ALL
 SELECT 'dist', doc_id, CAST(doc_id AS VARCHAR)
 FROM documents WHERE {and_pred}
+UNION ALL
+SELECT 'count', count(*)::BIGINT, NULL::VARCHAR
+FROM documents WHERE """ + " AND ".join(
+            f"list_contains({_TOK}, '{t}')" for t in bm_terms) + """
 ORDER BY variant, doc_id""",
         "search_and_deleted": f"SELECT doc_id FROM documents WHERE "
                               f"{and_pred} AND doc_id % {DELETE_MOD} <> 0 "
@@ -1527,9 +1583,6 @@ SELECT doc_id, first_pos,
        array_to_string(ts[greatest(1, first_pos - 5) : first_pos + 5], ' ')
          AS snippet
 FROM p ORDER BY doc_id""",
-        "count_and": "SELECT count(*)::BIGINT AS cnt FROM documents WHERE "
-                     + " AND ".join(f"list_contains({_TOK}, '{t}')"
-                                    for t in bm_terms),
         # page 1 = LIMIT 10, page 2 = the engine's searchAfter cursor ==
         # LIMIT 10 OFFSET 10 on the same (score desc, doc_id) order
         "bm25_topk": f"""
@@ -1556,16 +1609,18 @@ ORDER BY j.score DESC, doc_id LIMIT 10
 """,
         "bm25_topk_batch": bm25_batch_sql,
         "bm25_topk_filtered": bm25_filtered,
-        "bm25_topk_msm": bm25_msm,
         "search_and_filtered": f"SELECT doc_id FROM documents "
                                f"WHERE {and_pred} AND doc_id IN "
                                f"{filter_subq} ORDER BY doc_id",
         "search_min_match": f"""
-SELECT doc_id FROM (
+SELECT 'ids' AS variant, doc_id, NULL::DOUBLE AS score FROM (
   SELECT doc_id, count(DISTINCT term) AS c
   FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
   WHERE term IN ({msm_in}) GROUP BY doc_id)
-WHERE c >= {MSM_M} ORDER BY doc_id""",
+WHERE c >= {MSM_M}
+UNION ALL
+SELECT 'topk', doc_id, score FROM ({bm25_msm})
+ORDER BY variant, doc_id""",
         # the three dictionary-expansion term queries (wildcard / regex /
         # fuzzy), variant-tagged to mirror the entry's union
         "search_termset": f"""
@@ -1769,6 +1824,58 @@ ORDER BY doc_id""",
               FROM documents
               ORDER BY k, doc_id LIMIT 25)
             ORDER BY method, doc_id""",
+        # duplicate-line removal at the trimmed-STRING level (the engine's
+        # xxhash64 census is pure partitioning, not semantics): same
+        # planted banner/footer concat as the entry, census >= 2 over
+        # >= 15-trimmed-char lines, list_filter removal, md5 of the
+        # rejoined text
+        "strip_lines": f"""
+WITH t2 AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0
+               THEN '{BANNER_LINE}' || chr(10) ELSE '' END)
+         || coalesce(text, '')
+         || (CASE WHEN doc_id % 4 = 1
+                  THEN chr(10) || '{FOOTER_LINE}' ELSE '' END) AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM t2),
+hot AS (
+  SELECT trim(line) AS k FROM lines
+  WHERE length(trim(line)) >= 15
+  GROUP BY 1 HAVING count(*) >= 2),
+hotlist AS (SELECT coalesce(list(k), []) AS ks FROM hot),
+cleaned AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) < 15
+                          OR NOT list_contains(ks, trim(l))) AS kept
+  FROM t2, hotlist)
+SELECT doc_id, n_lines::INT AS n_lines,
+       (n_lines - len(kept))::INT AS n_removed,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM cleaned ORDER BY doc_id""",
+        # training-sequence export: identical 60-bit md5 token ids
+        # (('0x'||substr(md5(t),1,15))::BIGINT == Spark's
+        # conv(substring(md5(t),1,15),16,10)), list-sliced into
+        # {CHUNK_LEN}-token chunks, fingerprinted by md5(comma-join)
+        "chunk_tokens": f"""
+WITH ids AS (
+  SELECT doc_id,
+         list_transform({_TOK},
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS ids
+  FROM documents WHERE len({_TOK}) > 0)
+SELECT doc_id, (c - 1)::INT AS chunk_id,
+       len(ids[(c-1)*{CHUNK_LEN}+1 : c*{CHUNK_LEN}])::INT AS n_tokens,
+       md5(array_to_string(
+         list_transform(ids[(c-1)*{CHUNK_LEN}+1 : c*{CHUNK_LEN}],
+                        x -> x::VARCHAR), ',')) AS ids_md5
+FROM (SELECT doc_id, ids,
+             unnest(range(1, 1 + cast(ceil(len(ids) / {CHUNK_LEN}.0)
+                                      AS BIGINT))) AS c
+      FROM ids)
+ORDER BY doc_id, chunk_id""",
         # both tiers of the entry's variant union: 'all' = uncapped
         # all-pairs, 'bounded' = rare-token (df<=100) candidate generation
         "token_jaccard_pairs": f"""
