@@ -715,18 +715,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.md5("text").alias("clean_md5"))
 
     def chunk_tokens_entry(spark, sf):
-        # training-sequence export (functions/sequences.py): engine-
-        # tokenizer stream -> deterministic 60-bit md5 token ids ->
-        # seq_len-sized per-doc chunks (ragged tail, never padded), a
-        # ZERO-shuffle flatMap. Each chunk's id list is fingerprinted as
+        # BOTH training-sequence exports (functions/sequences.py) in one
+        # entry: variant='chunk' — per-doc chunking (engine-tokenizer
+        # stream -> deterministic 60-bit md5 token ids -> seq_len-sized
+        # chunks, ragged tail, a ZERO-shuffle flatMap); variant='pack' —
+        # cross-doc PACKED sequences in doc_id order (GPT-dataloader
+        # shape; two-phase bucketed prefix sum replaces the global-order
+        # window, chunk_id = global seq_id, doc_id = NULL since a packed
+        # sequence spans docs). Each id list is fingerprinted as
         # md5(comma-join) so the compare is value-exact on every token id
         # without array-typed columns in the contract.
-        from pysearchlite_spark.functions.sequences import chunk_tokens
-        out = chunk_tokens(_docs(spark, sf), CHUNK_LEN)
-        ids_str = F.concat_ws(
-            ",", F.transform("token_ids", lambda x: x.cast("string")))
-        return out.select("doc_id", "chunk_id", "n_tokens",
-                          F.md5(ids_str).alias("ids_md5"))
+        from pysearchlite_spark.functions.sequences import (chunk_tokens,
+                                                            pack_tokens)
+        docs = _docs(spark, sf)
+
+        def fp(col):
+            return F.md5(F.concat_ws(
+                ",", F.transform(col, lambda x: x.cast("string"))))
+
+        chunked = (chunk_tokens(docs, CHUNK_LEN)
+                   .select(F.lit("chunk").alias("variant"), "doc_id",
+                           "chunk_id", "n_tokens",
+                           fp("token_ids").alias("ids_md5")))
+        packed = (pack_tokens(docs, CHUNK_LEN, n_buckets=16)
+                  .select(F.lit("pack").alias("variant"),
+                          F.lit(None).cast("long").alias("doc_id"),
+                          F.col("seq_id").cast("int").alias("chunk_id"),
+                          "n_tokens", fp("token_ids").alias("ids_md5")))
+        return chunked.unionByName(packed)
 
     def jaccard_pairs(spark, sf):
         # both tiers of the two-tier dedup design in one entry:
@@ -1856,17 +1872,28 @@ SELECT doc_id, n_lines::INT AS n_lines,
        (n_lines - len(kept))::INT AS n_removed,
        md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
 FROM cleaned ORDER BY doc_id""",
-        # training-sequence export: identical 60-bit md5 token ids
+        # training-sequence exports: identical 60-bit md5 token ids
         # (('0x'||substr(md5(t),1,15))::BIGINT == Spark's
-        # conv(substring(md5(t),1,15),16,10)), list-sliced into
-        # {CHUNK_LEN}-token chunks, fingerprinted by md5(comma-join)
+        # conv(substring(md5(t),1,15),16,10)); 'chunk' = per-doc
+        # list-slices, 'pack' = cross-doc stream via a global window
+        # cumsum (the oracle CAN use the single-task form the engine
+        # replaces with its bucketed two-phase prefix sum); both
+        # fingerprinted by md5(comma-join)
         "chunk_tokens": f"""
 WITH ids AS (
   SELECT doc_id,
          list_transform({_TOK},
            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS ids
-  FROM documents WHERE len({_TOK}) > 0)
-SELECT doc_id, (c - 1)::INT AS chunk_id,
+  FROM documents WHERE len({_TOK}) > 0),
+placed AS (
+  SELECT doc_id, ids,
+         coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doff
+  FROM ids),
+flat AS (
+  SELECT doff + unnest(range(len(ids))) AS off, unnest(ids) AS tid
+  FROM placed)
+SELECT 'chunk' AS variant, doc_id, (c - 1)::INT AS chunk_id,
        len(ids[(c-1)*{CHUNK_LEN}+1 : c*{CHUNK_LEN}])::INT AS n_tokens,
        md5(array_to_string(
          list_transform(ids[(c-1)*{CHUNK_LEN}+1 : c*{CHUNK_LEN}],
@@ -1875,7 +1902,13 @@ FROM (SELECT doc_id, ids,
              unnest(range(1, 1 + cast(ceil(len(ids) / {CHUNK_LEN}.0)
                                       AS BIGINT))) AS c
       FROM ids)
-ORDER BY doc_id, chunk_id""",
+UNION ALL
+SELECT 'pack', NULL::BIGINT, (off // {CHUNK_LEN})::INT,
+       count(*)::INT,
+       md5(array_to_string(
+         list_transform(list(tid ORDER BY off), x -> x::VARCHAR), ','))
+FROM flat GROUP BY (off // {CHUNK_LEN})::INT
+ORDER BY variant, doc_id, chunk_id""",
         # both tiers of the entry's variant union: 'all' = uncapped
         # all-pairs, 'bounded' = rare-token (df<=100) candidate generation
         "token_jaccard_pairs": f"""

@@ -12,11 +12,15 @@ the export oracle-checkable end-to-end), and splits each document into
 `seq_len`-sized chunks (last chunk ragged, never padded — padding
 policy belongs to the dataloader).
 
-Per-doc chunking only: chunks never cross document boundaries (the
-standard document-packed alternative needs a global order and is
-partitioning-dependent — indeterminism this repo's oracle discipline
-rejects). Cross-doc packing density can be recovered downstream by the
-dataloader concatenating chunks.
+Two packing policies:
+  * `chunk_tokens` — per-doc chunking; chunks never cross document
+    boundaries (retrieval-friendly, each chunk traceable to its doc).
+  * `pack_tokens` — cross-doc packed sequences in doc_id order (the
+    GPT-pretraining dataloader shape, optional EOD separator). The
+    global order this needs is made deterministic AND distributed by a
+    two-phase prefix sum over doc_id-range buckets — never a global
+    single-task window, and never partitioning-dependent (the output
+    is a pure function of corpus + seq_len + eod_id; test-enforced).
 
 Scale shape: tokenize (one Arrow-batched UDF, the only Python) →
 token→id mapping, chunk-start generation, slicing and the explode all
@@ -31,7 +35,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_tokens"]
+__all__ = ["chunk_tokens", "pack_tokens"]
+
+
+def _token_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _ids): each doc's engine-token 60-bit md5 id stream;
+    docs with no tokens are dropped (they contribute nothing)."""
+    from pysearchlite_spark.plans.builder import make_tokens_udf
+
+    toks = make_tokens_udf()(F.col(text_col))
+    ids = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("long"))
+    return (df.select(F.col(id_col).alias("doc_id"), ids.alias("_ids"))
+            .filter(F.size("_ids") > 0))
 
 
 def chunk_tokens(df: DataFrame, seq_len: int, id_col: str = "doc_id",
@@ -41,16 +59,9 @@ def chunk_tokens(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     produce no rows. chunk_id is 0-based and dense per doc."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    from pysearchlite_spark.plans.builder import make_tokens_udf
-
-    toks = make_tokens_udf()(F.col(text_col))
-    ids = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-        .cast("long"))
-    base = (df.select(F.col(id_col).alias("doc_id"), ids.alias("_ids"))
-            .filter(F.size("_ids") > 0))  # before explode: sequence(0,-1)
-                                          # would descend, not be empty
+    base = _token_ids(df, id_col, text_col)  # empty docs dropped before
+                                             # explode: sequence(0,-1)
+                                             # would descend, not be empty
     n_chunks = F.ceil(F.size("_ids") / F.lit(seq_len)).cast("int")
     exploded = base.select(
         "doc_id", "_ids",
@@ -60,3 +71,119 @@ def chunk_tokens(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     return exploded.select("doc_id", "chunk_id",
                            F.size(chunk).alias("n_tokens"),
                            chunk.alias("token_ids"))
+
+
+def pack_tokens(df: DataFrame, seq_len: int, eod_id: int | None = None,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 64) -> DataFrame:
+    """Cross-document PACKED training sequences (the GPT-pretraining
+    dataloader shape): concatenate every doc's engine-token id stream in
+    doc_id order — optionally with `eod_id` appended after each doc —
+    and split the single global stream into `seq_len`-sized sequences
+    (only the final one ragged). Returns (seq_id, n_tokens, token_ids);
+    `seq_id` is the 0-based global sequence index. Unlike
+    `chunk_tokens`, sequences CROSS document boundaries, so there is no
+    per-chunk padding waste.
+
+    Determinism: the output depends only on (corpus, seq_len, eod_id) —
+    never on partitioning or `n_buckets` (test-enforced). The global
+    token offset of each doc is an exact prefix sum over doc_id order,
+    computed scalably in two phases instead of one global-order window
+    (which would serialize onto a single task):
+
+      1. bucket docs by doc_id VALUE range (monotone in doc_id, so
+         bucket borders never reorder the stream); per-bucket token
+         totals — n_buckets tiny rows — come to the driver, which
+         forms exclusive bucket offsets and broadcasts them back;
+      2. within each bucket an exclusive running sum over doc_id
+         (window PARTITIONED by bucket — parallel across buckets).
+
+    Each doc then contributes a slice to every sequence it overlaps
+    (≤ ceil(n/seq_len)+1 rows per doc) and ONE shuffle by seq_id
+    reassembles sequences via sorted-struct flatten; a group holds at
+    most seq_len tokens, so reduce-side memory is bounded by seq_len
+    regardless of corpus size. At 100 TB pick n_buckets ≈ a few × the
+    cluster's cores; value-range buckets inherit the id distribution,
+    which is dense for this repo's builders.
+
+    The tokenized (doc_id, _ids, _n) relation is persisted — it feeds
+    the totals pass and the assembly pass; release is the caller's job
+    (repo convention), or `spark.catalog.clearCache()`.
+
+    Empty/NULL docs contribute nothing (no EOD either — an EOD marks
+    the end of actual content, and oracle-side reproduction needs the
+    same rule).
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    out_schema = "seq_id long, n_tokens int, token_ids array<long>"
+    # bucket borders from the RAW input's id range: parquet min/max
+    # stats answer this scan without tokenizing anything
+    row = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+                 ).first()
+    if row is None or row["lo"] is None:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = int(row["lo"]), int(row["hi"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+
+    base = _token_ids(df, id_col, text_col)
+    if eod_id is not None:
+        base = base.withColumn(
+            "_ids", F.concat("_ids",
+                             F.array(F.lit(int(eod_id)).cast("long"))))
+    base = (base
+            .withColumn("_n", F.size("_ids").cast("long"))
+            .withColumn("_b", ((F.col("doc_id") - F.lit(lo))
+                               / F.lit(width)).cast("long"))
+            .persist())
+
+    # phase 1: exclusive per-bucket offsets (n_buckets rows -> driver)
+    totals = {int(r["_b"]): int(r["t"]) for r in
+              base.groupBy("_b").agg(F.sum("_n").alias("t")).collect()}
+    if not totals:
+        return spark.createDataFrame([], out_schema)
+    run = 0
+    offs = []
+    for k in sorted(totals):
+        offs.append((k, run))
+        run += totals[k]
+    off_df = spark.createDataFrame(offs, "_b long, _boff long")
+
+    # phase 2: exclusive running sum WITHIN each bucket (parallel)
+    w = (Window.partitionBy("_b").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    placed = (base.join(F.broadcast(off_df), "_b")
+              .withColumn("_doff", F.coalesce(F.sum("_n").over(w),
+                                              F.lit(0).cast("long"))
+                          + F.col("_boff"))
+              .withColumn("_dend", F.col("_doff") + F.col("_n")))
+
+    # one contribution row per (doc, overlapped sequence)
+    first_seq = (F.col("_doff") / seq_len).cast("long")
+    last_seq = ((F.col("_dend") - 1) / seq_len).cast("long")
+    contrib = placed.select(
+        "_ids", "_doff", "_dend",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"))
+    g_start = F.greatest(F.col("_doff"), F.col("seq_id") * seq_len)
+    g_end = F.least(F.col("_dend"), (F.col("seq_id") + 1) * seq_len)
+    parts = contrib.select(
+        "seq_id", g_start.alias("_gs"),
+        F.slice(F.col("_ids"),
+                (g_start - F.col("_doff") + 1).cast("int"),
+                (g_end - g_start).cast("int")).alias("_piece"))
+
+    # assembly: ONE exchange by seq_id; sorted-struct flatten keeps the
+    # stream order ((_gs ranges are disjoint, so struct order == _gs
+    # order); each group is <= seq_len tokens
+    packed = (parts.groupBy("seq_id")
+              .agg(F.flatten(F.transform(
+                  F.sort_array(F.collect_list(F.struct("_gs", "_piece"))),
+                  lambda s: s["_piece"])).alias("token_ids")))
+    return packed.select("seq_id",
+                         F.size("token_ids").alias("n_tokens"),
+                         "token_ids")

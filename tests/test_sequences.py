@@ -109,3 +109,156 @@ def test_duckdb_id_parity(docs, spark):
 def test_validation(docs):
     with pytest.raises(ValueError):
         chunk_tokens(docs, 0)
+
+
+# ---------------------------------------------------------------------------
+# pack_tokens: cross-doc packed sequences
+# ---------------------------------------------------------------------------
+
+def brute_pack(rows, seq_len, eod_id=None):
+    stream = []
+    for i, text in sorted(rows):
+        ids = tok_ids(text)
+        if ids:
+            stream += ids + ([eod_id] if eod_id is not None else [])
+    return [(s, len(stream[s * seq_len:(s + 1) * seq_len]),
+             stream[s * seq_len:(s + 1) * seq_len])
+            for s in range((len(stream) + seq_len - 1) // seq_len)]
+
+
+PACK_CASES = CASES + [
+    (17, "long doc " + " ".join(f"t{j}" for j in range(23))),  # spans seqs
+    (100, "sparse id far from the others"),    # sparse doc_id range
+]
+
+
+@pytest.fixture(scope="module")
+def pack_docs(spark):
+    return spark.createDataFrame(PACK_CASES,
+                                 "doc_id long, text string").cache()
+
+
+@pytest.mark.parametrize("seq_len", [1, 4, 16, 1000])
+def test_pack_matches_brute_force(pack_docs, seq_len, spark):
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    got = sorted((r["seq_id"], r["n_tokens"], list(r["token_ids"]))
+                 for r in pack_tokens(pack_docs, seq_len).collect())
+    assert got == brute_pack(PACK_CASES, seq_len)
+    spark.catalog.clearCache()
+
+
+def test_pack_bucket_invariance(pack_docs, spark):
+    """The output NEVER depends on n_buckets — the two-phase prefix sum
+    reproduces the single global cumsum exactly for any bucketing."""
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    want = brute_pack(PACK_CASES, 4)
+    for nb in (1, 3, 64, 1000):
+        got = sorted((r["seq_id"], r["n_tokens"], list(r["token_ids"]))
+                     for r in pack_tokens(pack_docs, 4,
+                                          n_buckets=nb).collect())
+        assert got == want, f"n_buckets={nb}"
+    spark.catalog.clearCache()
+
+
+def test_pack_partitioning_invariance(pack_docs, spark):
+    """Repartitioning the input (the cluster's choice, not the user's)
+    cannot change the packed stream."""
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    scrambled = pack_docs.repartition(7)
+    got = sorted((r["seq_id"], r["n_tokens"], list(r["token_ids"]))
+                 for r in pack_tokens(scrambled, 4).collect())
+    assert got == brute_pack(PACK_CASES, 4)
+    spark.catalog.clearCache()
+
+
+def test_pack_eod_separator(pack_docs, spark):
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    got = sorted((r["seq_id"], r["n_tokens"], list(r["token_ids"]))
+                 for r in pack_tokens(pack_docs, 4, eod_id=0).collect())
+    want = brute_pack(PACK_CASES, 4, eod_id=0)
+    assert got == want
+    # empty/NULL docs contributed no EOD: total tokens = sum per-doc
+    n_docs_with_tokens = sum(1 for _, t in PACK_CASES if tok_ids(t))
+    total = sum(n for _, n, _ in got)
+    assert total == (sum(len(tok_ids(t)) for _, t in PACK_CASES)
+                     + n_docs_with_tokens)
+    spark.catalog.clearCache()
+
+
+def test_pack_stream_reconstruction(pack_docs, spark):
+    """Concatenating the packed sequences in seq_id order reproduces the
+    doc_id-ordered global token stream byte-for-byte."""
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    rows = sorted((r["seq_id"], list(r["token_ids"]))
+                  for r in pack_tokens(pack_docs, 5).collect())
+    flat = [t for _, ids in rows for t in ids]
+    want = []
+    for _, t in sorted(PACK_CASES):
+        want += tok_ids(t)
+    assert flat == want
+    # seq_ids dense from 0, all full except possibly the last
+    assert [s for s, _ in rows] == list(range(len(rows)))
+    assert all(len(ids) == 5 for _, ids in rows[:-1])
+    spark.catalog.clearCache()
+
+
+def test_pack_empty_and_validation(spark):
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_tokens(empty, 4).count() == 0
+    none_docs = spark.createDataFrame([(0, None), (1, "")],
+                                      "doc_id long, text string")
+    assert pack_tokens(none_docs, 4).count() == 0
+    with pytest.raises(ValueError):
+        pack_tokens(empty, 0)
+    with pytest.raises(ValueError):
+        pack_tokens(empty, 4, n_buckets=0)
+    spark.catalog.clearCache()
+
+
+def test_pack_no_global_window(pack_docs, spark):
+    """The prefix sum must never serialize onto one task: every Window
+    in the plan is partitioned by the bucket column, not global."""
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    plan = (pack_tokens(pack_docs, 4)._jdf.queryExecution()
+            .executedPlan().toString())
+    import re as _re
+    for m in _re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 300]
+        assert "_b" in seg.split("ORDER BY")[0], seg
+    spark.catalog.clearCache()
+
+
+def test_pack_duckdb_oracle(pack_docs, spark):
+    """DuckDB reproduces the packed stream from the same md5 ids via a
+    global window cumsum — the contract-entry oracle's building block."""
+    import duckdb
+    con = duckdb.connect()
+    con.register("t", pack_docs.toPandas())
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "x -> x <> '')")
+    q = f"""
+    WITH ids AS (
+      SELECT doc_id,
+             list_transform({tok},
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS ids
+      FROM t WHERE len({tok}) > 0),
+    placed AS (
+      SELECT doc_id, ids,
+             coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS doff
+      FROM ids),
+    flat AS (
+      SELECT doff + unnest(range(len(ids))) AS off, unnest(ids) AS tid
+      FROM placed)
+    SELECT (off // 4)::BIGINT AS seq_id,
+           list(tid ORDER BY off) AS token_ids
+    FROM flat GROUP BY 1 ORDER BY 1"""
+    want = [(int(r["seq_id"]), list(r["token_ids"]))
+            for _, r in con.execute(q).df().iterrows()]
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    got = sorted((r["seq_id"], list(r["token_ids"]))
+                 for r in pack_tokens(pack_docs, 4).collect())
+    assert got == want
+    spark.catalog.clearCache()
