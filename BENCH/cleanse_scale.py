@@ -194,6 +194,31 @@ def main() -> None:
             F.sum("n_tokens")).collect()[0][0]
         assert agg["toks"] == want_toks, (agg["toks"], want_toks)
 
+        # --- pack_tokens: cross-doc PACKED sequences (GPT-dataloader
+        # shape), seq_len 1024 — the two-phase bucketed prefix sum +
+        # one seq_id exchange. Conservation: packed total tokens ==
+        # the independent corpus token count; every sequence except
+        # the last is exactly full.
+        from pysearchlite_spark.functions.sequences import pack_tokens
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            pk = (pack_tokens(docs, 1024, n_buckets=256)
+                  .agg(F.count("*").alias("seqs"),
+                       F.sum("n_tokens").alias("toks"),
+                       F.sum((F.col("n_tokens") == 1024).cast("long"))
+                       .alias("full")).collect()[0])
+            best = min(best, time.monotonic() - t0)
+            spark.catalog.clearCache()   # drop the operator's persisted
+            docs.persist(); docs.count()  # base; re-warm docs (untimed)
+        out["pack_tokens_sec"] = round(best, 3)
+        out["pack_tokens_docs_per_sec"] = round(n_real / best, 1)
+        out["packed_seqs"] = int(pk["seqs"])
+        out["packed_total_tokens"] = int(pk["toks"])
+        assert pk["toks"] == want_toks, (pk["toks"], want_toks)
+        assert pk["full"] >= pk["seqs"] - 1, "only the tail may be ragged"
+        assert pk["seqs"] == -(-int(pk["toks"]) // 1024)
+
         # --- strip_duplicate_lines: corpus-wide boilerplate-line removal
         # (CCNet paragraph dedup). ~3/17 of docs carry a planted banner
         # line; body lines are unique (asserted), so removed == carriers.

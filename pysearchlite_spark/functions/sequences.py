@@ -129,7 +129,14 @@ def pack_tokens(df: DataFrame, seq_len: int, eod_id: int | None = None,
     if row is None or row["lo"] is None:
         return spark.createDataFrame([], out_schema)
     lo, hi = int(row["lo"]), int(row["hi"])
+    # full-range 64-bit ids (e.g. xxhash64-derived) overflow BIGINT in
+    # both the span and the (doc_id - lo) shift under ANSI mode —
+    # bucket arithmetic runs in DECIMAL(38,0) (exact, one projection)
     width = max(1, (hi - lo) // n_buckets + 1)
+    dec = "DECIMAL(38,0)"
+    bucket = F.floor(
+        (F.col("doc_id").cast(dec) - F.expr(f"CAST('{lo}' AS {dec})"))
+        / F.expr(f"CAST('{width}' AS {dec})")).cast("long")
 
     base = _token_ids(df, id_col, text_col)
     if eod_id is not None:
@@ -138,8 +145,7 @@ def pack_tokens(df: DataFrame, seq_len: int, eod_id: int | None = None,
                              F.array(F.lit(int(eod_id)).cast("long"))))
     base = (base
             .withColumn("_n", F.size("_ids").cast("long"))
-            .withColumn("_b", ((F.col("doc_id") - F.lit(lo))
-                               / F.lit(width)).cast("long"))
+            .withColumn("_b", bucket)
             .persist())
 
     # phase 1: exclusive per-bucket offsets (n_buckets rows -> driver)

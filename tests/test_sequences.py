@@ -262,3 +262,19 @@ def test_pack_duckdb_oracle(pack_docs, spark):
                  for r in pack_tokens(pack_docs, 4).collect())
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_pack_full_range_64bit_ids(spark):
+    """xxhash64-derived doc_ids span the whole signed-64 range: the
+    bucket arithmetic (span and shift both overflow BIGINT) must stay
+    exact — regression for the DECIMAL(38,0) bucketing."""
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    cases = [(-(2 ** 63) + 5, "far negative id doc"),
+             (-17, "small negative"),
+             (0, "zero id doc"),
+             (2 ** 63 - 3, "far positive id doc")]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    got = sorted((r["seq_id"], r["n_tokens"], list(r["token_ids"]))
+                 for r in pack_tokens(docs, 4, n_buckets=64).collect())
+    assert got == brute_pack(cases, 4)
+    spark.catalog.clearCache()
