@@ -278,3 +278,29 @@ def test_pack_full_range_64bit_ids(spark):
                  for r in pack_tokens(docs, 4, n_buckets=64).collect())
     assert got == brute_pack(cases, 4)
     spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_pack_randomized(spark, seed):
+    """Randomized corpora (sparse/negative ids, ragged docs, empties)
+    against the brute pack — one Spark run per seed."""
+    import random
+    rng = random.Random(seed)
+    vocab = ["alpha", "bravo", "x9", "delta", "echo", "f0x", "gamma"]
+    used = set()
+    cases = []
+    for _ in range(rng.randint(5, 40)):
+        i = rng.randint(-10**12, 10**12)
+        if i in used:
+            continue
+        used.add(i)
+        n = rng.randint(0, 30)
+        cases.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    L = rng.randint(1, 17)
+    nb = rng.choice([1, 2, 8, 64])
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    got = sorted((r["seq_id"], r["n_tokens"], list(r["token_ids"]))
+                 for r in pack_tokens(docs, L, n_buckets=nb).collect())
+    assert got == brute_pack(cases, L)
+    spark.catalog.clearCache()
