@@ -94,8 +94,25 @@ def main() -> None:
         want = [str(count("table part")), str(count("query value")), "0"]
         ok = lines[:3] == want and ":" in lines[3] and len(
             lines[3].split()) == 10
+
+        # the training-sequence export job over the same corpus: packed
+        # token total must equal DuckDB's independent token count
+        seq_dir = os.path.join(work, "seqs")
+        rep = json.loads(submit(
+            zpath, "export_sequences.py", "--input",
+            f"{sf}/documents.parquet", "--out-dir", seq_dir,
+            "--seq-len", "256", "--mode", "pack"
+        ).strip().splitlines()[-1])
+        want_toks = duckdb.sql(
+            f"SELECT sum(len({tok})) FROM read_parquet("
+            f"'{sf}/documents.parquet')").fetchone()[0]
+        export_ok = (rep["n_tokens"] == int(want_toks)
+                     and rep["n_seqs"] == -(-int(want_toks) // 256))
+        ok = ok and export_ok
+
         print(json.dumps({"spark_submit_smoke": "pass" if ok else "FAIL",
                           "got": lines, "want_counts": want,
+                          "export": rep, "export_ok": export_ok,
                           "zip": os.path.basename(zpath)}))
         if not ok:
             sys.exit(1)
