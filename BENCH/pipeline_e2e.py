@@ -286,6 +286,27 @@ def main() -> None:
         n_banner = survivors.filter(F.col("text").contains(BANNER)).count()
         out["surviving_banner_docs"] = int(n_banner)
         assert n_banner == 0
+
+        # ---- the last mile: the cleaned corpus packed into 1024-token
+        # training sequences (what jobs/export_sequences.py ships) —
+        # conservation vs the independent token_counts reading
+        from pysearchlite_spark.functions.sequences import pack_tokens
+        from pysearchlite_spark.functions.text import token_counts
+        t0 = time.monotonic()
+        pk = (pack_tokens(survivors, 1024, eod_id=0, n_buckets=256)
+              .agg(F.count("*").alias("seqs"),
+                   F.sum("n_tokens").alias("toks")).collect()[0])
+        out["export_pack_sec"] = round(time.monotonic() - t0, 2)
+        want = token_counts(survivors).agg(
+            F.sum("n_tokens").alias("t"),
+            F.sum((F.col("n_tokens") > 0).cast("long")).alias("d")
+        ).collect()[0]
+        assert int(pk["toks"]) == int(want["t"]) + int(want["d"]), (
+            pk["toks"], want)   # +1 EOD per non-empty doc
+        out["packed_seqs"] = int(pk["seqs"])
+        out["packed_total_tokens"] = int(pk["toks"])
+        print(f"[e2e] export packed {pk['seqs']} seqs in "
+              f"{out['export_pack_sec']}s", flush=True)
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
