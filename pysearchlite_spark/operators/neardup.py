@@ -1,0 +1,235 @@
+"""Incremental near-dedup: a PERSISTED MinHash-LSH index so a NEW crawl
+batch can be near-dedup-checked against an EXISTING corpus without
+recomputing (or reshuffling) the corpus side — the production shape for
+"does today's crawl duplicate anything in the 100-TB lake?".
+
+`minhash_lsh_pairs` (operators/dedup.py) answers the one-shot
+whole-corpus question; this module persists its intermediate state —
+banded LSH bucket assignments plus exact shingle-hash sets — as
+parquet generations, so each new batch costs only:
+
+  1. signatures/buckets for the BATCH (vectorized Arrow UDFs, batch-
+     sized),
+  2. one join of the corpus bucket table against the BROADCAST batch
+     buckets — the corpus is streamed map-side, never shuffled and
+     never re-hashed (plan-asserted in tests),
+  3. exact-Jaccard verification of the candidates: corpus shingle sets
+     are fetched by a candidate semi-join (row-group pushdown on the
+     stored parquet), batch shingle sets recomputed in-flight.
+
+Candidate volume is LINEAR in bucket occupancy (each batch doc meets
+each corpus bucket it lands in once) — the quadratic degenerate case of
+the one-shot self-join cannot arise here; a boilerplate-degenerate
+corpus bucket costs one scan of its members per matching batch doc,
+bounded by `max_bucket` at check time exactly like the one-shot path.
+
+Index layout under <root>/ (AnnIndex conventions — ann.py:356):
+  meta.json                    — atomic-rename committed params
+                                 {n_perm, bands, shingle_k, seed, adds,
+                                  n_docs}
+  buckets/add=<g>/*.parquet    — (doc_id, band, bh) per committed
+                                 generation g (build = g0; each
+                                 add_batch a new one; only generations
+                                 listed in meta are visible — crash
+                                 debris stays invisible)
+  bucket_sizes/add=<g>/*.parquet — (band, bh, cnt) pre-aggregated at
+                                 write time: check()'s oversize cap
+                                 sums these tiny tables instead of
+                                 re-aggregating the raw bucket table
+  shingles/add=<g>/*.parquet   — (doc_id, sh array<long>) same
+                                 generations
+
+Determinism: identical config + corpus ⇒ identical index content;
+check() output is a pure function of (index docs, batch, threshold) —
+the same blake2b shingle/minhash machinery as minhash_lsh_pairs, so at
+equal config the pair (a=corpus, b=batch) appears here with exactly the
+jaccard the one-shot operator reports (test-enforced equivalence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["NearDupIndex"]
+
+
+def _commit_meta(root: str, meta: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".meta")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "meta.json"))  # atomic commit
+
+
+def _meta_locked(root: str):
+    from pysearchlite_spark.locks import flock_ctx
+    return flock_ctx(os.path.join(root, ".meta.lock"))
+
+
+class NearDupIndex:
+    """Persisted banded-MinHash near-dup index: build once over the
+    corpus, `add_batch` per ingested crawl, `check` a new batch for
+    near-duplicates against everything committed so far."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.n_perm = int(self.meta["n_perm"])
+        self.bands = int(self.meta["bands"])
+        self.shingle_k = int(self.meta["shingle_k"])
+        self.seed = int(self.meta["seed"])
+
+    # ------------------------------------------------------------ build --
+    @staticmethod
+    def build(spark: SparkSession, df: DataFrame, root: str,
+              id_col: str = "doc_id", text_col: str = "text",
+              n_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+              seed: int = 7) -> "NearDupIndex":
+        os.makedirs(root, exist_ok=True)
+        with _meta_locked(root):
+            n = NearDupIndex._write_generation(
+                spark, df, root, 0, id_col, text_col, n_perm, bands,
+                shingle_k, seed)
+            _commit_meta(root, {
+                "n_perm": n_perm, "bands": bands, "shingle_k": shingle_k,
+                "seed": seed, "adds": [0], "n_docs": n})
+        return NearDupIndex(spark, root)
+
+    @staticmethod
+    def _write_generation(spark, df, root, gen, id_col, text_col,
+                          n_perm, bands, shingle_k, seed) -> int:
+        from pysearchlite_spark.operators.dedup import (_band_explode,
+                                                        minhash_signatures)
+        sigs = minhash_signatures(df, id_col, text_col, n_perm,
+                                  shingle_k, seed)
+        bpath = os.path.join(root, "buckets", f"add={gen}")
+        (_band_explode(sigs, n_perm, bands)
+         .write.mode("overwrite").parquet(bpath))
+        # per-generation bucket sizes, pre-aggregated at WRITE time so
+        # check()'s oversize cap never re-aggregates the raw bucket
+        # table (a corpus-scale groupBy per check otherwise)
+        (spark.read.parquet(bpath)
+         .groupBy("band", "bh").agg(F.count("*").alias("cnt"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(root, "bucket_sizes", f"add={gen}")))
+        (NearDupIndex._shingles_df(df, id_col, text_col, shingle_k)
+         .write.mode("overwrite")
+         .parquet(os.path.join(root, "shingles", f"add={gen}")))
+        return spark.read.parquet(
+            os.path.join(root, "shingles", f"add={gen}")).count()
+
+    @staticmethod
+    def _shingles_df(df: DataFrame, id_col: str, text_col: str,
+                     shingle_k: int) -> DataFrame:
+        from pysearchlite_spark.operators.dedup import _shingle_hashes_batch
+        import numpy as np
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                sh = _shingle_hashes_batch(pdf[text_col], shingle_k)
+                yield pd.DataFrame({
+                    "doc_id": pdf[id_col],
+                    "sh": [s.astype(np.int64).tolist() for s in sh]})
+
+        return df.select(F.col(id_col).alias(id_col),
+                         F.col(text_col).alias(text_col)) \
+                 .mapInPandas(run, "doc_id long, sh array<long>")
+
+    # ------------------------------------------------------------- adds --
+    def add_batch(self, df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> int:
+        """Commit a new generation of corpus docs (e.g. yesterday's
+        accepted crawl) — subsequent check() calls see them. Returns the
+        number of docs added."""
+        with _meta_locked(self.root):
+            with open(os.path.join(self.root, "meta.json")) as f:
+                fresh = json.load(f)
+            gen = max(fresh["adds"]) + 1
+            n = self._write_generation(
+                self.spark, df, self.root, gen, id_col, text_col,
+                self.n_perm, self.bands, self.shingle_k, self.seed)
+            fresh["adds"] = fresh["adds"] + [gen]
+            fresh["n_docs"] = int(fresh["n_docs"]) + n
+            _commit_meta(self.root, fresh)
+            self.meta = fresh
+        return n
+
+    # ------------------------------------------------------ stored sides --
+    def _gen_paths(self, sub: str) -> list:
+        return [os.path.join(self.root, sub, f"add={g}")
+                for g in self.meta["adds"]]
+
+    def buckets_df(self) -> DataFrame:
+        return self.spark.read.parquet(*self._gen_paths("buckets"))
+
+    def shingles_df(self) -> DataFrame:
+        return self.spark.read.parquet(*self._gen_paths("shingles"))
+
+    # ------------------------------------------------------------- check --
+    def check(self, df: DataFrame, threshold: float = 0.8,
+              id_col: str = "doc_id", text_col: str = "text",
+              max_bucket: int = 100_000) -> DataFrame:
+        """(corpus_id, batch_id, jaccard) for every (corpus doc, batch
+        doc) pair that shares >= 1 LSH band bucket AND has exact shingle
+        Jaccard >= threshold. `filter(~batch.isin(check(...)["batch_id"]))`
+        — or a left-anti join — is the batch's near-dedup keep-list.
+
+        The batch side is BROADCAST (a crawl batch is small next to the
+        lake); the corpus bucket table streams through a map-side join —
+        no corpus shuffle, no corpus re-hash. Corpus buckets larger than
+        `max_bucket` are skipped for candidate generation (same audit
+        story as minhash_lsh_pairs' cap; at the default the cap only
+        engages on boilerplate-degenerate corpora — count them with
+        lsh_oversize_stats(index.buckets_df(), ["band", "bh"], cap))."""
+        from pysearchlite_spark.operators.dedup import (_band_explode,
+                                                        minhash_signatures)
+        sigs = minhash_signatures(df, id_col, text_col, self.n_perm,
+                                  self.shingle_k, self.seed)
+        new_buckets = (_band_explode(sigs, self.n_perm, self.bands)
+                       .withColumnRenamed("doc_id", "batch_id"))
+
+        corpus = self.buckets_df()
+        if max_bucket is not None:
+            # oversize keys from the write-time pre-aggregated sizes
+            # (cross-generation sum) — never the raw bucket table
+            sz = (self.spark.read
+                  .parquet(*self._gen_paths("bucket_sizes"))
+                  .groupBy("band", "bh").agg(F.sum("cnt").alias("_bsz")))
+            corpus = (corpus.join(F.broadcast(
+                sz.filter(F.col("_bsz") > max_bucket)), ["band", "bh"],
+                "left_anti"))
+        cand = (corpus.join(F.broadcast(new_buckets), ["band", "bh"])
+                .select(F.col("doc_id").alias("corpus_id"), "batch_id")
+                .filter(F.col("corpus_id") != F.col("batch_id"))
+                .distinct())
+
+        # exact verification: corpus shingles by candidate semi-join,
+        # batch shingles recomputed in-flight (batch-sized)
+        csh = (self.shingles_df()
+               .join(cand.select(F.col("corpus_id").alias("doc_id"))
+                     .distinct(), "doc_id")
+               .select(F.col("doc_id").alias("corpus_id"),
+                       F.col("sh").alias("sh_c")))
+        bsh = (self._shingles_df(df, id_col, text_col, self.shingle_k)
+               .select(F.col("doc_id").alias("batch_id"),
+                       F.col("sh").alias("sh_b")))
+        joined = cand.join(csh, "corpus_id").join(F.broadcast(bsh),
+                                                  "batch_id")
+        inter = F.size(F.array_intersect("sh_c", "sh_b"))
+        union = F.size(F.array_union("sh_c", "sh_b"))
+        return (joined
+                .withColumn("jaccard",
+                            F.when(union > 0,
+                                   inter.cast("double") / union)
+                            .otherwise(0.0))
+                .filter(F.col("jaccard") >= threshold)
+                .select("corpus_id", "batch_id",
+                        F.round("jaccard", 6).alias("jaccard")))
