@@ -92,7 +92,12 @@ class NearDupIndex:
     def build(spark: SparkSession, df: DataFrame, root: str,
               id_col: str = "doc_id", text_col: str = "text",
               n_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-              seed: int = 7) -> "NearDupIndex":
+              seed: int = 7,
+              batch_key: str | None = None) -> "NearDupIndex":
+        """batch_key: optional idempotency token (e.g. a streaming
+        micro-batch id) recorded in meta — a later add_batch with the
+        same key is a no-op, so crash-replayed batches never
+        double-commit."""
         os.makedirs(root, exist_ok=True)
         with _meta_locked(root):
             n = NearDupIndex._write_generation(
@@ -100,7 +105,8 @@ class NearDupIndex:
                 shingle_k, seed)
             _commit_meta(root, {
                 "n_perm": n_perm, "bands": bands, "shingle_k": shingle_k,
-                "seed": seed, "adds": [0], "n_docs": n})
+                "seed": seed, "adds": [0], "n_docs": n,
+                "batches": [batch_key] if batch_key is not None else []})
         return NearDupIndex(spark, root)
 
     @staticmethod
@@ -145,19 +151,28 @@ class NearDupIndex:
 
     # ------------------------------------------------------------- adds --
     def add_batch(self, df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> int:
+                  text_col: str = "text",
+                  batch_key: str | None = None) -> int:
         """Commit a new generation of corpus docs (e.g. yesterday's
         accepted crawl) — subsequent check() calls see them. Returns the
-        number of docs added."""
+        number of docs added. With a `batch_key` already recorded in
+        meta the call is an idempotent no-op returning 0 (streaming
+        replay safety)."""
         with _meta_locked(self.root):
             with open(os.path.join(self.root, "meta.json")) as f:
                 fresh = json.load(f)
+            if batch_key is not None and batch_key in fresh.get(
+                    "batches", []):
+                self.meta = fresh
+                return 0
             gen = max(fresh["adds"]) + 1
             n = self._write_generation(
                 self.spark, df, self.root, gen, id_col, text_col,
                 self.n_perm, self.bands, self.shingle_k, self.seed)
             fresh["adds"] = fresh["adds"] + [gen]
             fresh["n_docs"] = int(fresh["n_docs"]) + n
+            if batch_key is not None:
+                fresh["batches"] = fresh.get("batches", []) + [batch_key]
             _commit_meta(self.root, fresh)
             self.meta = fresh
         return n

@@ -312,27 +312,110 @@ def upsert_batch(spark: SparkSession, batch: DataFrame, index_dir: str, *,
             segment_docs=segment_docs, batch_id=batch_id)
 
 
+def _neardup_filter(spark: SparkSession, batch_df: DataFrame, nd_dir: str,
+                    url_col: str, text_col: str, threshold: float,
+                    max_bucket: int, batch_key: str) -> DataFrame:
+    """Drop near-duplicates from a micro-batch, then commit the
+    survivors to the NearDupIndex at `nd_dir` so later batches see them.
+
+    Two passes: INTRA-batch (one-shot minhash_lsh_pairs over the batch —
+    batch-sized — dropping the b side of every pair, which always keeps
+    at least each cluster's min id) and CROSS-batch (NearDupIndex.check
+    against everything previously admitted). Doc identity inside the
+    dedup index is xxhash64(url) — a re-crawl of the SAME url never
+    matches itself (check excludes equal ids); replacing re-crawls is
+    upsert's job, not near-dedup's.
+
+    Replay-safe by construction: the survivor set is a pure function of
+    (index state, batch), the add is keyed by `batch_key` (idempotent
+    no-op on replay), and a crash between add and ingest replays to the
+    SAME survivors because each admitted doc's only new competitor is
+    itself (excluded by id equality). Returns the PERSISTED survivor
+    frame — materialized before the add mutates the index the lazy plan
+    reads."""
+    import os
+
+    from pysearchlite_spark.operators.dedup import minhash_lsh_pairs
+    from pysearchlite_spark.operators.neardup import NearDupIndex
+
+    tagged = batch_df.withColumn("_nd_id", F.xxhash64(F.col(url_col)))
+    nd_docs = tagged.select(F.col("_nd_id").alias("doc_id"),
+                            F.col(text_col).alias("text"))
+    intra_drop = (minhash_lsh_pairs(nd_docs, threshold=threshold)
+                  .select(F.col("b").alias("_nd_id")).distinct())
+    surv = tagged.join(intra_drop, "_nd_id", "left_anti")
+    have_index = os.path.exists(os.path.join(nd_dir, "meta.json"))
+    if have_index:
+        idx = NearDupIndex(spark, nd_dir)
+        cross_drop = (idx.check(
+            surv.select(F.col("_nd_id").alias("doc_id"),
+                        F.col(text_col).alias("text")),
+            threshold=threshold, max_bucket=max_bucket)
+            .select(F.col("batch_id").alias("_nd_id")).distinct())
+        surv = surv.join(cross_drop, "_nd_id", "left_anti")
+    surv = surv.persist()
+    surv.count()  # materialize BEFORE the add below changes what the
+    #               lazy check/anti-join plan would read
+    admitted = surv.select(F.col("_nd_id").alias("doc_id"),
+                           F.col(text_col).alias("text"))
+    if have_index:
+        NearDupIndex(spark, nd_dir).add_batch(admitted,
+                                              batch_key=batch_key)
+    else:
+        NearDupIndex.build(spark, admitted, nd_dir, batch_key=batch_key)
+    return surv.drop("_nd_id")
+
+
 def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,
                   checkpoint_dir: str, *, text_col: str = "text",
                   html_col: Optional[str] = None, url_col: str = "url",
                   lang_filter: Optional[str] = None,
                   segment_docs: int = 1 << 20, trigger_seconds: int = 30,
-                  mode: str = "append"):
+                  mode: str = "append",
+                  neardup_dir: Optional[str] = None,
+                  neardup_threshold: float = 0.85,
+                  neardup_max_bucket: int = 100_000):
     """Attach append_batch (mode='append') or upsert_batch
     (mode='upsert' — re-crawled urls replace their earlier capture) to a
     streaming DataFrame via foreachBatch. Returns the StreamingQuery
-    (caller awaits/stops it)."""
+    (caller awaits/stops it).
+
+    neardup_dir: optional NearDupIndex root — every micro-batch is
+    near-dedup-filtered (intra-batch AND against all previously admitted
+    docs) before indexing, and its survivors are committed to the dedup
+    index keyed by the micro-batch id (crash-replay idempotent). The
+    html extraction path requires text_col to exist post-extraction;
+    near-dedup reads the RAW text column, so combine with html_col only
+    when the stream also carries extracted text."""
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be append|upsert, got {mode!r}")
+    if neardup_dir is not None and html_col is not None:
+        raise ValueError("neardup_dir requires a text stream "
+                         "(html_col extraction happens after the "
+                         "dedup filter would need the text)")
     ingest = append_batch if mode == "append" else upsert_batch
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ingest(spark, batch_df, index_dir, text_col=text_col,
-               html_col=html_col, url_col=url_col,
-               lang_filter=lang_filter, segment_docs=segment_docs,
-               batch_id=int(batch_id))
+        try:
+            if neardup_dir is not None:
+                batch_df = _neardup_filter(
+                    spark, batch_df, neardup_dir, url_col, text_col,
+                    neardup_threshold, neardup_max_bucket,
+                    batch_key=f"batch-{int(batch_id)}")
+                if batch_df.isEmpty():
+                    return
+            ingest(spark, batch_df, index_dir, text_col=text_col,
+                   html_col=html_col, url_col=url_col,
+                   lang_filter=lang_filter, segment_docs=segment_docs,
+                   batch_id=int(batch_id))
+        finally:
+            if neardup_dir is not None:
+                # the dedup pass persists intermediates (lsh frames +
+                # the survivor set); a long-lived stream must not
+                # accumulate them across micro-batches
+                spark.catalog.clearCache()
 
     return (stream_df.writeStream
             .foreachBatch(sink)

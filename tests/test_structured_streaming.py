@@ -100,3 +100,59 @@ def test_stream_ingest_custom_column_names(spark, tmp_path):
     assert idx.count("delta echo") == 20
     assert sorted(idx.search("t3")) == [f"u{i:02d}" for i in range(20)
                                         if i % 4 == 3]
+
+
+@pytest.mark.timeout(300)
+def test_stream_ingest_neardup_filter(spark, tmp_path):
+    """Continuous ingestion with cross-batch near-dedup: intra-batch
+    near-dups collapse to one representative, batch-2 near-dups of
+    batch-1 docs are dropped before indexing, fresh docs pass."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx_dir = str(tmp_path / "idx")
+    nd_dir = str(tmp_path / "nd")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sailors watch from the harbor wall at dawn")
+    other = ("completely unrelated second story about spark structured "
+             "streaming micro batches and watermark semantics tonight")
+    rows1 = [("u1", base),
+             ("u2", base + " extra"),          # intra near-dup of u1
+             ("u3", other)]
+    rows2 = [("u4", base + " tail"),           # cross near-dup of batch 1
+             ("u5", "an entirely fresh third document mentioning "
+                    "gardens rivers mountains and forty two lanterns")]
+    schema = "url string, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src / "f1"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    q = stream_ingest(spark, stream, idx_dir, ckpt, segment_docs=32,
+                      trigger_seconds=1, neardup_dir=nd_dir,
+                      neardup_threshold=0.6)
+    try:
+        _wait_for_snapshot(idx_dir, want_docs=2)   # u1 + u3 survive
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / "f2"))
+        _wait_for_snapshot(idx_dir, want_docs=3)   # + u5 only
+        time.sleep(2)                              # no late arrivals
+    finally:
+        q.stop()
+
+    idx = SearchIndex(spark, idx_dir)
+    urls = {r["url"] for r in idx.docmap_df().collect()}
+    # exactly ONE of the intra-batch near-dup pair survives (the min by
+    # xxhash64(url) — the dedup id, not the url string); the cross-batch
+    # near-dup u4 is dropped; the fresh docs pass
+    assert len(urls & {"u1", "u2"}) == 1
+    assert "u3" in urls and "u5" in urls and "u4" not in urls
+    assert len(urls) == 3
+    # the dedup index recorded exactly the admitted docs, batch-keyed
+    from pysearchlite_spark.operators.neardup import NearDupIndex
+    nd = NearDupIndex(spark, nd_dir)
+    assert nd.meta["n_docs"] == 3
+    assert len(nd.meta["batches"]) == 2
+    spark.catalog.clearCache()
