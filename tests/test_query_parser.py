@@ -179,3 +179,47 @@ def test_query_string_over_fields(spark, tmp_path_factory):
     # plain clause on a multi-field index is ambiguous → loud error
     with pytest.raises(ValueError):
         mfi.search_query_ids("big")
+
+
+# ---------------------------------------------------------------- fuzzing --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(
+    alphabet=st.sampled_from(list(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\"()-^~:*?.!@#$%&[]{}|\\/+=<>,;'`_\n")),
+    max_size=60))
+def test_parse_never_crashes(q):
+    """The parser's error contract: any input either parses to a
+    ParsedQuery with >= 1 clause, or raises ValueError — never any
+    other exception (no IndexError/AttributeError/infinite loop on
+    adversarial syntax)."""
+    from pysearchlite_spark.query_parser import ParsedQuery, parse
+    try:
+        out = parse(q)
+    except ValueError:
+        return
+    assert isinstance(out, ParsedQuery)
+    assert out.must  # parse() guarantees >= 1 non-negated clause
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["table", "part", "value", '"table part"', "-merge", "s?a*",
+     "part~1", "(table OR row)", "value^2", "title:table"]),
+    min_size=1, max_size=6))
+def test_parse_grammar_compositions(parts):
+    """Any composition of well-formed clause atoms parses, unless it is
+    all-negated (a documented ValueError)."""
+    from pysearchlite_spark.query_parser import parse
+    q = " ".join(parts)
+    try:
+        out = parse(q)
+    except ValueError:
+        assert all(p.startswith("-") for p in parts), q
+        return
+    assert out.must
