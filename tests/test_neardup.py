@@ -132,3 +132,47 @@ def test_oversized_bucket_cap(idx, spark):
     assert idx.check(probe, threshold=0.1, max_bucket=0).count() == 0
     assert idx.check(probe, threshold=0.9).count() >= 1
     spark.catalog.clearCache()
+
+
+def test_concurrent_adds_serialize(spark, tmp_path):
+    """Three threads add_batch distinct batches concurrently: the meta
+    flock serializes read-modify-write, so every generation commits (no
+    lost update), n_docs sums exactly, and check() sees all of them."""
+    from concurrent.futures import ThreadPoolExecutor
+    root = str(tmp_path / "nd")
+    base = spark.createDataFrame(
+        [(0, "seed corpus document with plenty of distinct filler words")],
+        "doc_id long, text string")
+    idx = NearDupIndex.build(spark, base, root, **CFG)
+
+    texts = {j: (f"thread batch number {j} its own unique sentence "
+                 f"about subject {j} and more padding tokens")
+             for j in range(3)}
+
+    def add(j):
+        df = spark.createDataFrame([(100 + j, texts[j])],
+                                   "doc_id long, text string")
+        return NearDupIndex(spark, root).add_batch(
+            df, batch_key=f"t{j}")
+
+    with ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(add, j) for j in range(3)]
+        assert [f.result() for f in futs] == [1, 1, 1]
+
+    fresh = NearDupIndex(spark, root)
+    assert fresh.meta["n_docs"] == 4
+    assert len(fresh.meta["adds"]) == 4
+    assert sorted(fresh.meta["batches"]) == ["t0", "t1", "t2"]
+    # replayed batch_key is a no-op
+    dup = spark.createDataFrame([(200, texts[0])],
+                                "doc_id long, text string")
+    assert fresh.add_batch(dup, batch_key="t0") == 0
+    assert fresh.meta["n_docs"] == 4
+    # every committed generation answers
+    for j in range(3):
+        probe = spark.createDataFrame([(300 + j, texts[j])],
+                                      "doc_id long, text string")
+        got = fresh.check(probe, threshold=0.9).collect()
+        assert [(r["corpus_id"], r["jaccard"]) for r in got] == \
+            [(100 + j, 1.0)], j
+    spark.catalog.clearCache()
