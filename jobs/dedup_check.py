@@ -52,6 +52,10 @@ def main() -> None:
     a = sub.add_parser("add", help="commit a batch as a new generation")
     a.add_argument("--input", required=True)
 
+    sub.add_parser("compact", help="fold all generations into one "
+                                   "(streaming commits one per "
+                                   "micro-batch)")
+
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +63,11 @@ def main() -> None:
     from pysearchlite_spark.operators.neardup import NearDupIndex
 
     spark = SparkSession.builder.appName("psl-dedup-check").getOrCreate()
+    if args.cmd == "compact":
+        rep = NearDupIndex(spark, args.index_dir).compact()
+        print(json.dumps({"cmd": "compact", **rep}))
+        spark.stop()
+        return
     df = spark.read.parquet(args.input)
 
     if args.cmd == "build":

@@ -181,6 +181,52 @@ class NearDupIndex:
             self.meta = fresh
         return n
 
+    def compact(self) -> dict:
+        """Merge every committed generation into ONE. Streaming ingest
+        commits a generation per micro-batch, so a long-lived stream
+        accumulates thousands of tiny parquet dirs whose listing/open
+        cost grows per check — the same wart AnnIndex/segment
+        compaction solve. The merged generation is written ALONGSIDE
+        the old ones, meta flips atomically (readers of the old
+        snapshot are never broken mid-write), then the superseded dirs
+        are removed. batch_key history survives, so replay idempotence
+        outlives compaction."""
+        import shutil
+
+        with _meta_locked(self.root):
+            with open(os.path.join(self.root, "meta.json")) as f:
+                fresh = json.load(f)
+            gens = list(fresh["adds"])
+            if len(gens) <= 1:
+                return {"generations": len(gens), "compacted": False}
+            gen = max(gens) + 1
+            paths = {sub: [os.path.join(self.root, sub, f"add={g}")
+                           for g in gens]
+                     for sub in ("buckets", "bucket_sizes", "shingles")}
+            (self.spark.read.parquet(*paths["buckets"])
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.root, "buckets", f"add={gen}")))
+            (self.spark.read.parquet(*paths["bucket_sizes"])
+             .groupBy("band", "bh").agg(F.sum("cnt").alias("cnt"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.root, "bucket_sizes",
+                                   f"add={gen}")))
+            (self.spark.read.parquet(*paths["shingles"])
+             .repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.root, "shingles", f"add={gen}")))
+            n = self.spark.read.parquet(
+                os.path.join(self.root, "shingles", f"add={gen}")).count()
+            assert n == int(fresh["n_docs"]), (n, fresh["n_docs"])
+            fresh["adds"] = [gen]
+            _commit_meta(self.root, fresh)
+            self.meta = fresh
+            for sub, ps in paths.items():
+                for p in ps:
+                    shutil.rmtree(p, ignore_errors=True)
+        return {"generations": len(gens), "compacted": True,
+                "n_docs": n, "generation": gen}
+
     # ------------------------------------------------------ stored sides --
     def _gen_paths(self, sub: str) -> list:
         return [os.path.join(self.root, sub, f"add={g}")

@@ -63,4 +63,12 @@ def test_build_check_add_loop(spark, tmp_path):
                 "--out", str(tmp_path / "p2.parquet"),
                 "--threshold", "0.9")
     assert rep4["dup_batch_docs"] == 1
+
+    # compact the two generations; the re-crawl is still caught
+    rep5 = _cli("--index-dir", nd, "compact")
+    assert rep5["compacted"] and rep5["generations"] == 2
+    rep6 = _cli("--index-dir", nd, "check", "--input", rpath,
+                "--out", str(tmp_path / "p3.parquet"),
+                "--threshold", "0.9")
+    assert rep6["dup_batch_docs"] == 1
     spark.catalog.clearCache()

@@ -176,3 +176,44 @@ def test_concurrent_adds_serialize(spark, tmp_path):
         assert [(r["corpus_id"], r["jaccard"]) for r in got] == \
             [(100 + j, 1.0)], j
     spark.catalog.clearCache()
+
+
+def test_compact_generations(spark, tmp_path):
+    """compact() folds every committed generation (one per streaming
+    micro-batch) into one: check() answers identically, n_docs and the
+    batch_key replay guard survive, superseded dirs are removed."""
+    import os
+    root = str(tmp_path / "nd")
+    base = spark.createDataFrame(BASE, "doc_id long, text string")
+    idx = NearDupIndex.build(spark, base, root, **CFG)
+    idx.add_batch(spark.createDataFrame(
+        [(50, "first added generation about lunar calendars")],
+        "doc_id long, text string"), batch_key="g1")
+    idx.add_batch(spark.createDataFrame(
+        [(51, "second added generation about tidal harmonics")],
+        "doc_id long, text string"), batch_key="g2")
+    probe = spark.createDataFrame(
+        BATCH + [(60, "first added generation about lunar calendars")],
+        "doc_id long, text string")
+    before = sorted((r["corpus_id"], r["batch_id"], r["jaccard"])
+                    for r in idx.check(probe, threshold=0.5).collect())
+
+    rep = idx.compact()
+    assert rep["compacted"] and rep["generations"] == 3
+    assert idx.meta["adds"] == [rep["generation"]]
+    assert idx.meta["n_docs"] == 7
+    assert sorted(idx.meta["batches"]) == ["g1", "g2"]
+    # superseded generation dirs are gone; exactly one remains per table
+    for sub in ("buckets", "bucket_sizes", "shingles"):
+        assert os.listdir(os.path.join(root, sub)) == [
+            f"add={rep['generation']}"], sub
+    after = sorted((r["corpus_id"], r["batch_id"], r["jaccard"])
+                   for r in idx.check(probe, threshold=0.5).collect())
+    assert after == before and any(c == 50 for c, _, _ in after)
+    # replay guard intact post-compaction
+    assert idx.add_batch(spark.createDataFrame(
+        [(99, "whatever")], "doc_id long, text string"),
+        batch_key="g1") == 0
+    # single-generation compact is a no-op
+    assert idx.compact()["compacted"] is False
+    spark.catalog.clearCache()
