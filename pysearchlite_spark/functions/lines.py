@@ -41,11 +41,13 @@ __all__ = ["line_counts", "strip_duplicate_lines"]
 
 
 def _lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return (df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                             "\n", -1)).alias("pos", "line"))
-        .withColumn("_t", F.trim("line")))
+    from pysearchlite_spark.partitioning import spread_input
+    return (spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                   F.col(text_col).alias("_x")))
+            .select("doc_id",
+                    F.posexplode(F.split(F.coalesce(F.col("_x"), F.lit("")),
+                                         "\n", -1)).alias("pos", "line"))
+            .withColumn("_t", F.trim("line")))
 
 
 def line_counts(df: DataFrame, id_col: str = "doc_id",

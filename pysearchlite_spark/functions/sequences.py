@@ -43,12 +43,16 @@ def _token_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     docs with no tokens are dropped (they contribute nothing)."""
     from pysearchlite_spark.plans.builder import make_tokens_udf
 
-    toks = make_tokens_udf()(F.col(text_col))
+    from pysearchlite_spark.partitioning import spread_input
+
+    toks = make_tokens_udf()(F.col("_x"))
     ids = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
         .cast("long"))
-    return (df.select(F.col(id_col).alias("doc_id"), ids.alias("_ids"))
+    return (spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                   F.col(text_col).alias("_x")))
+            .select("doc_id", ids.alias("_ids"))
             .filter(F.size("_ids") > 0))
 
 

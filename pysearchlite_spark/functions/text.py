@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pysearchlite_spark.partitioning import spread_input
 from pysearchlite_spark.plans.builder import make_tokens_udf
 from pysearchlite_spark.tokenizer import tokens_series
 
@@ -22,10 +23,18 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", make_tokens_udf()(F.col(text_col)))
 
 
+def _scan_input(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The shared scan head of every per-doc text statistic: project to the
+    two consumed columns (an opaque UDF otherwise ships, and reads, every
+    column — guide §4) and spread a single-file input across the cluster
+    (partitioning.spread_input; no-op on well-partitioned inputs)."""
+    return spread_input(df.select(id_col, text_col))
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(id, n_tokens) — exact tokenizer semantics."""
-    return (with_tokens(df, text_col)
+    return (with_tokens(_scan_input(df, id_col, text_col), text_col)
             .select(F.col(id_col), F.size("tokens").alias("n_tokens")))
 
 
@@ -36,7 +45,7 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id",
     ratio (the standard web-text quality filters: length / punct /
     stopword). Everything after tokenization is JVM-side (whole-stage
     codegen): size/array_distinct/aggregate/filter/regexp_replace."""
-    t = with_tokens(df, text_col)
+    t = with_tokens(_scan_input(df, id_col, text_col), text_col)
     n = F.size("tokens")
     n_chars = F.length(F.col(text_col))
     total_len = F.aggregate("tokens", F.lit(0).cast("long"),
@@ -187,7 +196,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         for b in batches:
             yield _repetition_frame(b, top_ns, dup_ns)
 
-    out = df.select(F.col(id_col), rep_udf(F.col(text_col)).alias("_r"))
+    out = (_scan_input(df, id_col, text_col)
+           .select(F.col(id_col), rep_udf(F.col(text_col)).alias("_r")))
     return out.select(
         F.col(id_col),
         *[F.round(F.col(f"_r.{f}"), 6).alias(f) for f in fields])
@@ -212,7 +222,7 @@ def bpe_token_counts(df: DataFrame, id_col: str = "doc_id",
     JVM-side (regexp_extract_all inside whole-stage codegen; no Python in
     the plan). NULL text counts as an empty doc (0 tokens) — same
     semantics as token_counts' fillna('') — not size(NULL)'s -1/NULL."""
-    return df.select(
+    return _scan_input(df, id_col, text_col).select(
         F.col(id_col),
         F.size(F.regexp_extract_all(
             F.coalesce(F.col(text_col), F.lit("")),
@@ -275,7 +285,9 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
         for b in batches:
             yield _langid_series(b)
 
-    return df.select(F.col(id_col), langid_udf(F.col(text_col)).alias("lang_pred"))
+    return (_scan_input(df, id_col, text_col)
+            .select(F.col(id_col),
+                    langid_udf(F.col(text_col)).alias("lang_pred")))
 
 
 _FP_MOD = (1 << 61) - 1
@@ -392,4 +404,6 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
         for b in batches:
             yield _fingerprint_series(b, hash_fn)
 
-    return df.select(F.col(id_col), fp_udf(F.col(text_col)).alias("fingerprint"))
+    return (_scan_input(df, id_col, text_col)
+            .select(F.col(id_col),
+                    fp_udf(F.col(text_col)).alias("fingerprint")))

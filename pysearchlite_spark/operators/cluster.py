@@ -95,8 +95,15 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
     component's minimum node id. Nodes absent from `pairs` entirely are
     singletons — callers cover them with a left join +
     coalesce(cluster, id) (dedup_clusters)."""
-    raw = pairs.select(F.col(a).cast("long").alias("u"),
-                       F.col(b).cast("long").alias("v"))
+    # LAZY checkpoint of the RAW edge set too: `raw` is consumed by the
+    # canonicalized iteration AND (much later) by the nodes/loners pass —
+    # without its own checkpoint the caller's whole pair-generation plan
+    # (an LSH bucket join or a token inverted-index self-join) re-executes
+    # once per extra consumer (measured: dedup_clusters ran the pair plan
+    # 3-4x; this cuts it to once)
+    raw = (pairs.select(F.col(a).cast("long").alias("u"),
+                        F.col(b).cast("long").alias("v"))
+           .localCheckpoint(eager=False))
     # LAZY checkpoint: the signature aggregate is the round's only action
     # and its scan materializes the checkpoint as a side effect — eager
     # checkpointing would run a second full job per round purely to

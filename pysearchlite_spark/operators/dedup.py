@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pysearchlite_spark.partitioning import spread_input
 
 MERSENNE = (1 << 61) - 1
 
@@ -135,6 +136,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """(doc_id, sig array<long>) — 64-permutation MinHash over word shingles,
     computed batch-vectorized (numpy (a*h+b) mod p, min over shingles)."""
     a, b = _minhash_params(n_perm, seed)
+    # project to the two consumed columns BEFORE the Python hop (guide §4:
+    # opaque functions ship every column) and spread a single-file scan
+    df = spread_input(df.select(id_col, text_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -318,16 +322,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k,
                               seed).persist()
     buckets = _band_explode(sigs, n_perm, bands).persist()
+    # persisted: the candidate set feeds THREE consumers (the distinct-doc
+    # union for the verify-side text join, and both sides of the final
+    # pair join) — without it the bucket self-join re-executes per consumer
+    # (same finding as ADVICE's neardup.check cand double-execution)
     cand = _capped_bucket_pairs(buckets, ["band", "bh"],
                                 sigs.select("doc_id",
                                             F.col("sig").alias("_sig")),
-                                max_bucket)
+                                max_bucket).persist()
 
-    # exact verification on shingle sets of candidate docs only
+    # exact verification on shingle sets of candidate docs only; the text
+    # side is spread BEFORE the join so a broadcast of toks_needed cannot
+    # pin the downstream shingle UDF to the raw scan's partition count
     toks_needed = (cand.select(F.col("a").alias("doc_id"))
                    .union(cand.select("b")).distinct())
-    docs = df.join(toks_needed, df[id_col] == toks_needed["doc_id"]) \
-             .select(df[id_col].alias("doc_id"), F.col(text_col).alias("text"))
+    base = spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias("text")))
+    docs = base.join(toks_needed, "doc_id")
 
     def shingle_sets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -365,9 +376,11 @@ def token_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     share at least one sub-max_df token; used with the SQL oracle at small
     scale with max_df = +inf)."""
     from pysearchlite_spark.plans.builder import make_tokens_udf
-    toks = (df.select(F.col(id_col).alias("doc_id"),
-                      F.array_distinct(make_tokens_udf()(F.col(text_col)))
-                      .alias("ts"))
+    toks = (spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                   F.col(text_col).alias("_t")))
+            .select("doc_id",
+                    F.array_distinct(make_tokens_udf()(F.col("_t")))
+                    .alias("ts"))
             .withColumn("n", F.size("ts")))
     toks = toks.persist()
     inv = toks.select("doc_id", F.explode("ts").alias("t"))
@@ -400,6 +413,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """(doc_id, simhash long): 64-bit SimHash — per-token hash bits
     weighted by tf, vectorized with numpy bit unpacking. hash_fn='md5'
     makes the whole value reproducible in ANSI SQL (see _token_hashes)."""
+    df = spread_input(df.select(id_col, text_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pysearchlite_spark.tokenizer import flat_tokens
@@ -496,8 +510,10 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3,
             .filter(F.col("c2") > F.col("c"))),
             ["c", "v", "c2", "v2"])
 
+    # persisted: consumed by both sides of the verify join below — without
+    # it the capped bucket join re-executes per consumer
     cand = _capped_bucket_pairs(b.select("doc_id", "c", "v"), ["c", "v"],
-                                sig_df, max_bucket, refine=refine)
+                                sig_df, max_bucket, refine=refine).persist()
     # reuse sig_df (same distinct aggregation, different column name)
     s = sig_df.select("doc_id", F.col("_sig").alias("simhash"))
     cand = (cand
@@ -544,8 +560,9 @@ def _span_key_frame(df: DataFrame, id_col: str, text_col: str,
                  _shingle_hashes_batch(b, k=n, short_rows="empty")],
                 index=b.index)
 
-    return df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(spans_udf(F.col(text_col))).alias("k"))
+    return (spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                   F.col(text_col).alias("_t")))
+            .select("doc_id", F.explode(spans_udf(F.col("_t"))).alias("k")))
 
 
 def repeated_spans(df: DataFrame, id_col: str = "doc_id",

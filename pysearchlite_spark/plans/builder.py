@@ -514,12 +514,17 @@ def _stage0_df(spark: SparkSession, df: DataFrame, *, text_col: str,
     out_schema = "n long" if out_dir is not None else RUNS_SCHEMA
     if id_col is not None:
         # caller supplies dense monotone ids (e.g. documents.doc_id):
-        # no exchange at all — scan partitions feed the fused stage directly
-        src = df.select(
+        # scan partitions feed the fused stage directly — guarded by
+        # spread_input so a single-file/row-group input still tokenizes on
+        # every core (pack_flat re-sorts per-term docIDs, so arbitrary row
+        # placement is correctness-neutral); on a many-file input this is
+        # a no-op and the path stays exchange-free
+        from pysearchlite_spark.partitioning import spread_input
+        src = spread_input(df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             (F.col(url_col).cast("string") if url_col else
              F.col(id_col).cast("string")).alias("url"),
-            payload)
+            payload))
         return src.mapInArrow(mk(), out_schema)
     base = df.select(F.col(url_col or "url").alias("url"), payload)
     bucket, boff, P = _bucket_offsets(base, "url")
