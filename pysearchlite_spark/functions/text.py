@@ -38,17 +38,15 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col), F.size("tokens").alias("n_tokens")))
 
 
-def quality_stats(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Per-doc quality features: n_chars, n_tokens, distinct-token ratio,
-    mean token length, punctuation-character ratio, English-stopword token
-    ratio (the standard web-text quality filters: length / punct /
-    stopword). Everything after tokenization is JVM-side (whole-stage
-    codegen): size/array_distinct/aggregate/filter/regexp_replace."""
-    t = with_tokens(_scan_input(df, id_col, text_col), text_col)
-    n = F.size("tokens")
+def quality_exprs(text_col: str = "text",
+                  tokens_col: str = "tokens") -> dict:
+    """The named quality-stat COLUMN EXPRESSIONS over an existing tokens
+    column — the single source shared by quality_stats and the pipeline's
+    inline quality filter, so the two can never disagree on a rounding or
+    an edge case."""
+    n = F.size(tokens_col)
     n_chars = F.length(F.col(text_col))
-    total_len = F.aggregate("tokens", F.lit(0).cast("long"),
+    total_len = F.aggregate(tokens_col, F.lit(0).cast("long"),
                             lambda acc, x: acc + F.length(x))
     # punctuation = characters that are neither Unicode letters/digits
     # (\p{L}\p{N} — Java and RE2 agree; ASCII-only classes would count
@@ -58,21 +56,34 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id",
         F.regexp_replace(F.col(text_col),
                          "[^\\p{L}\\p{N}" + _WS + "]", ""))
     sw = sorted(_STOPWORDS["en"])
-    n_stop = F.size(F.filter("tokens", lambda x: x.isin(*sw)))
-    return t.select(
-        F.col(id_col),
-        n_chars.cast("long").alias("n_chars"),
-        n.cast("long").alias("n_tokens"),
-        F.round(F.when(n > 0, F.size(F.array_distinct("tokens"))
-                       .cast("double") / n).otherwise(0.0), 6)
-         .alias("distinct_ratio"),
-        F.round(F.when(n > 0, total_len.cast("double") / n).otherwise(0.0), 6)
-         .alias("avg_token_len"),
-        F.round(F.when(n_chars > 0, n_punct.cast("double") / n_chars)
-                .otherwise(0.0), 6).alias("punct_ratio"),
-        F.round(F.when(n > 0, n_stop.cast("double") / n).otherwise(0.0), 6)
-         .alias("stopword_ratio"),
-    )
+    n_stop = F.size(F.filter(tokens_col, lambda x: x.isin(*sw)))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n.cast("long"),
+        "distinct_ratio": F.round(
+            F.when(n > 0, F.size(F.array_distinct(tokens_col))
+                   .cast("double") / n).otherwise(0.0), 6),
+        "avg_token_len": F.round(
+            F.when(n > 0, total_len.cast("double") / n).otherwise(0.0), 6),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars)
+            .otherwise(0.0), 6),
+        "stopword_ratio": F.round(
+            F.when(n > 0, n_stop.cast("double") / n).otherwise(0.0), 6),
+    }
+
+
+def quality_stats(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: n_chars, n_tokens, distinct-token ratio,
+    mean token length, punctuation-character ratio, English-stopword token
+    ratio (the standard web-text quality filters: length / punct /
+    stopword). Everything after tokenization is JVM-side (whole-stage
+    codegen): size/array_distinct/aggregate/filter/regexp_replace."""
+    t = with_tokens(_scan_input(df, id_col, text_col), text_col)
+    exprs = quality_exprs(text_col)
+    return t.select(F.col(id_col),
+                    *[e.alias(name) for name, e in exprs.items()])
 
 
 def _rep_ngram_stats(keys: np.ndarray, valid: np.ndarray,
@@ -185,6 +196,18 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     string materialization dominated); rounding stays Spark-side so the
     oracle's round() semantics match. The plan is a pure per-doc scan —
     a quality-filter pass over 100 TB shuffles NOTHING."""
+    rep_udf, fields = make_repetition_udf(top_ns, dup_ns)
+    out = (_scan_input(df, id_col, text_col)
+           .select(F.col(id_col), rep_udf(F.col(text_col)).alias("_r")))
+    return out.select(
+        F.col(id_col),
+        *[F.round(F.col(f"_r.{f}"), 6).alias(f) for f in fields])
+
+
+def make_repetition_udf(top_ns: tuple = (2, 3), dup_ns: tuple = (5,)):
+    """(pandas_udf, field names) behind repetition_stats — exposed so the
+    pipeline's inline repetition filter evaluates the EXACT same UDF and
+    rounding as the stats surface (one source of truth)."""
     from pyspark.sql.functions import pandas_udf
 
     fields = [f"top{n}gram_frac" for n in top_ns] + \
@@ -196,11 +219,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         for b in batches:
             yield _repetition_frame(b, top_ns, dup_ns)
 
-    out = (_scan_input(df, id_col, text_col)
-           .select(F.col(id_col), rep_udf(F.col(text_col)).alias("_r")))
-    return out.select(
-        F.col(id_col),
-        *[F.round(F.col(f"_r.{f}"), 6).alias(f) for f in fields])
+    return rep_udf, fields
 
 
 # GPT-2-style pretokenizer pattern, restricted to constructs Java regex and
@@ -276,8 +295,9 @@ def _langid_series(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index, dtype=object)
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
+def make_langid_udf():
+    """The language-ID pandas UDF — shared by lang_id and the pipeline's
+    inline lang filter."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -285,9 +305,14 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
         for b in batches:
             yield _langid_series(b)
 
+    return langid_udf
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
     return (_scan_input(df, id_col, text_col)
             .select(F.col(id_col),
-                    langid_udf(F.col(text_col)).alias("lang_pred")))
+                    make_langid_udf()(F.col(text_col)).alias("lang_pred")))
 
 
 _FP_MOD = (1 << 61) - 1

@@ -222,28 +222,70 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
             advance("url_dedup", cur.join(keep, id_col, "left_semi"))
 
         if lang is not None:
-            pred = T.lang_id(cur, id_col=id_col, text_col=text_col)
-            keep = pred.filter(F.col("lang_pred") == lang).select(id_col)
-            advance("lang", cur.join(keep, id_col, "left_semi"))
+            # inline per-row filter, same shape as the quality stage below
+            from pysearchlite_spark.partitioning import spread_input
+            # asNondeterministic (guide §4.4 pattern): a filter over a
+            # UDF-derived column otherwise gets pushed below the
+            # spread_input exchange, dragging the UDF evaluation back onto
+            # the raw scan's 1-2 tasks
+            advance("lang",
+                    (spread_input(cur)
+                     .withColumn("_lang",
+                                 T.make_langid_udf().asNondeterministic()(
+                                     F.col(text_col)))
+                     .filter(F.col("_lang") == lang).drop("_lang")))
+
+        def _expr_pred(thresholds, exprs):
+            # the thresholds were already validated up front; here the
+            # predicate is built over the stat EXPRESSIONS themselves so
+            # no stat column ever needs a (possibly colliding) name
+            pred = F.lit(True)
+            for key, val in thresholds.items():
+                kind, _, col = key.partition("_")
+                e = exprs[col]
+                pred = pred & ((e >= val) if kind == "min" else (e <= val))
+            return pred
 
         if quality:
-            stats = T.quality_stats(cur, id_col=id_col, text_col=text_col)
-            ok = set(stats.columns) - {id_col, "doc_id"}
-            keep = stats.filter(_threshold_pred(quality, ok)).select(id_col)
-            advance("quality", cur.join(keep, id_col, "left_semi"))
+            # INLINE filter: quality stats are a pure per-row function of
+            # the text, so the keep decision rides the same scan instead of
+            # a stats frame + id semi-join (which re-shuffles the frontier
+            # and doubles the passes). quality_exprs is the same expression
+            # set quality_stats serves — values (incl. rounding) identical.
+            from pysearchlite_spark.partitioning import spread_input
+            pred = _expr_pred(quality, T.quality_exprs(text_col, "_toks"))
+            # asNondeterministic pins the tokenize UDF ABOVE the
+            # spread_input exchange (see the lang stage note)
+            t = (spread_input(cur)
+                 .withColumn("_toks",
+                             T.make_tokens_udf().asNondeterministic()(
+                                 F.col(text_col)))
+                 .filter(pred).drop("_toks"))
+            advance("quality", t)
 
         if repetition:
-            stats = T.repetition_stats(cur, id_col=id_col,
-                                       text_col=text_col)
-            ok = set(stats.columns) - {id_col, "doc_id"}
-            keep = stats.filter(_threshold_pred(repetition, ok)) \
-                .select(id_col)
-            advance("repetition", cur.join(keep, id_col, "left_semi"))
+            # same inline-filter shape as quality: one UDF pass, no join
+            from pysearchlite_spark.partitioning import spread_input
+            rep_udf, fields = T.make_repetition_udf()
+            pred = _expr_pred(
+                repetition,
+                {f: F.round(F.col(f"_r.{f}"), 6) for f in fields})
+            t = (spread_input(cur)
+                 .withColumn("_r", rep_udf.asNondeterministic()(
+                     F.col(text_col)))
+                 .filter(pred).drop("_r"))
+            advance("repetition", t)
 
         if exact_dedup:
-            verd = D.exact_dedup(cur, id_col=id_col, text_col=text_col)
-            keep = (verd.filter(~F.col("is_dup"))
-                    .select(F.col("doc_id").alias(id_col)))
+            # the keep-list IS the min-id-per-hash aggregate — the
+            # per-doc verdict join exact_dedup() builds on top of it is
+            # only needed by verdict consumers, not the pipeline
+            keep = (cur.select(
+                F.col(id_col),
+                F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+                .alias("_h"))
+                .groupBy("_h").agg(F.min(id_col).alias(id_col))
+                .select(id_col))
             advance("exact_dedup", cur.join(keep, id_col, "left_semi"))
 
         def _strip_lines_stage():

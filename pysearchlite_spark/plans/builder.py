@@ -703,6 +703,7 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
     errors: List[BaseException] = []
 
     def _write_docmap() -> None:
+        t_dm = time.time()
         # repartition to align tasks with output partitions: one writer task
         # per segment → one file per dir instead of tasks×segments files
         (runs.filter((F.col("tb") == -1) & F.col("seg").isin(doc_todo))
@@ -712,6 +713,9 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
          .write.partitionBy("seg").mode("append").parquet(cat.docmap_dir()))
         for s in doc_todo:
             cat.mark_staged("docmap", s)
+        if timing:
+            print(f"[build]   docmap_thread: {time.time() - t_dm:.2f}s",
+                  flush=True)
 
     def _write_postings() -> None:
         t_pack = time.time()
@@ -724,9 +728,13 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
         # an 8-core run (task-wave overhead, 240 tiny parquet files).
         par = spark.sparkContext.defaultParallelism
         # ~4 waves/core for big inputs, but never more reducers than the
-        # data supports (~200k entries each) or distinct (seg, tb) keys;
-        # ≥50M entries per task bounds retry granularity at huge scale
-        target = min(4 * par, sum_dl // 200_000 + 1)
+        # data supports or distinct (seg, tb) keys; ≥50M entries per task
+        # bounds retry granularity at huge scale. The small-input floor
+        # relaxes to ~50k entries/task up to ONE full wave of cores (a
+        # 2.7M-entry corpus previously packed on 14 of 32 cores purely
+        # because of the 200k floor).
+        target = max(min(4 * par, sum_dl // 200_000 + 1),
+                     min(par, sum_dl // 50_000 + 1))
         n_out_parts = max(1, min(len(post_todo) * n_buckets,
                                  max(target, sum_dl // 50_000_000 + 1)))
         src = (runs.filter((F.col("tb") >= 0)
@@ -737,10 +745,22 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
             metric_rows = _pack_runs(
                 src, avgdl=avgdl, n_out_parts=n_out_parts,
                 sink_dir=cat.postings_dir()).collect()
+            if timing:
+                print(f"[build]   pack_job({n_out_parts} parts): "
+                      f"{time.time() - t_pack:.2f}s", flush=True)
+            t_ms = time.time()
             for s in post_todo:
                 cat.mark_staged("postings", s)
+            t_bl = time.time()
+            if timing:
+                print(f"[build]   mark_staged: {t_bl - t_ms:.2f}s",
+                      flush=True)
             _write_build_log_rows(spark, cat, metric_rows,
                                   time.time() - t_pack, lineage or {})
+            if timing:
+                print(f"[build]   build_log: {time.time() - t_bl:.2f}s "
+                      f"| postings_thread: {time.time() - t_pack:.2f}s",
+                      flush=True)
         else:
             packed = _pack_runs(src, avgdl=avgdl, n_out_parts=n_out_parts)
             (packed.write.partitionBy("seg", "tb").mode("append")
@@ -1196,8 +1216,39 @@ def _write_build_log_rows(spark: SparkSession, cat: IndexCatalog,
             for r in metric_rows]
     if not rows:
         return
+    log_dir = cat.build_log_dir()
+    if "://" not in log_dir:
+        # the metric rows are ALREADY on the driver (they are the pack
+        # job's collect()ed output) — a few hundred rows; round-tripping
+        # them through createDataFrame + a one-task Spark write job
+        # measured 4-5 s per build in context. Write the parquet directly
+        # (atomic tmp+rename, unique name = append semantics). Scheme'd
+        # paths (hdfs/s3) keep the JVM writer below.
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(log_dir, exist_ok=True)
+        names = ["seg", "tb", "n_terms", "n_postings", "bytes_packed",
+                 "elapsed_sec", "terms_per_sec", "postings_per_sec",
+                 "source", "built_at"]
+        cols = list(zip(*rows))
+        table = pa.table(
+            {n: pa.array(list(c)) for n, c in zip(names, cols)},
+            schema=pa.schema([
+                ("seg", pa.int64()), ("tb", pa.int32()),
+                ("n_terms", pa.int64()), ("n_postings", pa.int64()),
+                ("bytes_packed", pa.int64()), ("elapsed_sec", pa.float64()),
+                ("terms_per_sec", pa.float64()),
+                ("postings_per_sec", pa.float64()),
+                ("source", pa.string()), ("built_at", pa.float64())]))
+        final = os.path.join(log_dir, f"part-{uuid.uuid4().hex}.parquet")
+        tmp = final + ".inprogress"
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, final)
+        return
     (spark.createDataFrame(rows, BUILD_LOG_SCHEMA)
-     .coalesce(1).write.mode("append").parquet(cat.build_log_dir()))
+     .coalesce(1).write.mode("append").parquet(log_dir))
 
 
 def _write_build_log(spark: SparkSession, cat: IndexCatalog,
