@@ -2005,58 +2005,100 @@ class SearchIndex:
                         k: int) -> DataFrame:
         """The lazy plan behind significant_terms (split out so
         tools/explain_plans.py can audit it): full postings scan pruned
-        to (term, seg, df, docs), per-segment cogroup with the routed
-        foreground, JVM-side aggregate + JLH score + top-k."""
-        def run(key, pdf: pd.DataFrame, ddf: pd.DataFrame
-                ) -> pd.DataFrame:
-            # a segment with NO foreground rows must still emit its
-            # (term, fdf=0, df) rows — the global per-term df sums
-            # over every segment, foreground or not
-            allow = np.unique(ddf.loc[ddf["kind"] == 1, "doc_id"]
-                              .to_numpy(np.int64))
-            dfs = pdf["df"].to_numpy(np.int64)
-            fdf = np.zeros(dfs.size, dtype=np.int64)
-            if allow.size:
-                # batch decode: ONE varbyte pass per ≤4M-posting chunk
-                # (chunked so the transient decoded array stays bounded
-                # regardless of segment size), then one searchsorted over
-                # the concatenation and a cumsum-diff per-row hit count —
-                # no per-term Python loop (was 17 s at 1M docs).
-                payloads = pdf["docs"].to_numpy(object)
-                chunk = 1 << 22
-                i = 0
-                while i < dfs.size:
-                    j, acc = i, 0
-                    while j < dfs.size and (acc == 0
-                                            or acc + dfs[j] <= chunk):
-                        acc += int(dfs[j])
-                        j += 1
-                    docs, offs = codec.unpack_docs_batch(
-                        payloads[i:j], dfs[i:j])
-                    pos = np.searchsorted(allow, docs)
-                    pos[pos == allow.size] = allow.size - 1
-                    hits = np.concatenate(
-                        ([0], np.cumsum(allow[pos] == docs)))
-                    fdf[i:j] = hits[offs[1:]] - hits[offs[:-1]]
-                    i = j
-            return pd.DataFrame({
-                "term": pdf["term"].reset_index(drop=True),
-                "fdf": fdf, "df": dfs})
+        to (term[, seg, tb], df, docs), foreground membership counted
+        per posting row, JVM-side aggregate + JLH score + top-k.
 
-        # cogroup on (seg, tb), not seg alone: a 1M-doc index has ~4
-        # segments, so seg-keyed cogroup caps the full-scan parallelism at
-        # 4 tasks; keying by term bucket too gives segs × n_buckets tasks
-        # (64 here). The foreground explodes across every tb (any bucket's
-        # terms can contain any doc — the duplication is intrinsic to the
-        # finer routing and stays a distributed shuffle, never a broadcast).
-        scan = self._postings.select("term", "seg", "tb", "df", "docs")
-        fg_tb = fg.withColumn(
-            "tb", F.explode(F.array(*[F.lit(i)
-                                      for i in range(self.n_buckets)]))
-        ).withColumn("kind", F.lit(1))
-        scored = scan.groupBy("seg", "tb").cogroup(
-            fg_tb.groupBy("seg", "tb")).applyInPandas(
-            run, "term string, fdf long, df long")
+        ADAPTIVE foreground attachment (fn is already known — the caller
+        counted the routed foreground):
+          * fn <= PSL_SIGTERMS_BCAST_MAX (default 2M): the sorted id set
+            is collected and BROADCAST; the postings scan streams map-side
+            through one mapInPandas — no foreground explode, no postings
+            exchange, no cogroup (the small-fg shape; a 2M-id allow list
+            is ~16 MB broadcast).
+          * larger fn: per-segment cogroup keyed (seg, tb) — the
+            foreground never collects/broadcasts, the 10^12-doc shape.
+        Both paths run the identical decode+searchsorted kernel, so the
+        result is bit-identical either way (test-enforced)."""
+        def fdf_kernel(payloads: np.ndarray, dfs: np.ndarray,
+                       allow: np.ndarray) -> np.ndarray:
+            # batch decode: ONE varbyte pass per ≤4M-posting chunk
+            # (chunked so the transient decoded array stays bounded
+            # regardless of segment size), then one searchsorted over
+            # the concatenation and a cumsum-diff per-row hit count —
+            # no per-term Python loop (was 17 s at 1M docs).
+            fdf = np.zeros(dfs.size, dtype=np.int64)
+            if not allow.size:
+                return fdf
+            chunk = 1 << 22
+            i = 0
+            while i < dfs.size:
+                j, acc = i, 0
+                while j < dfs.size and (acc == 0
+                                        or acc + dfs[j] <= chunk):
+                    acc += int(dfs[j])
+                    j += 1
+                docs, offs = codec.unpack_docs_batch(
+                    payloads[i:j], dfs[i:j])
+                pos = np.searchsorted(allow, docs)
+                pos[pos == allow.size] = allow.size - 1
+                hits = np.concatenate(
+                    ([0], np.cumsum(allow[pos] == docs)))
+                fdf[i:j] = hits[offs[1:]] - hits[offs[:-1]]
+                i = j
+            return fdf
+
+        import os as _os
+        bcast_max = int(_os.environ.get("PSL_SIGTERMS_BCAST_MAX",
+                                        "2000000"))
+        if fn <= bcast_max:
+            allow_np = np.unique(
+                fg.select("doc_id").toPandas()["doc_id"]
+                .to_numpy(np.int64))
+            allow_bc = self.spark.sparkContext.broadcast(allow_np)
+
+            def run_scan(batches):
+                allow = allow_bc.value
+                for pdf in batches:
+                    yield pd.DataFrame({
+                        "term": pdf["term"],
+                        "fdf": fdf_kernel(pdf["docs"].to_numpy(object),
+                                          pdf["df"].to_numpy(np.int64),
+                                          allow),
+                        "df": pdf["df"]})
+
+            scored = (self._postings.select("term", "df", "docs")
+                      .mapInPandas(run_scan,
+                                   "term string, fdf long, df long"))
+        else:
+            def run(key, pdf: pd.DataFrame, ddf: pd.DataFrame
+                    ) -> pd.DataFrame:
+                # a segment with NO foreground rows must still emit its
+                # (term, fdf=0, df) rows — the global per-term df sums
+                # over every segment, foreground or not
+                allow = np.unique(ddf.loc[ddf["kind"] == 1, "doc_id"]
+                                  .to_numpy(np.int64))
+                dfs = pdf["df"].to_numpy(np.int64)
+                return pd.DataFrame({
+                    "term": pdf["term"].reset_index(drop=True),
+                    "fdf": fdf_kernel(pdf["docs"].to_numpy(object),
+                                      dfs, allow),
+                    "df": dfs})
+
+            # cogroup on (seg, tb), not seg alone: a 1M-doc index has ~4
+            # segments, so seg-keyed cogroup caps the full-scan
+            # parallelism at 4 tasks; keying by term bucket too gives
+            # segs × n_buckets tasks (64 here). The foreground explodes
+            # across every tb (any bucket's terms can contain any doc —
+            # the duplication is intrinsic to the finer routing and stays
+            # a distributed shuffle, never a broadcast).
+            scan = self._postings.select("term", "seg", "tb", "df", "docs")
+            fg_tb = fg.withColumn(
+                "tb", F.explode(F.array(*[F.lit(i)
+                                          for i in range(self.n_buckets)]))
+            ).withColumn("kind", F.lit(1))
+            scored = scan.groupBy("seg", "tb").cogroup(
+                fg_tb.groupBy("seg", "tb")).applyInPandas(
+                run, "term string, fdf long, df long")
         fgp = F.col("fg_df").cast("double") / F.lit(float(fn))
         bgp = F.col("df").cast("double") / F.lit(float(self.n_docs))
         return (scored.groupBy("term")

@@ -123,6 +123,18 @@ def _shingle_hashes_batch(texts: pd.Series, k: int = 3,
     return out
 
 
+_M61 = np.uint64(MERSENNE)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x (u64) mod 2^61-1 via 2^61 ≡ 1 folding — bit-identical to
+    numpy's `% MERSENNE` for every u64 input (property-tested) at ~2x
+    the throughput (no integer division)."""
+    x = (x >> np.uint64(61)) + (x & _M61)
+    x = (x >> np.uint64(61)) + (x & _M61)
+    return np.where(x >= _M61, x - _M61, x)
+
+
 def _minhash_params(n_perm: int, seed: int = 7):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.uint64)
@@ -157,8 +169,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                 # (cache-hostile strides) and per-doc outer products pay one
                 # numpy dispatch per doc — 8-row chunks are the sweet spot
                 for p in range(0, n_perm, 8):
-                    vals = ((a[p:p + 8, None] * H[None, :]
-                             + b[p:p + 8, None]) % np.uint64(MERSENNE))
+                    vals = _mod61(a[p:p + 8, None] * H[None, :]
+                                  + b[p:p + 8, None])
                     sigm[p:p + 8, nz] = np.minimum.reduceat(
                         vals, starts, axis=1)
             sigs = list(sigm.astype(np.int64).T)
@@ -543,13 +555,15 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # -------------------------------------------------- repeated span detection --
 
-def _span_key_frame(df: DataFrame, id_col: str, text_col: str,
-                    n: int) -> DataFrame:
-    """(doc_id, k): one row per DISTINCT n-token span of each doc, k = the
-    64-bit polynomial window hash of the span (the MinHash combine over
-    blake2b token hashes — vectorized, no span strings materialized, and
-    content-derived so keys agree across partitions/jobs). Shared by
-    repeated_spans and span_contamination."""
+def _span_array_frame(df: DataFrame, id_col: str, text_col: str,
+                      n: int) -> DataFrame:
+    """(doc_id, ks array<long>): each doc's DISTINCT n-token span hashes
+    (the 64-bit polynomial window hash — the MinHash combine over blake2b
+    token hashes; vectorized, no span strings materialized, content-derived
+    so keys agree across partitions/jobs). The ARRAY form is the shared
+    tokenize product: per-doc span counts fall out as size(ks) with no
+    explode/shuffle, and the cross-doc aggregations explode it exactly
+    once. Shared by repeated_spans and span_contamination."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
@@ -562,7 +576,15 @@ def _span_key_frame(df: DataFrame, id_col: str, text_col: str,
 
     return (spread_input(df.select(F.col(id_col).alias("doc_id"),
                                    F.col(text_col).alias("_t")))
-            .select("doc_id", F.explode(spans_udf(F.col("_t"))).alias("k")))
+            .select("doc_id", spans_udf(F.col("_t")).alias("ks")))
+
+
+def _span_key_frame(df: DataFrame, id_col: str, text_col: str,
+                    n: int) -> DataFrame:
+    """(doc_id, k): one row per DISTINCT n-token span of each doc — the
+    exploded form of _span_array_frame."""
+    return (_span_array_frame(df, id_col, text_col, n)
+            .select("doc_id", F.explode("ks").alias("k")))
 
 
 def repeated_spans(df: DataFrame, id_col: str = "doc_id",
@@ -608,10 +630,14 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
     cache=False trades a second tokenize pass for not holding storage a
     caller with no unpersist hook (e.g. a long-lived harness consuming
     the lazy frame) would otherwise leak."""
-    ex = _span_key_frame(df, id_col, text_col, n)
+    arr = _span_array_frame(df, id_col, text_col, n)
     if cache:
-        ex = ex.persist()
-    tot = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+        arr = arr.persist()
+    # n_spans = size of the distinct-span array: ZERO shuffle (the former
+    # explode → groupBy(doc_id) re-aggregation of the full span table paid
+    # one extra pass + exchange for a number the array already knows)
+    tot = arr.select("doc_id", F.size("ks").alias("n_spans"))
+    ex = arr.select("doc_id", F.explode("ks").alias("k"))
     uniq = (ex.groupBy("k")
             .agg(F.count("*").alias("nd"), F.first("doc_id").alias("doc_id"))
             .filter(F.col("nd") == 1)
@@ -653,15 +679,17 @@ def span_contamination(df: DataFrame, probe_df: DataFrame,
     collision acceptance as repeated_spans — the SQL oracle keeps exact
     string spans, so a test-corpus collision fails parity loudly.
     cache=False: see repeated_spans."""
-    ex = _span_key_frame(df, id_col, text_col, n)
+    arr = _span_array_frame(df, id_col, text_col, n)
     if cache:
-        ex = ex.persist()
+        arr = arr.persist()
     # the probe side needs no id of its own — only its distinct span keys
     probe_keys = (_span_key_frame(
         probe_df.select(F.lit(0).alias("_pid"),
                         F.col(probe_text_col)), "_pid", probe_text_col, n)
         .select("k").distinct())
-    tot = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    # n_spans from the array — no explode/shuffle (see repeated_spans)
+    tot = arr.select("doc_id", F.size("ks").alias("n_spans"))
+    ex = arr.select("doc_id", F.explode("ks").alias("k"))
     hits = (ex.join(F.broadcast(probe_keys), "k", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("contaminated_spans")))
     zero = F.lit(0).cast("long")

@@ -354,7 +354,10 @@ def make_stage0_sink(out_dir: str, segment_docs: int, n_buckets: int, *,
                      with_positions: bool = False):
     """make_stage0 wrapped in a worker-side parquet SINK: each task writes
     its RUNS batches straight to `out_dir/part-<pid>.parquet` with pyarrow
-    (C++ encoder, one file per task) and emits a single count row.
+    (C++ encoder, one file per task) and emits one (seg, n, sdl) stats row
+    per segment it saw — the same numbers the staged tb==-2 rows carry, so
+    the build can derive segments + global stats from THIS job's result
+    instead of a follow-up scan job over the staged parquet.
 
     Rationale: routing the staged runs back through the JVM costs a full
     Python→Arrow→JVM hop plus the JVM parquet encode of three list columns —
@@ -380,14 +383,26 @@ def make_stage0_sink(out_dir: str, segment_docs: int, n_buckets: int, *,
         tmp = os.path.join(
             out_dir, f"_tmp-part-{pid:05d}-{ctx.taskAttemptId()}.inprogress")
         writer = None
-        n_rows = 0
+        seg_stats: dict = {}
         try:
             for rb in inner(batches):
                 if writer is None:
                     writer = pq.ParquetWriter(tmp, _runs_pa_schema(),
                                               compression="snappy")
                 writer.write_table(pa.Table.from_batches([rb]))
-                n_rows += rb.num_rows
+                # fold this batch's tb==-2 stats rows into the task totals
+                tb = rb.column(1).to_numpy(zero_copy_only=False)
+                srows = np.flatnonzero(tb == -2)
+                if srows.size:
+                    segs_a = rb.column(0).to_numpy(zero_copy_only=False)
+                    did = rb.column(3)  # doc_ids: [n] per stats row
+                    dls = rb.column(5)  # dls: [sdl] per stats row
+                    for ri in srows:
+                        s = int(segs_a[ri])
+                        n = int(did[ri][0].as_py())
+                        sdl = int(dls[ri][0].as_py())
+                        cur = seg_stats.get(s, (0, 0))
+                        seg_stats[s] = (cur[0] + n, cur[1] + sdl)
             if writer is not None:
                 writer.close()
                 writer = None
@@ -397,9 +412,13 @@ def make_stage0_sink(out_dir: str, segment_docs: int, n_buckets: int, *,
                 writer.close()
             if os.path.exists(tmp):
                 os.remove(tmp)
+        keys = sorted(seg_stats)
         yield pa.RecordBatch.from_arrays(
-            [pa.array([n_rows], type=pa.int64())],
-            schema=pa.schema([("n", pa.int64())]))
+            [pa.array([k for k in keys], type=pa.int64()),
+             pa.array([seg_stats[k][0] for k in keys], type=pa.int64()),
+             pa.array([seg_stats[k][1] for k in keys], type=pa.int64())],
+            schema=pa.schema([("seg", pa.int64()), ("n", pa.int64()),
+                              ("sdl", pa.int64())]))
 
     return stage0_sink
 
@@ -496,7 +515,8 @@ def _stage0_df(spark: SparkSession, df: DataFrame, *, text_col: str,
     out_dir=None returns the RUNS_SCHEMA DataFrame (JVM sink path — right
     for object stores / DFS); with out_dir set, workers write the runs
     parquet DIRECTLY (make_stage0_sink, local-fs rename semantics) and the
-    returned DataFrame is the per-task row-count ("n long")."""
+    returned DataFrame carries per-(task, seg) stats rows
+    ("seg long, n long, sdl long")."""
     if lang_filter and "lang" in df.columns:
         df = df.filter(F.col("lang") == lang_filter)
     payload = F.col(html_col if html_col is not None else text_col)
@@ -511,7 +531,8 @@ def _stage0_df(spark: SparkSession, df: DataFrame, *, text_col: str,
                            html_col=html_col, offsets_bc=offsets_bc,
                            with_positions=with_positions)
 
-    out_schema = "n long" if out_dir is not None else RUNS_SCHEMA
+    out_schema = ("seg long, n long, sdl long" if out_dir is not None
+                  else RUNS_SCHEMA)
     if id_col is not None:
         # caller supplies dense monotone ids (e.g. documents.doc_id):
         # scan partitions feed the fused stage directly — guarded by
@@ -639,6 +660,7 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
                 for table in ("docmap", "postings"):
                     for s in cat.staged_segments(table):
                         cat.drop_segment(table, s)
+    seg_totals: dict = {}
     if not os.path.exists(stage_marker):
         if os.path.isdir(stage_dir):
             import shutil
@@ -649,12 +671,17 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
         direct = "://" not in stage_dir
         if direct:
             os.makedirs(stage_dir, exist_ok=True)
-            (_stage0_df(spark, df, text_col=text_col, id_col=id_col,
-                        url_col=url_col, html_col=html_col,
-                        lang_filter=lang_filter, segment_docs=segment_docs,
-                        n_buckets=n_buckets, out_dir=stage_dir,
-                        with_positions=with_positions)
-             .groupBy().sum("n").collect())
+            # the sink's result rows ARE the per-(task, seg) stats — fold
+            # them here so no follow-up stats job is needed
+            for r in (_stage0_df(spark, df, text_col=text_col,
+                                 id_col=id_col, url_col=url_col,
+                                 html_col=html_col, lang_filter=lang_filter,
+                                 segment_docs=segment_docs,
+                                 n_buckets=n_buckets, out_dir=stage_dir,
+                                 with_positions=with_positions).collect()):
+                cur = seg_totals.get(int(r["seg"]), (0, 0))
+                seg_totals[int(r["seg"])] = (cur[0] + int(r["n"]),
+                                             cur[1] + int(r["sdl"]))
         else:
             (_stage0_df(spark, df, text_col=text_col, id_col=id_col,
                         url_col=url_col, html_col=html_col,
@@ -667,15 +694,21 @@ def _build_index_locked(spark: SparkSession, df: DataFrame, index_dir: str,
     runs = spark.read.schema(RUNS_SCHEMA).parquet(stage_dir)
     _mark("stage0(extract+doc_ids+tf+invert->runs)")
 
-    # ---- segments + global stats in ONE tiny job (tb == -2 rows) ----------
-    srows = (runs.filter(F.col("tb") == -2)
-             .groupBy("seg")
-             .agg(F.sum(F.element_at("doc_ids", 1)).alias("n"),
-                  F.sum(F.element_at("dls", 1)).alias("sdl"))
-             .collect())
-    all_segs = sorted(r["seg"] for r in srows)
-    n_docs = int(sum(r["n"] for r in srows))
-    sum_dl = int(sum(r["sdl"] for r in srows))
+    # ---- segments + global stats --------------------------------------
+    # fresh direct-sink run: already folded from the stage-0 job's own
+    # result rows; resume or JVM-writer path: ONE tiny scan job over the
+    # staged tb == -2 stats rows
+    if not seg_totals:
+        srows = (runs.filter(F.col("tb") == -2)
+                 .groupBy("seg")
+                 .agg(F.sum(F.element_at("doc_ids", 1)).alias("n"),
+                      F.sum(F.element_at("dls", 1)).alias("sdl"))
+                 .collect())
+        seg_totals = {int(r["seg"]): (int(r["n"]), int(r["sdl"]))
+                      for r in srows}
+    all_segs = sorted(seg_totals)
+    n_docs = int(sum(v[0] for v in seg_totals.values()))
+    sum_dl = int(sum(v[1] for v in seg_totals.values()))
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     _mark("segs+stats_scan")
     for table in ("docmap", "postings"):

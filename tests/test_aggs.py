@@ -206,3 +206,13 @@ def test_search_sorted_default_docmap_doc_len(idx):
     got = [(r["doc_id"], r["doc_len"]) for r in
            idx.search_sorted("alpha beta", k=3).collect()]
     assert got == want
+
+
+def test_significant_terms_broadcast_and_cogroup_paths_agree(idx,
+                                                             monkeypatch):
+    """The adaptive foreground attachment (broadcast allow-list for small
+    foregrounds vs (seg, tb) cogroup for huge ones) must be invisible in
+    the results — both paths run the same decode kernel."""
+    small = idx.significant_terms("alpha beta", k=10)  # fn << default max
+    monkeypatch.setenv("PSL_SIGTERMS_BCAST_MAX", "0")  # force cogroup
+    assert idx.significant_terms("alpha beta", k=10) == small

@@ -286,3 +286,25 @@ def test_span_contamination_planted(spark):
     assert got[2] == (2, 2, 1.0)
     assert got[3] == (2, 0, 0.0)
     assert got[4] == (0, 0, 0.0)
+
+
+def test_mod61_fold_bit_identical_to_modulo():
+    """The Mersenne-fold modulo used in the MinHash permutation kernel must
+    agree with numpy's `%` on every u64 input shape the kernel produces
+    (a*h+b wraps mod 2^64 first — the fold must match that convention)."""
+    import numpy as np
+
+    from pysearchlite_spark.operators.dedup import (MERSENNE, _minhash_params,
+                                                    _mod61)
+    rng = np.random.default_rng(42)
+    # raw u64 extremes + uniform draws
+    xs = np.concatenate([
+        np.array([0, 1, MERSENNE - 1, MERSENNE, MERSENNE + 1,
+                  2**64 - 1, 2**63, 2**61, 2**61 - 2], dtype=np.uint64),
+        rng.integers(0, 2**64 - 1, size=100_000, dtype=np.uint64)])
+    assert np.array_equal(_mod61(xs), xs % np.uint64(MERSENNE))
+    # the kernel's exact expression shape: (a*h + b) with u64 wraparound
+    a, b = _minhash_params(64, 7)
+    h = rng.integers(0, 2**64 - 1, size=10_000, dtype=np.uint64)
+    vals = a[:, None] * h[None, :] + b[:, None]
+    assert np.array_equal(_mod61(vals), vals % np.uint64(MERSENNE))
