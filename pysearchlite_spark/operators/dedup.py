@@ -219,14 +219,24 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: List[str],
     oversized buckets hold many DISTINCT signatures — the saturation regime
     at 10^9+ docs where every coarse bucket is hot."""
     def pairwise(b: DataFrame) -> DataFrame:
-        cond = None
-        for kc in key_cols:
-            c = F.col(f"x.{kc}") == F.col(f"y.{kc}")
-            cond = c if cond is None else (cond & c)
-        cond = cond & (F.col("x.doc_id") < F.col("y.doc_id"))
-        return (b.alias("x").join(b.alias("y"), cond)
-                .select(F.col("x.doc_id").alias("a"),
-                        F.col("y.doc_id").alias("b")))
+        # ONE exchange (groupBy bucket, collect the members) + a JVM
+        # higher-order pair expansion, instead of a self-join that
+        # shuffles AND sorts the bucket table twice. Safe by contract:
+        # every caller bounds bucket size to <= max_bucket BEFORE pairing
+        # (the fast path proved no bucket exceeds it; the capped path
+        # splits oversized buckets off first), so no collected array can
+        # exceed max_bucket elements. doc_ids are unique per bucket, so
+        # the sorted array yields exactly the a < b pairs.
+        g = (b.groupBy(*key_cols)
+             .agg(F.array_sort(F.collect_list("doc_id")).alias("_ds"))
+             .filter(F.size("_ds") >= 2))
+        pair = F.flatten(F.transform(
+            "_ds",
+            lambda x, i: F.transform(
+                F.slice("_ds", i + F.lit(2), F.size("_ds")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")))))
+        return (g.select(F.explode(pair).alias("_p"))
+                .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b")))
 
     # FAST PATH: one cheap map-side-combined count over the (persisted)
     # buckets decides whether any bucket exceeds the cap; the common healthy
@@ -320,7 +330,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_perm: int = 64,
                       bands: int = 16, shingle_k: int = 3,
                       threshold: float = 0.5, seed: int = 7,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000,
+                      _registry: list | None = None) -> DataFrame:
     """Near-dup pairs (a, b, jaccard) with estimated Jaccard >= threshold.
 
     Plan: signatures → explode per band → groupBy(band, band_hash) bucket
@@ -330,7 +341,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     HARD-BOUNDED by max_bucket: oversized buckets (boilerplate-degenerate
     corpora) fall back to identical-signature star pairs instead of a
     quadratic self-join — see _capped_bucket_pairs. Audit oversized buckets
-    with lsh_oversize_stats(minhash_buckets(df), ["band", "bh"], max_bucket)."""
+    with lsh_oversize_stats(minhash_buckets(df), ["band", "bh"], max_bucket).
+
+    _registry: optional list; every frame this call persist()s is appended
+    so a long-lived caller can unpersist exactly these (instead of a
+    session-wide clearCache) once the results are materialized."""
     sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k,
                               seed).persist()
     buckets = _band_explode(sigs, n_perm, bands).persist()
@@ -342,6 +357,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                                 sigs.select("doc_id",
                                             F.col("sig").alias("_sig")),
                                 max_bucket).persist()
+    if _registry is not None:
+        _registry.extend([sigs, buckets, cand])
 
     # exact verification on shingle sets of candidate docs only; the text
     # side is spread BEFORE the join so a broadcast of toks_needed cannot

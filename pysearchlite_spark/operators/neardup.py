@@ -189,9 +189,14 @@ class NearDupIndex:
         compaction solve. The merged generation is written ALONGSIDE
         the old ones, meta flips atomically (readers of the old
         snapshot are never broken mid-write), then the superseded dirs
-        are removed. batch_key history survives, so replay idempotence
-        outlives compaction."""
+        are MOVED to <root>/_trash and only physically removed by the
+        NEXT compact's sweep — a reader mid-check() on the previous
+        snapshot (readers take no lock) keeps its parquet files for a
+        full compaction cycle instead of hitting FileNotFound the
+        instant the meta flips. batch_key history survives, so replay
+        idempotence outlives compaction."""
         import shutil
+        import uuid
 
         with _meta_locked(self.root):
             with open(os.path.join(self.root, "meta.json")) as f:
@@ -221,9 +226,19 @@ class NearDupIndex:
             fresh["adds"] = [gen]
             _commit_meta(self.root, fresh)
             self.meta = fresh
+            # sweep LAST compact's trash (grace period = one compaction
+            # cycle), then retire this compact's superseded generations
+            # into a fresh trash dir instead of deleting them under a
+            # concurrent lock-free reader
+            trash = os.path.join(self.root, "_trash")
+            shutil.rmtree(trash, ignore_errors=True)
+            os.makedirs(trash, exist_ok=True)
             for sub, ps in paths.items():
                 for p in ps:
-                    shutil.rmtree(p, ignore_errors=True)
+                    if os.path.isdir(p):
+                        os.replace(p, os.path.join(
+                            trash, f"{sub}-{os.path.basename(p)}-"
+                                   f"{uuid.uuid4().hex[:8]}"))
         return {"generations": len(gens), "compacted": True,
                 "n_docs": n, "generation": gen}
 
@@ -241,25 +256,51 @@ class NearDupIndex:
     # ------------------------------------------------------------- check --
     def check(self, df: DataFrame, threshold: float = 0.8,
               id_col: str = "doc_id", text_col: str = "text",
-              max_bucket: int = 100_000) -> DataFrame:
+              max_bucket: int = 100_000,
+              _registry: list | None = None) -> DataFrame:
         """(corpus_id, batch_id, jaccard) for every (corpus doc, batch
         doc) pair that shares >= 1 LSH band bucket AND has exact shingle
         Jaccard >= threshold. `filter(~batch.isin(check(...)["batch_id"]))`
         — or a left-anti join — is the batch's near-dedup keep-list.
 
-        The batch side is BROADCAST (a crawl batch is small next to the
-        lake); the corpus bucket table streams through a map-side join —
-        no corpus shuffle, no corpus re-hash. Corpus buckets larger than
-        `max_bucket` are skipped for candidate generation (same audit
-        story as minhash_lsh_pairs' cap; at the default the cap only
-        engages on boilerplate-degenerate corpora — count them with
-        lsh_oversize_stats(index.buckets_df(), ["band", "bh"], cap))."""
+        A SMALL batch side (the daily-crawl shape: batch_rows x bands <=
+        PSL_NEARDUP_BCAST_MAX_ROWS, default 5M bucket rows) is BROADCAST;
+        the corpus bucket table then streams through a map-side join — no
+        corpus shuffle, no corpus re-hash. A LARGER batch (a backfill
+        caller passing millions of docs) falls back to a plain shuffle
+        join of the same shape: the corpus-no-shuffle property degrades
+        gracefully to sort-merge on (band, bh) instead of OOMing the
+        executors on an unbounded broadcast. Both paths produce identical
+        results (test-enforced). Corpus buckets larger than `max_bucket`
+        are skipped for candidate generation (same audit story as
+        minhash_lsh_pairs' cap; count them with
+        lsh_oversize_stats(index.buckets_df(), ["band", "bh"], cap)).
+        CAP CAVEAT: unlike minhash_lsh_pairs — whose capped buckets fall
+        back to identical-signature star pairs — a skipped corpus bucket
+        here contributes NO candidates, so byte-identical copies of
+        boilerplate heavy enough to blow every one of its band buckets
+        past the cap would be admitted; at the 100k default that regime
+        is strictly boilerplate-degenerate corpora, and the equivalence
+        to the one-shot path holds whenever no bucket exceeds the cap.
+
+        _registry: optional list; every frame this call persist()s is
+        appended so a long-lived caller (the streaming sink) can
+        unpersist exactly these instead of clearing the whole session
+        cache."""
+        import os as _os
+
         from pysearchlite_spark.operators.dedup import (_band_explode,
                                                         minhash_signatures)
         sigs = minhash_signatures(df, id_col, text_col, self.n_perm,
                                   self.shingle_k, self.seed)
         new_buckets = (_band_explode(sigs, self.n_perm, self.bands)
                        .withColumnRenamed("doc_id", "batch_id"))
+        bcast_max = int(_os.environ.get("PSL_NEARDUP_BCAST_MAX_ROWS",
+                                        "5000000"))
+        # the guard counts the BATCH input (one cheap action on the
+        # caller's batch frame), not the exploded bucket table — the
+        # latter would pay the signature UDF twice
+        small_batch = df.count() * self.bands <= bcast_max
 
         corpus = self.buckets_df()
         if max_bucket is not None:
@@ -271,10 +312,18 @@ class NearDupIndex:
             corpus = (corpus.join(F.broadcast(
                 sz.filter(F.col("_bsz") > max_bucket)), ["band", "bh"],
                 "left_anti"))
-        cand = (corpus.join(F.broadcast(new_buckets), ["band", "bh"])
+        batch_side = (F.broadcast(new_buckets) if small_batch
+                      else new_buckets)
+        cand = (corpus.join(batch_side, ["band", "bh"])
                 .select(F.col("doc_id").alias("corpus_id"), "batch_id")
                 .filter(F.col("corpus_id") != F.col("batch_id"))
-                .distinct())
+                .distinct()
+                # consumed twice (the corpus-shingle semi-join and the
+                # final verification join) — without persist the corpus
+                # bucket scan + batch signature UDF execute twice
+                .persist())
+        if _registry is not None:
+            _registry.append(cand)
 
         # exact verification: corpus shingles by candidate semi-join
         # (AQE broadcasts the candidate side — the shingle table streams
@@ -294,8 +343,8 @@ class NearDupIndex:
         bsh = (self._shingles_df(df, id_col, text_col, self.shingle_k)
                .select(F.col("doc_id").alias("batch_id"),
                        F.col("sh").alias("sh_b")))
-        joined = cand.join(csh, "corpus_id").join(F.broadcast(bsh),
-                                                  "batch_id")
+        joined = cand.join(csh, "corpus_id").join(
+            F.broadcast(bsh) if small_batch else bsh, "batch_id")
         inter = F.size(F.array_intersect("sh_c", "sh_b"))
         union = F.size(F.array_union("sh_c", "sh_b"))
         return (joined

@@ -330,9 +330,17 @@ def _neardup_filter(spark: SparkSession, batch_df: DataFrame, nd_dir: str,
     (index state, batch), the add is keyed by `batch_key` (idempotent
     no-op on replay), and a crash between add and ingest replays to the
     SAME survivors because each admitted doc's only new competitor is
-    itself (excluded by id equality). Returns the PERSISTED survivor
-    frame — materialized before the add mutates the index the lazy plan
-    reads."""
+    itself (excluded by id equality). PRECONDITION for that claim: the
+    intra-batch pass and the cross-batch check must agree on candidate
+    generation — so the intra pass runs with the INDEX's committed
+    (n_perm, bands, shingle_k, seed) and the SAME max_bucket as check();
+    with diverging caps, a pair suppressed intra-batch by a smaller cap
+    could be found by check() on crash-replay (the first attempt's
+    survivors are then in the index) and the replayed survivor set would
+    differ. Returns the PERSISTED survivor frame — materialized before
+    the add mutates the index the lazy plan reads — and unpersists every
+    intermediate the dedup passes cached (via their _registry hooks), so
+    a long-lived stream leaks nothing between micro-batches."""
     import os
 
     from pysearchlite_spark.operators.dedup import minhash_lsh_pairs
@@ -341,21 +349,33 @@ def _neardup_filter(spark: SparkSession, batch_df: DataFrame, nd_dir: str,
     tagged = batch_df.withColumn("_nd_id", F.xxhash64(F.col(url_col)))
     nd_docs = tagged.select(F.col("_nd_id").alias("doc_id"),
                             F.col(text_col).alias("text"))
-    intra_drop = (minhash_lsh_pairs(nd_docs, threshold=threshold)
-                  .select(F.col("b").alias("_nd_id")).distinct())
-    surv = tagged.join(intra_drop, "_nd_id", "left_anti")
     have_index = os.path.exists(os.path.join(nd_dir, "meta.json"))
-    if have_index:
-        idx = NearDupIndex(spark, nd_dir)
+    idx = NearDupIndex(spark, nd_dir) if have_index else None
+    lsh_params = (dict(n_perm=idx.n_perm, bands=idx.bands,
+                       shingle_k=idx.shingle_k, seed=idx.seed)
+                  if idx is not None else {})
+    registry: list = []
+    intra_drop = (minhash_lsh_pairs(nd_docs, threshold=threshold,
+                                    max_bucket=max_bucket,
+                                    _registry=registry, **lsh_params)
+                  .select(F.col("b").alias("_nd_id")).distinct())
+    surv = tagged.join(intra_drop, "_nd_id", "left_anti").persist()
+    registry.append(surv)
+    surv.count()  # materialized: check()'s batch-size guard counts this
+    #               frame, and the cross pass scans it — once each
+    if idx is not None:
         cross_drop = (idx.check(
             surv.select(F.col("_nd_id").alias("doc_id"),
                         F.col(text_col).alias("text")),
-            threshold=threshold, max_bucket=max_bucket)
+            threshold=threshold, max_bucket=max_bucket,
+            _registry=registry)
             .select(F.col("batch_id").alias("_nd_id")).distinct())
-        surv = surv.join(cross_drop, "_nd_id", "left_anti")
-    surv = surv.persist()
+        surv = surv.join(cross_drop, "_nd_id", "left_anti").persist()
     surv.count()  # materialize BEFORE the add below changes what the
     #               lazy check/anti-join plan would read
+    for frame in registry:  # survivors are cached; drop the scaffolding
+        if frame is not surv:
+            frame.unpersist()
     admitted = surv.select(F.col("_nd_id").alias("doc_id"),
                            F.col(text_col).alias("text"))
     if have_index:
@@ -363,7 +383,7 @@ def _neardup_filter(spark: SparkSession, batch_df: DataFrame, nd_dir: str,
                                               batch_key=batch_key)
     else:
         NearDupIndex.build(spark, admitted, nd_dir, batch_key=batch_key)
-    return surv.drop("_nd_id")
+    return surv.drop("_nd_id"), surv
 
 
 def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,
@@ -398,9 +418,10 @@ def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        survivors = None
         try:
             if neardup_dir is not None:
-                batch_df = _neardup_filter(
+                batch_df, survivors = _neardup_filter(
                     spark, batch_df, neardup_dir, url_col, text_col,
                     neardup_threshold, neardup_max_bucket,
                     batch_key=f"batch-{int(batch_id)}")
@@ -411,11 +432,13 @@ def stream_ingest(spark: SparkSession, stream_df: DataFrame, index_dir: str,
                    lang_filter=lang_filter, segment_docs=segment_docs,
                    batch_id=int(batch_id))
         finally:
-            if neardup_dir is not None:
-                # the dedup pass persists intermediates (lsh frames +
-                # the survivor set); a long-lived stream must not
-                # accumulate them across micro-batches
-                spark.catalog.clearCache()
+            # release exactly the survivor frame this micro-batch
+            # persisted (the dedup pass already unpersisted its own
+            # scaffolding via the _registry hooks) — a session-wide
+            # clearCache here would silently evict unrelated caches of
+            # an application embedding this streaming query
+            if survivors is not None:
+                survivors.unpersist()
 
     return (stream_df.writeStream
             .foreachBatch(sink)

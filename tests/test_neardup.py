@@ -217,3 +217,48 @@ def test_compact_generations(spark, tmp_path):
     # single-generation compact is a no-op
     assert idx.compact()["compacted"] is False
     spark.catalog.clearCache()
+
+
+def test_check_broadcast_and_shuffle_paths_agree(spark, tmp_path,
+                                                 monkeypatch):
+    """The batch-size guard (broadcast vs shuffle join) must be invisible
+    in check() results."""
+    from pysearchlite_spark.operators.neardup import NearDupIndex
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(40)],
+        "doc_id long, text string")
+    idx = NearDupIndex.build(spark, corpus, str(tmp_path / "nd"))
+    batch = spark.createDataFrame(
+        [(1000 + i, f"alpha beta gamma delta epsilon zeta {i}")
+         for i in range(10)],
+        "doc_id long, text string")
+    want = sorted(tuple(r) for r in
+                  idx.check(batch, threshold=0.5).collect())
+    monkeypatch.setenv("PSL_NEARDUP_BCAST_MAX_ROWS", "0")  # force shuffle
+    got = sorted(tuple(r) for r in
+                 idx.check(batch, threshold=0.5).collect())
+    assert got == want and len(want) >= 10
+
+
+def test_compact_defers_deletion_to_next_compact(spark, tmp_path):
+    """compact() retires superseded generations into _trash (readers of
+    the previous snapshot keep their files for one compaction cycle) and
+    sweeps the previous trash on the next compact."""
+    import os
+
+    from pysearchlite_spark.operators.neardup import NearDupIndex
+    docs = lambda lo: spark.createDataFrame(
+        [(lo + i, f"one two three four five six {lo + i}")
+         for i in range(5)], "doc_id long, text string")
+    root = str(tmp_path / "nd")
+    idx = NearDupIndex.build(spark, docs(0), root)
+    idx.add_batch(docs(100))
+    rep = idx.compact()
+    assert rep["compacted"]
+    trash = os.path.join(root, "_trash")
+    assert os.path.isdir(trash) and len(os.listdir(trash)) == 6  # 3 subdirs x 2 gens
+    idx.add_batch(docs(200))
+    idx.compact()
+    # previous trash swept; this compact's retirees now occupy it
+    names = os.listdir(trash)
+    assert len(names) == 6 and all("add=" in n for n in names)
