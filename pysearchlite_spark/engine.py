@@ -1672,14 +1672,21 @@ class SearchIndex:
                 "build_index(..., with_positions=True)")
         return query_terms(phrase, dedup=False)  # order + dups significant
 
-    def search_phrase_ids(self, phrase: str, distributed: bool = False
+    def search_phrase_ids(self, phrase: str, distributed="auto"
                           ) -> np.ndarray:
         """Docs containing the EXACT consecutive token sequence (after the
         reference tokenizer: ASCII runs, lowercased). Extension beyond the
         reference's boolean protocol — see operators/phrase.py for the
-        kernel; per-segment intersect + block-selective position decode."""
+        kernel; per-segment intersect + block-selective position decode.
+
+        distributed: True / False force a path; the default 'auto' picks
+        per query from corpus size + a df probe
+        (_positional_auto_distributed) — results identical either way."""
         terms = self._phrase_terms(phrase)
-        if distributed:
+        route = self._positional_route(distributed)
+        if route is None:
+            route = self._positional_auto_distributed(terms)
+        if route:
             return self._positional_ids_dist(terms, P.phrase_match_ids)
         return self._positional_ids_local(terms, P.phrase_match_ids)
 
@@ -1699,7 +1706,7 @@ class SearchIndex:
         return kernel
 
     def search_near_ids(self, query: str, slop: int,
-                        distributed: bool = False,
+                        distributed="auto",
                         in_order: bool = True) -> np.ndarray:
         """Proximity query (Lucene SpanNearQuery): docs where the query
         tokens occur within a span of ≤ len(terms)-1+slop positions.
@@ -1707,20 +1714,29 @@ class SearchIndex:
         increasing positions (slop=0 is exactly the consecutive phrase;
         greedy-chain kernel, operators/phrase.py:near_match_ids);
         in_order=False accepts any arrangement of the DISTINCT terms
-        inside the window (anchor-scan kernel, near_unordered_match_ids)."""
+        inside the window (anchor-scan kernel, near_unordered_match_ids).
+        distributed: True/False force a path; 'auto' (default) picks per
+        query — see search_phrase_ids."""
         kernel = self._near_kernel(slop, in_order)
         terms = self._phrase_terms(query)
-        if distributed:
+        route = self._positional_route(distributed)
+        if route is None:
+            route = self._positional_auto_distributed(terms)
+        if route:
             return self._positional_ids_dist(terms, kernel)
         return self._positional_ids_local(terms, kernel)
 
     def count_near(self, query: str, slop: int,
-                   distributed: bool = False, in_order: bool = True) -> int:
-        if distributed:
+                   distributed=False, in_order: bool = True) -> int:
+        route = self._positional_route(distributed)
+        if route is None:
+            route = self._positional_auto_distributed(
+                self._phrase_terms(query))
+        if route:
             return self._count_positional_dist(
                 self._phrase_terms(query),
                 self._near_kernel(slop, in_order))
-        return int(self.search_near_ids(query, slop,
+        return int(self.search_near_ids(query, slop, distributed=False,
                                         in_order=in_order).size)
 
     def search_near(self, query: str, slop: int,
@@ -2157,6 +2173,47 @@ class SearchIndex:
             F.array_join(F.slice("toks", start, length), " ")
             .alias("snippet"))
 
+    def _positional_auto_distributed(self, terms: List[str]) -> bool:
+        """Adaptive driver-vs-distributed choice for positional queries
+        (phrase / NEAR), the decide_blockmax discipline applied one level
+        up: decide from METADATA before any position payload moves.
+
+        * n_docs <= PSL_PHRASE_AUTO_MIN_DOCS (default 200k): driver path,
+          NO probe job — at small corpora the driver path always wins
+          (BENCH/phrase_scale.json) and the probe would only add a job.
+        * larger corpora: ONE df-only probe scan (term, df — no payload
+          columns cross); if the total postings the driver path would
+          have to ship exceeds PSL_PHRASE_AUTO_DIST_MIN (default 2M
+          postings), run distributed (executors read their own segments;
+          measured 1.9x faster on high-df phrases at 1M docs), else
+          fetch-and-run on the driver (selective phrases: the kernel is
+          microseconds, job dispatch dominates).
+        Either choice returns identical ids — the kernels are shared."""
+        import os as _os
+        if self.n_docs <= int(_os.environ.get(
+                "PSL_PHRASE_AUTO_MIN_DOCS", "200000")):
+            return False
+        distinct = list(dict.fromkeys(terms))
+        if self._cache_has_pos and all(self._term_is_cached(t)
+                                       for t in distinct):
+            return False  # warm cache: the driver path is free of I/O
+        pdf = (self.postings_df(distinct).select("term", "df")
+               .groupBy("term").agg(F.sum("df").alias("df")).toPandas())
+        dfs = {r["term"]: int(r["df"]) for _, r in pdf.iterrows()}
+        if any(dfs.get(t, 0) == 0 for t in distinct):
+            return False  # P4: provably empty — let the driver path
+        #                   short-circuit without fetching payloads
+        total = sum(dfs.values())
+        return total > int(_os.environ.get(
+            "PSL_PHRASE_AUTO_DIST_MIN", "2000000"))
+
+    def _positional_route(self, distributed) -> bool:
+        """Normalize the distributed flag: True/False are explicit caller
+        choices; 'auto'/None defer to _positional_auto_distributed."""
+        if isinstance(distributed, bool):
+            return distributed
+        return None  # sentinel: caller must consult the auto probe
+
     def _positional_ids_local(self, terms: List[str], kernel) -> np.ndarray:
         """Driver-path positional query: fetch the distinct terms' rows
         (position sidecar included), P4 short-circuit on global dfs, then
@@ -2204,10 +2261,14 @@ class SearchIndex:
                .agg(F.count("doc_id").alias("total")).collect())
         return int(out[0]["total"] or 0)
 
-    def count_phrase(self, phrase: str, distributed: bool = False) -> int:
-        if distributed:
+    def count_phrase(self, phrase: str, distributed=False) -> int:
+        route = self._positional_route(distributed)
+        if route is None:
+            route = self._positional_auto_distributed(
+                self._phrase_terms(phrase))
+        if route:
             return self._count_positional_dist(self._phrase_terms(phrase))
-        return int(self.search_phrase_ids(phrase).size)
+        return int(self.search_phrase_ids(phrase, distributed=False).size)
 
     def search_phrase(self, phrase: str, distributed: bool = False
                       ) -> List[str]:

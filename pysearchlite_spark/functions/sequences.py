@@ -79,7 +79,7 @@ def chunk_tokens(df: DataFrame, seq_len: int, id_col: str = "doc_id",
 
 def pack_tokens(df: DataFrame, seq_len: int, eod_id: int | None = None,
                 id_col: str = "doc_id", text_col: str = "text",
-                n_buckets: int = 64) -> DataFrame:
+                n_buckets: int | None = None) -> DataFrame:
     """Cross-document PACKED training sequences (the GPT-pretraining
     dataloader shape): concatenate every doc's engine-token id stream in
     doc_id order — optionally with `eod_id` appended after each doc —
@@ -95,10 +95,14 @@ def pack_tokens(df: DataFrame, seq_len: int, eod_id: int | None = None,
     computed scalably in two phases instead of one global-order window
     (which would serialize onto a single task):
 
-      1. bucket docs by doc_id VALUE range (monotone in doc_id, so
-         bucket borders never reorder the stream); per-bucket token
-         totals — n_buckets tiny rows — come to the driver, which
-         forms exclusive bucket offsets and broadcasts them back;
+      1. bucket docs by COUNT-BALANCED doc_id borders (an approxQuantile
+         sample of the id column — any monotone step function of doc_id
+         preserves stream order, and quantile borders stay balanced even
+         when ids cluster in a narrow range, where the former VALUE-range
+         split degraded to a handful of effective buckets → one giant
+         per-bucket window sort); per-bucket token totals — n_buckets
+         tiny rows — come to the driver, which forms exclusive bucket
+         offsets and broadcasts them back;
       2. within each bucket an exclusive running sum over doc_id
          (window PARTITIONED by bucket — parallel across buckets).
 
@@ -106,9 +110,10 @@ def pack_tokens(df: DataFrame, seq_len: int, eod_id: int | None = None,
     (≤ ceil(n/seq_len)+1 rows per doc) and ONE shuffle by seq_id
     reassembles sequences via sorted-struct flatten; a group holds at
     most seq_len tokens, so reduce-side memory is bounded by seq_len
-    regardless of corpus size. At 100 TB pick n_buckets ≈ a few × the
-    cluster's cores; value-range buckets inherit the id distribution,
-    which is dense for this repo's builders.
+    regardless of corpus size. n_buckets=None (default) auto-sizes from
+    the input row count (~100k docs per bucket, floored at the cluster's
+    default parallelism, capped at 4 waves) — borders only steer balance,
+    never results.
 
     The tokenized (doc_id, _ids, _n) relation is persisted — it feeds
     the totals pass and the assembly pass; release is the caller's job
@@ -120,27 +125,41 @@ def pack_tokens(df: DataFrame, seq_len: int, eod_id: int | None = None,
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    if n_buckets < 1:
+    if n_buckets is not None and n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from pyspark.sql import Window
 
     spark = df.sparkSession
     out_schema = "seq_id long, n_tokens int, token_ids array<long>"
-    # bucket borders from the RAW input's id range: parquet min/max
-    # stats answer this scan without tokenizing anything
-    row = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-                 ).first()
-    if row is None or row["lo"] is None:
+    # count + quantile borders from the RAW input's id column: one cheap
+    # id-only scan, nothing tokenized yet
+    ids_only = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    n_rows = ids_only.count()
+    if n_rows == 0:
         return spark.createDataFrame([], out_schema)
-    lo, hi = int(row["lo"]), int(row["hi"])
-    # full-range 64-bit ids (e.g. xxhash64-derived) overflow BIGINT in
-    # both the span and the (doc_id - lo) shift under ANSI mode —
-    # bucket arithmetic runs in DECIMAL(38,0) (exact, one projection)
-    width = max(1, (hi - lo) // n_buckets + 1)
-    dec = "DECIMAL(38,0)"
-    bucket = F.floor(
-        (F.col("doc_id").cast(dec) - F.expr(f"CAST('{lo}' AS {dec})"))
-        / F.expr(f"CAST('{width}' AS {dec})")).cast("long")
+    if n_buckets is None:
+        par = spark.sparkContext.defaultParallelism
+        n_buckets = max(1, min(4 * par, max(par, n_rows // 100_000 + 1)))
+    n_buckets = min(n_buckets, n_rows)
+    # COUNT-BALANCED borders: a quantile sample of doc_id. Any fixed,
+    # sorted border list yields a bucket function monotone in doc_id
+    # (order preserved), and the output is invariant to bucketing, so the
+    # sample's approximation error only affects balance. Duplicate
+    # borders (heavy id clustering) are deduped — fewer, fuller buckets.
+    if n_buckets > 1:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        borders = sorted({int(b) for b in
+                          ids_only.approxQuantile("doc_id", qs, 0.001)})
+    else:
+        borders = []
+    if borders:
+        barr = F.array(*[F.lit(int(b)).cast("long") for b in borders])
+        # bucket = how many borders are strictly below this id — a
+        # monotone step function of doc_id, O(n_buckets) JVM comparisons
+        bucket = F.size(F.filter(barr,
+                                 lambda b: b < F.col("doc_id"))).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
 
     base = _token_ids(df, id_col, text_col)
     if eod_id is not None:

@@ -315,3 +315,27 @@ def test_phrase_random_property(spark, phrase_idx, phrase_corpus):
     for q in queries:
         want = sorted(_brute_phrase(phrase_corpus, q))
         assert sorted(phrase_idx.search_phrase(q)) == want, q
+
+
+def test_phrase_auto_routes_agree(phrase_idx, monkeypatch):
+    """'auto' must return the same ids whichever side its probe picks:
+    force the auto probe down both routes and compare with the explicit
+    paths."""
+    import numpy as np
+    q = "the quick brown fox"
+    want = phrase_idx.search_phrase_ids(q, distributed=False)
+    # auto with a tiny corpus floor + tiny dist threshold -> probe fires
+    # and (total df > 0) picks distributed
+    monkeypatch.setenv("PSL_PHRASE_AUTO_MIN_DOCS", "0")
+    monkeypatch.setenv("PSL_PHRASE_AUTO_DIST_MIN", "0")
+    assert np.array_equal(phrase_idx.search_phrase_ids(q, distributed="auto"),
+                          want)
+    # probe fires and a huge threshold keeps it on the driver
+    monkeypatch.setenv("PSL_PHRASE_AUTO_DIST_MIN", "10000000000")
+    assert np.array_equal(phrase_idx.search_phrase_ids(q, distributed="auto"),
+                          want)
+    wantn = phrase_idx.search_near_ids(q, 2, distributed=False, in_order=False)
+    monkeypatch.setenv("PSL_PHRASE_AUTO_DIST_MIN", "0")
+    assert np.array_equal(
+        phrase_idx.search_near_ids(q, 2, distributed="auto", in_order=False),
+        wantn)

@@ -304,3 +304,21 @@ def test_pack_randomized(spark, seed):
                  for r in pack_tokens(docs, L, n_buckets=nb).collect())
     assert got == brute_pack(cases, L)
     spark.catalog.clearCache()
+
+
+def test_pack_tokens_clustered_ids_count_balanced(spark):
+    """Adversarial id distribution: monotone ids clustered in a narrow
+    band (a crawl's sequential ids) must still pack correctly — and the
+    quantile borders make the bucketing count-balanced where the former
+    value-range split collapsed every doc into one bucket."""
+    from pysearchlite_spark.functions.sequences import pack_tokens
+    base = 10**12
+    rows = [(base + i, f"tok{i} alpha beta gamma {i % 7}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = [tuple(r) for r in
+            pack_tokens(df, 16, n_buckets=1).orderBy("seq_id").collect()]
+    for nb in (None, 8, 64):
+        got = [tuple(r) for r in
+               pack_tokens(df, 16, n_buckets=nb).orderBy("seq_id").collect()]
+        assert got == want, nb
