@@ -353,6 +353,27 @@ def _vectors_read(spark: SparkSession, root: str, schema: str,
             .filter(F.col("add").isin([int(a) for a in meta["adds"]])))
 
 
+class _VectorsScanCache:
+    """Snapshot-scoped memo of the vectors scan frame: building it per
+    query repeats parquet partition DISCOVERY over the add=/pb= (or cid=)
+    directory tree every call — measured most of a single topk()'s
+    latency. The frame is a lazy plan + file listing (never data), keyed
+    by the committed `adds` list so any append/build invalidates it —
+    the SearchIndex._postings pattern applied to the ANN side."""
+
+    def __init__(self) -> None:
+        self._df = None
+        self._key = None
+
+    def get(self, spark: SparkSession, root: str, schema: str,
+            meta: dict) -> DataFrame:
+        key = tuple(int(a) for a in (meta.get("adds") or ()))
+        if self._df is None or key != self._key:
+            self._df = _vectors_read(spark, root, schema, meta)
+            self._key = key
+        return self._df
+
+
 class AnnIndex:
     """Bucketed sign-LSH index over an embedding table (build + append).
 
@@ -388,6 +409,7 @@ class AnnIndex:
         else:
             self.planes = _planes(int(self.meta["dim"]), self.n_planes,
                                   int(self.meta["seed"]))
+        self._scan_cache = _VectorsScanCache()
 
     @staticmethod
     def build(spark: SparkSession, df: DataFrame, root: str,
@@ -471,8 +493,8 @@ class AnnIndex:
         targets = _probe_targets(qb, self.n_planes, probe_bits)
         shift = self.n_planes - self.part_bits
         prefixes = sorted({t >> shift for t in targets})
-        return (_vectors_read(self.spark, self.root, self.VEC_SCHEMA,
-                              self.meta)
+        return (self._scan_cache.get(self.spark, self.root,
+                                     self.VEC_SCHEMA, self.meta)
                 .filter(F.col("pb").isin(prefixes))
                 .filter(F.col("bucket").isin(targets)))
 
@@ -501,8 +523,8 @@ class AnnIndex:
                 route2qids.setdefault(t, []).append(qi)
         shift = self.n_planes - self.part_bits
         prefixes = sorted({t >> shift for t in route2qids})
-        cands = (_vectors_read(self.spark, self.root, self.VEC_SCHEMA,
-                               self.meta)
+        cands = (self._scan_cache.get(self.spark, self.root,
+                                      self.VEC_SCHEMA, self.meta)
                  .filter(F.col("pb").isin(prefixes))
                  .filter(F.col("bucket").isin(sorted(route2qids))))
         return _batch_rerank_topk(cands, Q, "bucket", route2qids, k)
@@ -533,6 +555,7 @@ class IvfIndex:
         with open(os.path.join(root, "meta.json")) as f:
             self.meta = json.load(f)
         self.centroids = np.asarray(self.meta["centroids"], dtype=np.float64)
+        self._scan_cache = _VectorsScanCache()
 
     @staticmethod
     def train_centroids(sample: np.ndarray, n_centroids: int, iters: int,
@@ -628,8 +651,8 @@ class IvfIndex:
                    nprobe: int = 4) -> DataFrame:
         """Pruned scan: PartitionFilters on cid IN probe set."""
         cids = self.probe_cids(query_vec, nprobe)
-        return (_vectors_read(self.spark, self.root, self.VEC_SCHEMA,
-                              self.meta)
+        return (self._scan_cache.get(self.spark, self.root,
+                                     self.VEC_SCHEMA, self.meta)
                 .filter(F.col("cid").isin(cids)))
 
     def topk(self, query_vec: Sequence[float], k: int = 10,
@@ -650,8 +673,8 @@ class IvfIndex:
         for qi in range(Q.shape[0]):
             for cid in self.probe_cids(Q[qi], nprobe):
                 route2qids.setdefault(cid, []).append(qi)
-        cands = (_vectors_read(self.spark, self.root, self.VEC_SCHEMA,
-                               self.meta)
+        cands = (self._scan_cache.get(self.spark, self.root,
+                                      self.VEC_SCHEMA, self.meta)
                  .filter(F.col("cid").isin(sorted(route2qids))))
         return _batch_rerank_topk(cands, Q, "cid", route2qids, k)
 
