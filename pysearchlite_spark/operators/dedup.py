@@ -376,7 +376,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                 "doc_id": pdf["doc_id"],
                 "sh": [s.astype(np.int64).tolist() for s in sh]})
 
-    sh = docs.mapInPandas(shingle_sets, "doc_id long, sh array<long>")
+    # persisted: sh feeds BOTH sides of the verification join — without it
+    # the candidate join + shingle UDF pass executes twice in one action
+    sh = docs.mapInPandas(shingle_sets,
+                          "doc_id long, sh array<long>").persist()
+    if _registry is not None:
+        _registry.append(sh)
     joined = (cand
               .join(sh.withColumnRenamed("doc_id", "a")
                       .withColumnRenamed("sh", "sha_"), "a")
