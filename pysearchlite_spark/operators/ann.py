@@ -198,17 +198,25 @@ def _ivf_assign_fn(cn: np.ndarray, id_col: str, vec_col: str):
 
 def _write_vectors(df: DataFrame, fn, schema: str, part_col: str,
                    sort_cols, vec_dir: str, mode: str,
-                   id_col: str, vec_col: str) -> int:
+                   id_col: str, vec_col: str, n_parts: int) -> int:
     """The shared vectors-write pipeline: one Arrow hop → repartition by the
-    partition column (one writer task per dir) → sorted parquet. Returns the
-    row count from an Observation on the write itself — result-stage
-    placement (after the exchange) is exactly-once under task retries; no
-    post-write rescan."""
+    partition column → sorted parquet. Returns the row count from an
+    Observation on the write itself — result-stage placement (after the
+    exchange) is exactly-once under task retries; no post-write rescan.
+
+    n_parts must be EXPLICIT (callers pass min(#partition dirs, cluster
+    parallelism)): a keyless repartition(col) is AQE-coalesced by data
+    volume, and a small build's ~MB shuffle collapses to ONE task that then
+    writes every partition dir sequentially (measured 4.0 s for 2000
+    vectors / 254 dirs at local[32] vs 0.9 s with one writer per core; the
+    per-file parquet open/commit is the serial cost). File count is
+    invariant either way — hash partitioning maps each dir key wholly to
+    one task — only writer parallelism changes."""
     from pyspark.sql import Observation
     obs = Observation()
     (df.select(F.col(id_col).alias(id_col), vec_col)
      .mapInPandas(fn, schema)
-     .repartition(F.col(part_col))
+     .repartition(max(1, n_parts), F.col(part_col))
      .sortWithinPartitions(*sort_cols)
      .observe(obs, F.count(F.lit(1)).alias("n"))
      .write.partitionBy(part_col).mode(mode).parquet(vec_dir))
@@ -272,7 +280,7 @@ def _sweep_stale_add_tmp(root: str, max_age_sec: float = 86400.0) -> None:
 
 def _append_generation(index, df: DataFrame, fn, schema: str,
                        part_col: str, sort_cols, id_col: str, vec_col: str,
-                       batch_id, route_params: dict) -> int:
+                       batch_id, route_params: dict, n_dirs: int) -> int:
     """Shared append tail for AnnIndex/IvfIndex: stage the bucketized
     generation to an add.tmp-* dir OUTSIDE the meta flock (concurrent
     appends overlap on write time and serialize only on the rename+meta
@@ -300,8 +308,10 @@ def _append_generation(index, df: DataFrame, fn, schema: str,
     # query fails with CONFLICTING_DIRECTORY_STRUCTURES for the whole
     # duration of the append (and until a crashed append's debris is swept)
     tmp = os.path.join(index.root, f"add.tmp-{uuid.uuid4().hex}")
-    n_new = _write_vectors(df, fn, schema, part_col, sort_cols, tmp,
-                           "overwrite", id_col, vec_col)
+    n_new = _write_vectors(
+        df, fn, schema, part_col, sort_cols, tmp, "overwrite", id_col,
+        vec_col,
+        min(n_dirs, index.spark.sparkContext.defaultParallelism))
     try:
         with _meta_locked(index.root):
             with open(os.path.join(index.root, "meta.json")) as f:
@@ -451,7 +461,9 @@ class AnnIndex:
                 df, _sign_bucketize_fn(planes, shift, id_col, vec_col),
                 AnnIndex.VEC_SCHEMA, "pb", ("pb", "bucket"),
                 os.path.join(vec_dir, "add=0"), "overwrite", id_col,
-                vec_col)
+                vec_col,
+                min(1 << part_bits,
+                    spark.sparkContext.defaultParallelism))
             _commit_meta(root, {
                 "n_planes": int(n_planes), "seed": seed, "dim": dim,
                 "n_vectors": n_vectors, "part_bits": int(part_bits),
@@ -481,7 +493,8 @@ class AnnIndex:
             route_params={"n_planes": self.meta["n_planes"],
                           "seed": self.meta.get("seed"),
                           "part_bits": self.meta.get("part_bits"),
-                          "planes": self.meta.get("planes")})
+                          "planes": self.meta.get("planes")},
+            n_dirs=1 << self.part_bits)
 
     def candidates(self, query_vec: Sequence[float],
                    probe_bits: int = 2) -> DataFrame:
@@ -616,7 +629,9 @@ class IvfIndex:
                 df, _ivf_assign_fn(cn, id_col, vec_col),
                 IvfIndex.VEC_SCHEMA, "cid", ("cid",),
                 os.path.join(vec_dir, "add=0"), "overwrite", id_col,
-                vec_col)
+                vec_col,
+                min(int(cn.shape[0]),
+                    spark.sparkContext.defaultParallelism))
             _commit_meta(root, {
                 "n_centroids": int(cn.shape[0]), "dim": int(cn.shape[1]),
                 "n_vectors": n_vectors, "centroids": cn.tolist(),
@@ -636,7 +651,8 @@ class IvfIndex:
         return _append_generation(
             self, df, _ivf_assign_fn(self.centroids, id_col, vec_col),
             IvfIndex.VEC_SCHEMA, "cid", ("cid",), id_col, vec_col,
-            batch_id, route_params={"centroids": self.meta["centroids"]})
+            batch_id, route_params={"centroids": self.meta["centroids"]},
+            n_dirs=int(self.centroids.shape[0]))
 
     def probe_cids(self, query_vec: Sequence[float],
                    nprobe: int) -> List[int]:
