@@ -172,10 +172,17 @@ def prepare_corpus(spark: SparkSession, df: DataFrame, out_dir: str, *,
         on a flat one). persist() alone does not help: caching shortcuts
         execution, not analysis. Reliable checkpoint() when the session
         has a checkpoint dir (a 100-TB cluster run should set one — the
-        frontier then survives executor loss), else localCheckpoint()."""
+        frontier then survives executor loss), else localCheckpoint().
+
+        The local checkpoint is LAZY: advance()'s count() is the next
+        action and materializes it as a side effect, so each stage runs
+        ONE job instead of an eager-checkpoint job plus a count job (the
+        same fusion connected_components uses per round). The reliable
+        branch stays eager — a lazy reliable checkpoint recomputes its
+        input in the separate checkpoint-write job."""
         if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
             return kept.checkpoint(eager=True)
-        return kept.localCheckpoint(eager=True)
+        return kept.localCheckpoint(eager=False)
 
     def advance(stage: str, kept: DataFrame) -> DataFrame:
         nonlocal n_prev, cur, t_stage
