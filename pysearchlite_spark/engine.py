@@ -2007,10 +2007,33 @@ class SearchIndex:
         if own:
             fg = fg.persist()
         try:
-            fn = fg.count()
-            if fn == 0 or k <= 0:
+            if k <= 0:
                 return []
-            rows = self._significant_df(fg, fn, min_fg, k).collect()
+            # ONE action resolves count AND (small-fg) ids: collect up to
+            # bcast_max+1 ids — a complete result gives the exact count
+            # plus the broadcast array the small-fg route needs anyway
+            # (formerly a count job THEN a toPandas job over the same
+            # persisted frame); an overflow discards the sample and falls
+            # back to the count + cogroup shape, so a 10^12-doc foreground
+            # still never collects
+            import os as _os
+            bcast_max = int(_os.environ.get("PSL_SIGTERMS_BCAST_MAX",
+                                            "2000000"))
+            head = (fg.select("doc_id").limit(bcast_max + 1).toPandas()
+                    if bcast_max > 0 else None)
+            if head is not None and len(head) <= bcast_max:
+                fn = len(head)
+                if fn == 0:
+                    return []
+                allow_np = np.unique(head["doc_id"].to_numpy(np.int64))
+                sig = self._significant_df(fg, fn, min_fg, k,
+                                           allow_np=allow_np)
+            else:
+                fn = fg.count()
+                if fn == 0:
+                    return []
+                sig = self._significant_df(fg, fn, min_fg, k)
+            rows = sig.collect()
             return [(r["term"], int(r["fg_df"]), int(r["df"]),
                      float(r["score"])) for r in rows]
         finally:
@@ -2018,7 +2041,7 @@ class SearchIndex:
                 fg.unpersist()
 
     def _significant_df(self, fg: DataFrame, fn: int, min_fg: int,
-                        k: int) -> DataFrame:
+                        k: int, allow_np=None) -> DataFrame:
         """The lazy plan behind significant_terms (split out so
         tools/explain_plans.py can audit it): full postings scan pruned
         to (term[, seg, tb], df, docs), foreground membership counted
@@ -2066,10 +2089,13 @@ class SearchIndex:
         import os as _os
         bcast_max = int(_os.environ.get("PSL_SIGTERMS_BCAST_MAX",
                                         "2000000"))
-        if fn <= bcast_max:
-            allow_np = np.unique(
-                fg.select("doc_id").toPandas()["doc_id"]
-                .to_numpy(np.int64))
+        if allow_np is not None or fn <= bcast_max:
+            # allow_np: the caller already collected the id set (one
+            # bounded action resolves count + ids — see significant_terms)
+            if allow_np is None:
+                allow_np = np.unique(
+                    fg.select("doc_id").toPandas()["doc_id"]
+                    .to_numpy(np.int64))
             allow_bc = self.spark.sparkContext.broadcast(allow_np)
 
             def run_scan(batches):

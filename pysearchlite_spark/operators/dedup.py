@@ -672,9 +672,11 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
     zero = F.lit(0).cast("long")
     n_spans = F.coalesce("n_spans", zero)
     dup = n_spans - F.coalesce("uniq_spans", zero)
-    return (df.select(F.col(id_col).alias("doc_id"))
-            .join(tot, "doc_id", "left")
-            .join(uniq, "doc_id", "left")
+    # tot is 1:1 with df (the span UDF preserves cardinality and emits an
+    # empty array — not a dropped row — for short/null docs), so it IS the
+    # every-doc base: re-joining df's ids would re-scan the corpus and add
+    # a join exchange for an identity mapping
+    return (tot.join(uniq, "doc_id", "left")
             .select(
                 "doc_id",
                 n_spans.alias("n_spans"),
@@ -722,9 +724,8 @@ def span_contamination(df: DataFrame, probe_df: DataFrame,
     zero = F.lit(0).cast("long")
     n_spans = F.coalesce("n_spans", zero)
     cont = F.coalesce("contaminated_spans", zero)
-    return (df.select(F.col(id_col).alias("doc_id"))
-            .join(tot, "doc_id", "left")
-            .join(hits, "doc_id", "left")
+    # tot is the every-doc base — see the repeated_spans note
+    return (tot.join(hits, "doc_id", "left")
             .select(
                 "doc_id",
                 n_spans.alias("n_spans"),
